@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Delegates to :mod:`tidb_gateway_spark.queries` — the declared-query
+registry implementing SURVEY.md §2B (Q01–Q71) plus the extended
+LLM-pipeline operators.  Each registry entry pairs a Spark
+DataFrame/SQL implementation with a DuckDB oracle SQL string whose
+column names/types match the Spark output.
 """
 
 from __future__ import annotations
@@ -15,24 +15,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 shape, q22) on /root/testdata/sf0.001."""
+    from tidb_gateway_spark.queries import REGISTRY
+    from tidb_gateway_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    return REGISTRY["q22_tpch_q1_agg"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from tidb_gateway_spark.queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {qid: spec.spark for qid, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible registry entry."""
+    from tidb_gateway_spark.queries import REGISTRY
+
+    return {qid: spec.oracle for qid, spec in REGISTRY.items() if spec.oracle}

@@ -1,0 +1,73 @@
+"""Fixture catalog: load driver parquet tables and register temp views.
+
+The reference routes a connection's queries to one of several backend
+clusters via the ``{clusterid}.{username}`` rule
+(/root/reference/gateway/gateway.go:253-267); in this engine a "cluster"
+is a registered catalog of views, and this module is the loader for the
+driver-provided star schema (FIXTURES.md).
+
+Scale notes: loading is a metadata operation (``spark.read.parquet`` is
+lazy); at 100 TB these would be partitioned/bucketed external tables in a
+metastore, with partition columns chosen per table (orders/lineitem by
+month of the date column, events by day of ts) so partition pruning does
+the coarse filtering before row-group pushdown.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tidb_gateway_spark.session import ensure_session_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor
+# (region=5 rows, nation=25 rows regardless of sf; supplier/part grow
+# slowly). Queries join these with an explicit broadcast hint.
+BROADCAST_TABLES = ("region", "nation", "supplier")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, normalizing types to engine conventions.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it (under
+    ``nanosAsLong``) as a raw epoch-nanos LongType.  We expose:
+
+    * ``ts``    — TIMESTAMP at microsecond precision (``ns DIV 1000``,
+      truncation — bit-identical to how DuckDB's parquet reader reads the
+      same column, which keeps strict ts comparisons cross-engine safe);
+    * ``ts_us`` — epoch microseconds as a long, for exact-integer window
+      frames (RANGE BETWEEN) and gap arithmetic.
+    """
+    ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            .drop("ts_ns")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views named as in FIXTURES.md."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, mirroring what a 100 TB corpus needs:
+
+* :func:`brute_force_topk` — exact scan: broadcast the query vector(s),
+  compute dot/cosine with JVM-side higher-order functions (``zip_with`` +
+  ``aggregate`` — no Python in the loop), TakeOrdered for top-k.  Cost is
+  one full scan per query batch; the correct *baseline* and fine when
+  queries are few.
+* :func:`lsh_bucket_topk` — random-hyperplane LSH: each vector gets a
+  signed bucket id from ``n_planes`` fixed hyperplanes; candidates are
+  restricted to the query's bucket before exact rerank.  The hyperplanes
+  are deterministic (seeded from md5, see :func:`hyperplanes`) so results
+  are reproducible across engines and runs.  At scale the bucket id
+  becomes the partition key — the index is a bucketed table and a query
+  touches one partition instead of the whole corpus.
+
+Design note: embeddings are cast to double before multiply so both this
+engine and external oracles accumulate identical IEEE sums left-to-right.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Exact dot product of two array columns, accumulated in double."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate({a}, CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame, query: DataFrame, k: int = 5, metric: str = "dot"
+) -> DataFrame:
+    """Exact top-k neighbors of a single query vector.
+
+    ``corpus``: (vec_id, embedding); ``query``: one row with ``embedding``.
+    Returns (vec_id, dp) — dp rounded to 4 for cross-engine declaration.
+    """
+    q = F.broadcast(query.select(F.col("embedding").alias("qe")))
+    joined = corpus.crossJoin(q)
+    score = dot_expr("embedding", "qe")
+    if metric == "cosine":
+        score = score / (norm_expr("embedding") * norm_expr("qe"))
+    return (
+        joined.select("vec_id", F.round(score, 4).alias("dp"))
+        .orderBy(F.desc("dp"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes seeded from md5(plane, coord).
+
+    Pure function of (n_planes, dim) — any engine (or a SQL oracle with
+    the literals inlined) derives the same planes.
+    """
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{p}_{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) < 8 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def with_lsh_bucket(df: DataFrame, n_planes: int = 8, dim: int = 64,
+                    col: str = "embedding") -> DataFrame:
+    """Add a ``bucket`` int column = sign pattern across the hyperplanes.
+
+    At 100 TB this column is the bucketing/partition key of the stored
+    index table; similar vectors collide with high probability.
+    """
+    planes = hyperplanes(n_planes, dim)
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        arr = "array(" + ",".join(f"CAST({v} AS DOUBLE)" for v in plane) + ")"
+        proj = F.expr(
+            f"aggregate(zip_with({col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame, query: DataFrame, k: int = 5, n_planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """ANN top-k: restrict to the query's LSH bucket, then exact rerank.
+
+    Recall < 1 by construction (bucket boundary effects); the declared
+    check pins the deterministic output, and test_operators verifies
+    bucket recall against brute force.
+    """
+    cb = with_lsh_bucket(corpus, n_planes, dim)
+    qb = F.broadcast(
+        with_lsh_bucket(query, n_planes, dim)
+        .select(F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket"))
+    )
+    cand = cb.join(qb, cb.bucket == qb.qbucket)
+    return (
+        cand.select("vec_id", F.round(dot_expr("embedding", "qe"), 4).alias("dp"))
+        .orderBy(F.desc("dp"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -1,0 +1,21 @@
+"""Declared-query registry — import all modules to populate REGISTRY."""
+
+from tidb_gateway_spark.queries.registry import REGISTRY, QuerySpec  # noqa: F401
+
+# Import order is registration order; keep SURVEY §2B numbering grouped.
+from tidb_gateway_spark.queries import (  # noqa: F401, E402
+    scans_filters,
+    joins,
+    aggregates,
+    windows,
+    sorts_sets,
+    scalar_functions,
+    streaming_batch,
+    llm_pipeline,
+    subqueries,
+)
+
+try:  # extended LLM-pipeline ops (Q72+) — registered when present
+    from tidb_gateway_spark.queries import llm_extended  # noqa: F401
+except ImportError:
+    pass

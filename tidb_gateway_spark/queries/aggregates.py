@@ -1,0 +1,172 @@
+"""Q22–Q30: aggregation operators (SURVEY.md §2B).
+
+Scale notes: every groupBy here compiles to partial (map-side)
+HashAggregate → shuffle by grouping key → final HashAggregate, so the
+shuffle carries pre-aggregated rows, not raw data.  Multi-distinct (Q24)
+expands via Catalyst's distinct-aggregate rewrite (one extra shuffle);
+at 100 TB prefer approx_count_distinct (x-series op) when 2% error is
+acceptable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tidb_gateway_spark.catalog import load_table
+from tidb_gateway_spark.functions import stable_round
+from tidb_gateway_spark.queries.registry import register, sql_query
+
+
+@register(
+    "q22_tpch_q1_agg",
+    "SELECT l_returnflag, l_linestatus, FLOOR(SUM(l_quantity)*100 + 0.5)/100 AS sq, "
+    "FLOOR(SUM(l_extendedprice)*100 + 0.5)/100 AS sp, FLOOR(AVG(l_discount)*10000 + 0.5)/10000 AS ad, "
+    "COUNT(*) AS n FROM lineitem "
+    "WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    doc="TPC-H Q1-shaped multi-measure hash aggregate (flagship query).",
+    tags=("agg", "flagship"),
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            stable_round(F.sum("l_quantity"), 2).alias("sq"),
+            stable_round(F.sum("l_extendedprice"), 2).alias("sp"),
+            stable_round(F.avg("l_discount"), 4).alias("ad"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q23_global_agg",
+    "SELECT COUNT(*) AS n, FLOOR(MIN(o_totalprice)*100 + 0.5)/100 AS mn, "
+    "FLOOR(MAX(o_totalprice)*100 + 0.5)/100 AS mx FROM orders",
+    doc="Global (no-group) aggregate; partials reduce to a single row.",
+    tags=("agg",),
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n"),
+        stable_round(F.min("o_totalprice"), 2).alias("mn"),
+        stable_round(F.max("o_totalprice"), 2).alias("mx"),
+    )
+
+
+@register(
+    "q24_count_distinct",
+    "SELECT COUNT(DISTINCT o_custkey) AS dc, "
+    "COUNT(DISTINCT o_orderpriority) AS dp FROM orders",
+    doc="Multi-column COUNT(DISTINCT) via Catalyst expand rewrite.",
+    tags=("agg",),
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("dc"),
+        F.countDistinct("o_orderpriority").alias("dp"),
+    )
+
+
+@register(
+    "q25_having",
+    "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey "
+    "HAVING COUNT(*) >= 3 ORDER BY o_custkey",
+    doc="HAVING = post-aggregation filter.",
+    tags=("agg",),
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+        .orderBy("o_custkey")
+    )
+
+
+# GROUPING SETS has no DataFrame-API form — SQL on both engines, shared text.
+sql_query(
+    "q26_grouping_sets",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem "
+    "GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ()) "
+    "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n",
+    doc="GROUPING SETS (Expand operator feeding one hash aggregate).",
+    tags=("agg", "rollup"),
+)
+
+
+@register(
+    "q27_rollup",
+    "SELECT l_returnflag, l_linestatus, FLOOR(SUM(l_quantity)*100 + 0.5)/100 AS s "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+    "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    doc="ROLLUP hierarchy totals (NULLS FIRST pinned cross-engine).",
+    tags=("agg", "rollup"),
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(stable_round(F.sum("l_quantity"), 2).alias("s"))
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+@register(
+    "q28_cube",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem "
+    "GROUP BY CUBE (l_returnflag, l_linestatus) "
+    "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    doc="CUBE over two keys.",
+    tags=("agg", "rollup"),
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+@register(
+    "q29_conditional_agg",
+    "SELECT user_id, FLOOR(SUM(CASE WHEN event_type='purchase' THEN value ELSE 0 END)*100 + 0.5)/100 AS pv "
+    "FROM events GROUP BY user_id "
+    "HAVING SUM(CASE WHEN event_type='purchase' THEN value ELSE 0 END) > 0 "
+    "ORDER BY user_id",
+    doc="Conditional aggregation with HAVING on the unrounded measure.",
+    tags=("agg",),
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pv = F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0))
+    return (
+        e.groupBy("user_id")
+        .agg(pv.alias("pv_raw"))
+        .filter(F.col("pv_raw") > 0)
+        .select("user_id", stable_round(F.col("pv_raw"), 2).alias("pv"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q30_statistical_aggs",
+    "SELECT FLOOR(STDDEV_SAMP(l_quantity)*10000 + 0.5)/10000 AS sd, "
+    "FLOOR(VAR_SAMP(l_discount)*1000000 + 0.5)/1000000 AS vr FROM lineitem",
+    doc="Sample stddev/variance (Welford-style distributed moments).",
+    tags=("agg",),
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        stable_round(F.stddev_samp("l_quantity"), 4).alias("sd"),
+        stable_round(F.var_samp("l_discount"), 6).alias("vr"),
+    )

@@ -1,0 +1,256 @@
+"""Q10–Q21: join operators (SURVEY.md §2B).
+
+Scale notes: dimension joins (nation/region/supplier) carry explicit
+``broadcast()`` hints — at 100 TB the fact side never shuffles for these.
+Fact-fact joins (orders ⋈ lineitem, events self-join) shuffle on their
+keys; both sides hash-partition on the join key and AQE handles skew
+(skewJoin.enabled).  The as-of join is a window over a single shuffle by
+user_id rather than a per-row correlated subquery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tidb_gateway_spark.catalog import load_table
+from tidb_gateway_spark.functions import stable_round
+from tidb_gateway_spark.queries.registry import register
+
+
+@register(
+    "q10_inner_equijoin",
+    "SELECT c.c_mktsegment, COUNT(*) AS n, FLOOR(SUM(o.o_totalprice)*100 + 0.5)/100 AS s "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment",
+    doc="Inner equi-join; customer side broadcast-eligible, Catalyst picks.",
+    tags=("join",),
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), stable_round(F.sum("o_totalprice"), 2).alias("s"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q11_multiway_join",
+    "SELECT r.r_name, n.n_name, COUNT(*) AS n FROM customer c "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name",
+    doc="3-way star join; nation/region broadcast so the fact table never "
+        "shuffles for the join (only for the final aggregate).",
+    tags=("join",),
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "q12_left_outer_join",
+    "SELECT n.n_name, COUNT(s.s_suppkey) AS ns FROM nation n "
+    "LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey "
+    "GROUP BY n.n_name ORDER BY n.n_name",
+    doc="Left outer join; COUNT(col) skips NULLs from unmatched rows.",
+    tags=("join",),
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("ns"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q13_right_outer_join",
+    "SELECT n.n_name, COUNT(c.c_custkey) AS nc FROM customer c "
+    "RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "GROUP BY n.n_name ORDER BY n.n_name",
+    doc="Right outer join.",
+    tags=("join",),
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("nc"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q14_full_outer_join",
+    "SELECT COALESCE(a.k, b.k) AS k, a.na AS na, b.nb AS nb FROM "
+    "(SELECT c_nationkey AS k, COUNT(*) AS na FROM customer GROUP BY c_nationkey) a "
+    "FULL JOIN "
+    "(SELECT s_nationkey AS k, COUNT(*) AS nb FROM supplier GROUP BY s_nationkey) b "
+    "ON a.k = b.k ORDER BY k",
+    doc="Full outer join of two aggregates.",
+    tags=("join",),
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    a = c.groupBy(F.col("c_nationkey").alias("ka")).agg(F.count("*").alias("na"))
+    b = s.groupBy(F.col("s_nationkey").alias("kb")).agg(F.count("*").alias("nb"))
+    return (
+        a.join(b, a.ka == b.kb, "full")
+        .select(F.coalesce("ka", "kb").alias("k"), "na", "nb")
+        .orderBy("k")
+    )
+
+
+@register(
+    "q15_left_semi_join",
+    "SELECT COUNT(*) AS n FROM part p WHERE EXISTS "
+    "(SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)",
+    doc="EXISTS as left-semi join (no row multiplication).",
+    tags=("join",),
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi").agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q16_left_anti_join",
+    "SELECT COUNT(*) AS n FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    doc="NOT EXISTS as left-anti join.",
+    tags=("join",),
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q17_cross_join",
+    "SELECT COUNT(*) AS n FROM region CROSS JOIN nation",
+    doc="Cartesian product (broadcast nested loop; both sides tiny).",
+    tags=("join",),
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).agg(F.count("*").alias("n"))
+
+
+@register(
+    "q18_theta_join",
+    "SELECT s1.s_suppkey AS a, s2.s_suppkey AS b FROM supplier s1 "
+    "JOIN supplier s2 ON s1.s_acctbal < s2.s_acctbal "
+    "AND s1.s_nationkey = s2.s_nationkey ORDER BY a, b",
+    doc="Theta join with an equi component — Catalyst hash-joins on "
+        "s_nationkey and applies the inequality as a post-join filter, "
+        "so this is NOT a nested loop at scale.",
+    tags=("join",),
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1 = load_table(spark, sf_dir, "supplier").alias("s1")
+    s2 = load_table(spark, sf_dir, "supplier").alias("s2")
+    cond = (F.col("s1.s_nationkey") == F.col("s2.s_nationkey")) & (
+        F.col("s1.s_acctbal") < F.col("s2.s_acctbal")
+    )
+    return (
+        s1.join(s2, cond)
+        .select(F.col("s1.s_suppkey").alias("a"), F.col("s2.s_suppkey").alias("b"))
+        .orderBy("a", "b")
+    )
+
+
+@register(
+    "q19_range_predicate_join",
+    "SELECT o.o_orderkey, COUNT(*) AS n FROM orders o JOIN lineitem l "
+    "ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate "
+    "GROUP BY o.o_orderkey ORDER BY o.o_orderkey LIMIT 50",
+    doc="Equi-join with additional range predicate; range applied post-join.",
+    tags=("join",),
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate))
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
+
+
+@register(
+    "q20_asof_join",
+    # Oracle keeps the declared correlated-subquery form; DuckDB's parquet
+    # reader truncates ts to microseconds exactly like our ts view column,
+    # so strict `<` agrees across engines.
+    "SELECT e.event_id, "
+    "(SELECT MAX(e2.event_id) FROM events e2 "
+    " WHERE e2.user_id = e.user_id AND e2.ts < e.ts) AS prev_id "
+    "FROM events e WHERE e.event_type = 'purchase' ORDER BY e.event_id",
+    doc="As-of join (latest earlier event per key). Spark-first form: ONE "
+        "shuffle by user_id + a RANGE window frame on epoch-micros — the "
+        "strict `ts < ts` bound is the rangeBetween(-1) upper bound; "
+        "contrast with the O(n²) correlated subquery the oracle runs. "
+        "Scales as a single sort-within-partition per user.",
+    tags=("join", "window", "asof"),
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        e.withColumn("prev_id", F.max("event_id").over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "prev_id")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q21_self_join",
+    "SELECT COUNT(*) AS n FROM events a JOIN events b ON a.user_id = b.user_id "
+    "AND a.event_id < b.event_id AND a.event_type = 'signup' "
+    "AND b.event_type = 'purchase'",
+    doc="Self equi-join on user_id with ordering predicate (funnel count).",
+    tags=("join",),
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("ua"), F.col("event_id").alias("ia")
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("ub"), F.col("event_id").alias("ib")
+    )
+    return (
+        a.join(b, (F.col("ua") == F.col("ub")) & (F.col("ia") < F.col("ib")))
+        .agg(F.count("*").alias("n"))
+    )

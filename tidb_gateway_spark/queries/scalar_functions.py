@@ -1,0 +1,210 @@
+"""Q46–Q55: scalar function families — string / regex / date / math /
+JSON / array (SURVEY.md §2B).
+
+All expressions are built-in ``pyspark.sql.functions`` (JVM-side, inside
+whole-stage codegen) — no Python UDFs on these paths.  Oracle forms carry
+the DuckDB dialect (strpos, regexp_matches, ->>, 1-indexed lists,
+list_dot_product) with integer widths cast to match Spark's output types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tidb_gateway_spark.catalog import load_table
+from tidb_gateway_spark.functions import stable_round
+from tidb_gateway_spark.queries.registry import register
+
+
+@register(
+    "q46_string_basics",
+    "SELECT p_partkey, UPPER(SUBSTR(p_name,1,5)) AS u, CAST(LENGTH(p_name) AS INT) AS l, "
+    "REPLACE(p_brand,'#','-') AS r, CONCAT(p_type,'/',p_brand) AS c "
+    "FROM part ORDER BY p_partkey",
+    doc="UPPER/SUBSTR/LENGTH/REPLACE/CONCAT.",
+    tags=("scalar", "string"),
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 5)).alias("u"),
+        F.length("p_name").alias("l"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("r"),
+        F.concat(F.col("p_type"), F.lit("/"), F.col("p_brand")).alias("c"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "q47_pad_position",
+    "SELECT p_partkey, LPAD(CAST(p_size AS VARCHAR),4,'0') AS z, "
+    "CAST(strpos(p_name,'a') AS INT) AS i FROM part ORDER BY p_partkey",
+    doc="LPAD + INSTR (oracle uses strpos).",
+    tags=("scalar", "string"),
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("z"),
+        F.instr("p_name", "a").alias("i"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "q48_regex_match",
+    "SELECT COUNT(*) AS n FROM part WHERE regexp_matches(p_name,'^[a-m]')",
+    doc="Regex filter (Spark RLIKE ↔ DuckDB regexp_matches).",
+    tags=("scalar", "string"),
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").rlike("^[a-m]")).agg(F.count("*").alias("n"))
+
+
+@register(
+    "q49_date_extract",
+    "SELECT CAST(YEAR(o_orderdate) AS INT) AS y, CAST(MONTH(o_orderdate) AS INT) AS m, "
+    "COUNT(*) AS n FROM orders GROUP BY 1, 2 ORDER BY y, m",
+    doc="YEAR/MONTH extraction and grouping.",
+    tags=("scalar", "date"),
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("y", "m")
+    )
+
+
+@register(
+    "q50_date_trunc",
+    "SELECT strftime(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS m, COUNT(*) AS n "
+    "FROM orders GROUP BY 1 ORDER BY m",
+    doc="date_trunc to month (emitted as ISO string — dates cross the "
+        "engine boundary as text to dodge date-vs-datetime repr skew).",
+    tags=("scalar", "date"),
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("m")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("m")
+    )
+
+
+@register(
+    "q51_date_arith",
+    "SELECT o_orderkey, CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS d "
+    "FROM orders ORDER BY o_orderkey LIMIT 100",
+    doc="DATEDIFF day arithmetic (Spark datediff(end,start) ↔ DuckDB "
+        "datediff('day',start,end)).",
+    tags=("scalar", "date"),
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("d"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q52_math_funcs",
+    "SELECT l_orderkey, l_linenumber, FLOOR(SQRT(l_extendedprice)*1000 + 0.5)/1000 AS s, "
+    "CAST(FLOOR(l_quantity/7) AS BIGINT) AS f, "
+    "CAST(MOD(CAST(l_quantity AS INT),5) AS INT) AS m, "
+    "FLOOR(POWER(1+l_discount,2)*10000 + 0.5)/10000 AS p "
+    "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500",
+    doc="ABS/ROUND/FLOOR/SQRT/POWER/MOD family.",
+    tags=("scalar", "math"),
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            stable_round(F.sqrt("l_extendedprice"), 3).alias("s"),
+            F.floor(F.col("l_quantity") / 7).alias("f"),
+            (F.col("l_quantity").cast("int") % 5).alias("m"),
+            stable_round(F.pow(F.lit(1) + F.col("l_discount"), 2), 4).alias("p"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+    )
+
+
+@register(
+    "q53_json_extract",
+    "SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events ORDER BY event_id",
+    doc="JSON field extraction from a string column "
+        "(get_json_object ↔ DuckDB ->> path).",
+    tags=("scalar", "json"),
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    ).orderBy("event_id")
+
+
+@register(
+    "q54_array_access",
+    "SELECT vec_id, CAST(len(embedding) AS INT) AS d, "
+    "FLOOR(CAST(embedding[1] AS DOUBLE)*1000000 + 0.5)/1000000 AS e0 FROM embeddings ORDER BY vec_id",
+    doc="Array length + element access (Spark 0-indexed ↔ DuckDB 1-indexed).",
+    tags=("scalar", "array"),
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("d"),
+        stable_round(F.col("embedding")[0].cast("double"), 6).alias("e0"),
+    ).orderBy("vec_id")
+
+
+# Dot product against the vec_id=0 query vector.  Both engines accumulate
+# left-to-right over 64 doubles → bit-identical sums.
+_Q55_ORACLE = (
+    "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+    "SELECT e.vec_id, "
+    "FLOOR(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))*10000 + 0.5)/10000 AS dp "
+    "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0 "
+    "ORDER BY dp DESC, e.vec_id LIMIT 5"
+)
+
+
+@register(
+    "q55_array_dot_product",
+    _Q55_ORACLE,
+    doc="Array dot product via zip_with + aggregate (higher-order "
+        "functions, JVM-side) — top-5 by similarity to vec 0.",
+    tags=("scalar", "array", "similarity"),
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe")))
+    dp = F.expr(
+        "aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("vec_id", stable_round(dp, 4).alias("dp"))
+        .orderBy(F.desc("dp"), F.asc("vec_id"))
+        .limit(5)
+    )

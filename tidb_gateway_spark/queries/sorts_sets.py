@@ -1,0 +1,121 @@
+"""Q38–Q45: sorts / limits / top-k / set operations (SURVEY.md §2B).
+
+Scale notes: orderBy+limit compiles to TakeOrderedAndProject — each
+partition keeps only k rows, the driver merges k·p rows, no global sort.
+Full ORDER BY uses range-partitioned sort (sampled boundaries), which is
+the scalable global sort.  Set ops are aggregates/joins under the hood:
+UNION-distinct and INTERSECT shuffle once on the full row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tidb_gateway_spark.catalog import load_table
+from tidb_gateway_spark.queries.registry import register, sql_query
+
+
+@register(
+    "q38_multikey_sort",
+    "SELECT o_orderkey FROM orders ORDER BY o_orderpriority ASC, "
+    "o_totalprice DESC, o_orderkey LIMIT 200",
+    doc="Multi-key mixed-direction sort with limit (TakeOrderedAndProject).",
+    tags=("sort",),
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.asc("o_orderpriority"), F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey")
+        .limit(200)
+    )
+
+
+@register(
+    "q39_topk",
+    "SELECT l_orderkey, l_linenumber FROM lineitem "
+    "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25",
+    doc="Top-k: per-partition heaps, driver merge — never a full sort.",
+    tags=("sort",),
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .select("l_orderkey", "l_linenumber")
+        .limit(25)
+    )
+
+
+# OFFSET: shared SQL text on both engines.
+sql_query(
+    "q40_limit_offset",
+    "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 20",
+    doc="LIMIT with OFFSET (Spark ≥3.4 GlobalLimit with offset).",
+    tags=("sort",),
+)
+
+
+@register(
+    "q41_union_all",
+    "SELECT k, COUNT(*) AS n FROM "
+    "(SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier) t "
+    "GROUP BY k ORDER BY k",
+    doc="UNION ALL (no dedup — pure concatenation of partitions).",
+    tags=("set",),
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.unionAll(s).groupBy("k").agg(F.count("*").alias("n")).orderBy("k")
+
+
+@register(
+    "q42_union_distinct",
+    "SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY k",
+    doc="UNION distinct = union-all + aggregate on full row.",
+    tags=("set",),
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct().orderBy("k")
+
+
+@register(
+    "q43_intersect",
+    "SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY k",
+    doc="INTERSECT (distinct semantics, left-semi join under the hood).",
+    tags=("set",),
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s).orderBy("k")
+
+
+@register(
+    "q44_except",
+    "SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY k",
+    doc="EXCEPT (distinct semantics, left-anti join under the hood).",
+    tags=("set",),
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.subtract(s).orderBy("k")
+
+
+@register(
+    "q45_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem "
+    "ORDER BY l_returnflag, l_linestatus",
+    doc="DISTINCT = groupBy all columns (partial dedup before shuffle).",
+    tags=("set",),
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
+        "l_returnflag", "l_linestatus"
+    )
