@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark the declared-query suite.
+
+Runs every registry query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+
+    {"metric": "declared_query_suite_sec", "value": <total>, "unit":
+     "sec", "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Timing = best of $SPARK_GRAFT_BENCH_RUNS (default 2) warm executions per
+query, after a JVM/codegen warm-up pass.  ``--duckdb`` additionally
+times the oracle SQL in DuckDB for BASELINE.md's engine/duckdb ratio.
+
+Results are materialized over Arrow (``df.toArrow()`` ↔ DuckDB
+``.arrow()``) so both engines pay a comparable column-batch transfer
+cost; py4j row-by-row collect() would charge Spark ~7× the query time
+for wide results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+
+def sf_label(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from tidb_gateway_spark.queries import REGISTRY
+    from tidb_gateway_spark.session import get_spark
+
+    spark = get_spark("tidb-gateway-spark-bench")
+
+    # Warm-up: JIT/codegen caches, parquet footer reads.
+    for warm_qid in ("q22_tpch_q1_agg", "q10_inner_equijoin", "q31_row_number"):
+        REGISTRY[warm_qid].spark(spark, SF_DIR).toArrow()
+
+    per_query: dict[str, float] = {}
+    for qid in sorted(REGISTRY):
+        spec = REGISTRY[qid]
+        best = float("inf")
+        for _ in range(max(1, RUNS)):
+            t0 = time.perf_counter()
+            spec.spark(spark, SF_DIR).toArrow()
+            best = min(best, time.perf_counter() - t0)
+        per_query[qid] = round(best, 4)
+
+    result = {
+        "metric": "declared_query_suite_sec",
+        "value": round(sum(per_query.values()), 4),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_label(SF_DIR),
+    }
+
+    if "--duckdb" in sys.argv:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings".split()
+        ):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        ddb: dict[str, float] = {}
+        for qid in sorted(REGISTRY):
+            spec = REGISTRY[qid]
+            if not spec.oracle:
+                continue
+            best = float("inf")
+            for _ in range(max(1, RUNS) + 1):  # first run is DuckDB's warm-up
+                t0 = time.perf_counter()
+                con.execute(spec.oracle).arrow()
+                best = min(best, time.perf_counter() - t0)
+            ddb[qid] = round(best, 4)
+        result["duckdb_queries"] = ddb
+        result["duckdb_total"] = round(sum(ddb.values()), 4)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,13 @@ BROADCAST_TABLES = ("region", "nation", "supplier")
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Memoized DataFrames / view registrations.  spark.read.parquet costs a
+# driver-side footer read per call; with 70 queries × up to 10 tables that
+# dominated trivial-query latency.  Keyed by session id so a restarted
+# session re-reads.
+_table_cache: dict[tuple[int, str, str], DataFrame] = {}
+_views_registered: dict[int, str] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing types to engine conventions.
@@ -55,6 +62,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     * ``ts_us`` — epoch microseconds as a long, for exact-integer window
       frames (RANGE BETWEEN) and gap arithmetic.
     """
+    key = (id(spark), sf_dir, name)
+    cached = _table_cache.get(key)
+    if cached is not None:
+        return cached
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
@@ -64,10 +75,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
             .drop("ts_ns")
         )
+    _table_cache[key] = df
     return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register all fixture tables as temp views named as in FIXTURES.md."""
+    """Register all fixture tables as temp views named as in FIXTURES.md.
+
+    Idempotent per (session, sf_dir); re-registers when sf_dir changes.
+    """
+    if _views_registered.get(id(spark)) == sf_dir:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _views_registered[id(spark)] = sf_dir
