@@ -1,0 +1,149 @@
+"""Deduplication operator family for document corpora.
+
+Tiers (all pure DataFrame transforms, no driver-side loops):
+
+* exact — hash-groupBy on md5(text): the shuffle carries 32-char hashes,
+  never document bodies.  O(n) one shuffle.
+* MinHash + LSH — per-doc signature of k minimum keyed hashes over the
+  word set, banded so that documents sharing any band collide; candidate
+  pairs come from an equi-join on (band, band_value).  This is the
+  100 TB near-dup path: the band join is a plain shuffle join whose key
+  cardinality grows with the corpus, so it parallelizes; no pairwise
+  O(n²) stage ever materializes.
+* SimHash — per-doc b-bit signature from signed sums of word-hash bits;
+  equal signatures ⇒ near-identical token multisets.
+* exact Jaccard verification — computed only on the LSH candidate set.
+
+Determinism: hashes are md5 hex strings (lexicographic min), reproducible
+in any engine — the DuckDB oracles in queries/llm_extended.py recompute
+identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HEX_HIGH = tuple("89abcdef")  # hex digits with the top bit set
+
+
+def doc_words(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, word) pairs — the shingle set for set-based dedup."""
+    return (
+        documents.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(words: DataFrame, k: int = 6, id_col: str = "doc_id") -> DataFrame:
+    """k-column MinHash signature per document (columns h0..h{k-1})."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("w")))).alias(f"h{j}")
+        for j in range(k)
+    ]
+    return words.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, bands: int, rows_per_band: int,
+              id_col: str = "doc_id") -> DataFrame:
+    """Explode signatures into (doc_id, band, band_value) rows."""
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts.append(
+            signatures.select(
+                F.col(id_col), F.lit(b).alias("band"), F.concat(*cols).alias("bv")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def minhash_lsh_candidates(documents: DataFrame, k: int = 6, bands: int = 3) -> DataFrame:
+    """Candidate near-dup pairs (a < b) via MinHash banding.
+
+    At scale the band join is the only shuffle that matters; its key
+    (band, bv) is high-cardinality so it spreads evenly, and identical
+    documents (the common hot case) collapse into per-bucket groups that
+    AQE's skew handling splits if one bucket explodes.
+    """
+    rows_per_band = k // bands
+    sigs = minhash_signatures(doc_words(documents), k=k)
+    bl = lsh_bands(sigs, bands, rows_per_band)
+    x = bl.alias("x")
+    y = bl.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def simhash(words: DataFrame, bits: int = 16, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sh) where sh is a {bits}-char '0'/'1' SimHash signature.
+
+    Bit j is the sign of the sum over words of ±1 — +1 when hex digit j
+    of md5(word) has its top bit set.  One groupBy shuffle.
+    """
+    bit_aggs = [
+        F.sum(
+            F.when(F.substring(F.md5("w"), j + 1, 1).isin(*HEX_HIGH), 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per_doc = words.groupBy(id_col).agg(*bit_aggs)
+    sig = F.concat(
+        *[F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits)]
+    )
+    return per_doc.select(F.col(id_col), sig.alias("sh"))
+
+
+def jaccard_pairs(candidates: DataFrame, words: DataFrame) -> DataFrame:
+    """Exact word-set Jaccard for candidate pairs (a, b) → (a, b, jac).
+
+    Joins the candidate list back to the word sets — cost is proportional
+    to the candidate count, not the corpus size squared.
+    """
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    wa = words.select(F.col("doc_id").alias("a"), "w")
+    wb = words.select(F.col("doc_id").alias("b"), "w")
+    inter = (
+        candidates.join(wa, "a")
+        .join(wb, ["b", "w"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+            ).alias("jac"),
+        )
+    )
+
+
+def keep_first(df: DataFrame, key, order_col: str) -> DataFrame:
+    """Generic keep-first dedup: one row per key, lowest order_col wins."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

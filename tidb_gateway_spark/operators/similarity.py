@@ -26,6 +26,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tidb_gateway_spark.functions import stable_round
+
 
 def dot_expr(a: str, b: str) -> Column:
     """Exact dot product of two array columns, accumulated in double."""
@@ -58,7 +60,7 @@ def brute_force_topk(
     if metric == "cosine":
         score = score / (norm_expr("embedding") * norm_expr("qe"))
     return (
-        joined.select("vec_id", F.round(score, 4).alias("dp"))
+        joined.select("vec_id", stable_round(score, 4).alias("dp"))
         .orderBy(F.desc("dp"), F.asc("vec_id"))
         .limit(k)
     )
@@ -115,7 +117,7 @@ def lsh_bucket_topk(
     )
     cand = cb.join(qb, cb.bucket == qb.qbucket)
     return (
-        cand.select("vec_id", F.round(dot_expr("embedding", "qe"), 4).alias("dp"))
+        cand.select("vec_id", stable_round(dot_expr("embedding", "qe"), 4).alias("dp"))
         .orderBy(F.desc("dp"), F.asc("vec_id"))
         .limit(k)
     )

@@ -1,0 +1,91 @@
+"""Text-analysis operators: language-ID heuristic, quality scoring,
+token counting, document fingerprinting.
+
+All are single-pass columnar expressions (whole-stage codegen; no Python
+UDFs, no shuffle until the final aggregate) — at 100 TB these run at
+scan speed.
+
+Determinism contract: every expression uses only IEEE arithmetic and
+exact string ops that external oracles evaluate identically; the paired
+DuckDB forms live in queries/llm_extended.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish token pattern: letter runs, digit runs, single other-symbols.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def char_count(text: Column, ch: str) -> Column:
+    """Occurrences of a single literal char (exact, no regex)."""
+    return F.length(text) - F.length(F.replace(text, F.lit(ch), F.lit("")))
+
+
+def lang_id(text: Column) -> Column:
+    """Deterministic character-frequency language guess.
+
+    A real pipeline uses char-n-gram profiles (or fastText) per language;
+    the fixture corpus is synthetic English word-soup for every `lang`
+    value, so this placeholder keeps the *shape* (per-row classifier →
+    confusion matrix vs the labeled column) with a portable heuristic.
+    """
+    L = F.length(text).cast("double")
+    e_ratio = char_count(text, "e").cast("double") / L
+    a_ratio = char_count(text, "a").cast("double") / L
+    sp_ratio = char_count(text, " ").cast("double") / L
+    return (
+        F.when(e_ratio >= 0.10, F.lit("en"))
+        .when(a_ratio >= 0.10, F.lit("es"))
+        .when(sp_ratio >= 0.18, F.lit("fr"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Composite [0,1] quality score: length, density, word-length terms."""
+    L = F.length(text).cast("double")
+    sp = char_count(text, " ").cast("double")
+    avg_word = (L - sp) / (sp + F.lit(1.0))
+    return (
+        F.lit(0.5) * F.least(F.lit(1.0), n_chars.cast("double") / F.lit(200.0))
+        + F.lit(0.3) * (F.lit(1.0) - sp / L)
+        + F.lit(0.2) * F.least(F.lit(1.0), avg_word / F.lit(8.0))
+    )
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace tokens (empty strings dropped)."""
+    return F.size(F.filter(F.split(text, " "), lambda x: x != ""))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish subword proxy count via regexp matches."""
+    return F.regexp_count(text, F.lit(BPE_PATTERN))
+
+
+def fingerprint(text_col: str = "text", width: int = 16, stride: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min md5 over strided char
+    shingles.  Identical up-to-small-edits documents collide.
+
+    Takes the column *name* (substring with a Column start index needs
+    the SQL lambda form).
+    """
+    return F.expr(
+        f"array_min(transform(sequence(1, greatest(1, length({text_col}) - {width - 1}), {stride}), "
+        f"i -> md5(substring({text_col}, i, {width}))))"
+    )
+
+
+def with_text_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach lang_pred / qscore / ws_tokens / bpe_tokens / fp columns."""
+    t = F.col(text_col)
+    return (
+        documents.withColumn("lang_pred", lang_id(t))
+        .withColumn("qscore", quality_score(t, F.col("n_chars")))
+        .withColumn("ws_tokens", ws_token_count(t))
+        .withColumn("bpe_tokens", bpe_token_count(t))
+        .withColumn("fp", fingerprint(text_col))
+    )

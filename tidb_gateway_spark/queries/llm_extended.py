@@ -1,0 +1,334 @@
+"""Q72–Q80: extended LLM-data-pipeline operators (driver-mandated
+families beyond the declared Q60–Q66; SURVEY.md §2B-ext).
+
+Each query is the declared check for an ``operators/`` transform; the
+DuckDB oracle recomputes the identical deterministic signatures
+(md5-keyed MinHash, hex-digit SimHash, strided fingerprints), so these
+are full value-level cross-engine checks, not rows-only smoke tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tidb_gateway_spark.catalog import load_table
+from tidb_gateway_spark.functions import stable_round
+from tidb_gateway_spark.operators import dedup, text as text_ops
+from tidb_gateway_spark.operators.similarity import (
+    dot_expr,
+    hyperplanes,
+    lsh_bucket_topk,
+    norm_expr,
+)
+from tidb_gateway_spark.queries.registry import register
+
+# ---------------------------------------------------------------- Q72
+# Shared signature definitions (see operators/dedup.py).
+_K, _BANDS = 6, 3
+
+_DDB_WORDS = (
+    "words AS (SELECT DISTINCT doc_id, w FROM "
+    "(SELECT doc_id, UNNEST(string_split(text,' ')) AS w FROM documents) "
+    "WHERE w <> '')"
+)
+_DDB_SIGS = (
+    "sigs AS (SELECT doc_id, "
+    + ", ".join(f"MIN(md5('{j}|' || w)) AS h{j}" for j in range(_K))
+    + " FROM words GROUP BY doc_id)"
+)
+_DDB_BANDS = (
+    "bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS bv FROM sigs"
+        for b in range(_BANDS)
+    )
+    + ")"
+)
+_Q72_ORACLE = (
+    f"WITH {_DDB_WORDS}, {_DDB_SIGS}, {_DDB_BANDS} "
+    "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y "
+    "ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id ORDER BY a, b"
+)
+
+
+@register(
+    "q72_minhash_lsh_candidates",
+    _Q72_ORACLE,
+    doc="MinHash(k=6) + LSH(3 bands × 2 rows) near-dup candidate pairs "
+        "over word sets — operators/dedup.py:minhash_lsh_candidates. "
+        "Scale path: the band equi-join replaces any O(n²) comparison.",
+    tags=("dedup", "llm", "minhash"),
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(d, k=_K, bands=_BANDS).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------- Q73
+_BITS = 16
+_DDB_SIMHASH_BITS = ", ".join(
+    f"SUM(CASE WHEN substr(md5(w), {j + 1}, 1) IN "
+    f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(_BITS)
+)
+_DDB_SIMHASH_CONCAT = " || ".join(
+    f"(CASE WHEN b{j} > 0 THEN '1' ELSE '0' END)" for j in range(_BITS)
+)
+_Q73_ORACLE = (
+    f"WITH {_DDB_WORDS}, "
+    f"perdoc AS (SELECT doc_id, {_DDB_SIMHASH_BITS} FROM words GROUP BY doc_id), "
+    f"sh AS (SELECT {_DDB_SIMHASH_CONCAT} AS sh FROM perdoc), "
+    "g AS (SELECT sh, COUNT(*) AS m FROM sh GROUP BY sh) "
+    "SELECT COUNT(*) AS u, CAST(SUM(m) AS BIGINT) AS n, "
+    "CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS c FROM g"
+)
+
+
+@register(
+    "q73_simhash_clusters",
+    _Q73_ORACLE,
+    doc="16-bit SimHash signatures (operators/dedup.py:simhash): distinct "
+        "signatures u, docs n, collision buckets c.",
+    tags=("dedup", "llm", "simhash"),
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.simhash(dedup.doc_words(d), bits=_BITS)
+    g = sh.groupBy("sh").agg(F.count("*").alias("m"))
+    return g.agg(
+        F.count("*").alias("u"),
+        F.sum("m").alias("n"),
+        F.sum(F.when(F.col("m") > 1, 1).otherwise(0)).alias("c"),
+    )
+
+
+# ---------------------------------------------------------------- Q74
+_Q74_ORACLE = (
+    f"WITH {_DDB_WORDS}, {_DDB_SIGS}, {_DDB_BANDS}, "
+    "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y "
+    "ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM words GROUP BY doc_id), "
+    "inter AS (SELECT c.a, c.b, COUNT(*) AS i FROM cand c "
+    "JOIN words wa ON wa.doc_id = c.a JOIN words wb ON wb.doc_id = c.b AND wb.w = wa.w "
+    "GROUP BY c.a, c.b) "
+    "SELECT t.a, t.b, FLOOR((CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE))*10000 + 0.5)/10000 AS jac "
+    "FROM inter t JOIN sizes sa ON sa.doc_id = t.a JOIN sizes sb ON sb.doc_id = t.b "
+    "WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5 ORDER BY a, b"
+)
+
+
+@register(
+    "q74_jaccard_verify",
+    _Q74_ORACLE,
+    doc="Exact word-set Jaccard ≥ 0.5 on the q72 LSH candidates "
+        "(operators/dedup.py:jaccard_pairs) — verify stage of the "
+        "candidate→verify near-dup pipeline; cost ∝ candidates.",
+    tags=("dedup", "llm", "minhash"),
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = dedup.doc_words(d)
+    cand = dedup.minhash_lsh_candidates(d, k=_K, bands=_BANDS)
+    jp = dedup.jaccard_pairs(cand, words)
+    return (
+        jp.filter(F.col("jac") >= 0.5)
+        .select("a", "b", stable_round(F.col("jac"), 4).alias("jac"))
+        .orderBy("a", "b")
+    )
+
+
+# ---------------------------------------------------------------- Q75
+_Q75_ORACLE = (
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+    "pairs AS (SELECT a.vec_id AS qid, b.vec_id AS nn, "
+    "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cs "
+    "FROM v a JOIN v b ON b.vec_id <> a.vec_id WHERE a.vec_id < 20), "
+    "ranked AS (SELECT qid, nn, cs, ROW_NUMBER() OVER "
+    "(PARTITION BY qid ORDER BY cs DESC, nn) AS rn FROM pairs) "
+    "SELECT qid, nn, FLOOR(cs*10000 + 0.5)/10000 AS cs FROM ranked WHERE rn = 1 ORDER BY qid"
+)
+
+
+@register(
+    "q75_cosine_nearest_neighbor",
+    _Q75_ORACLE,
+    doc="Exact cosine nearest neighbor for the first 20 vectors "
+        "(embedding-cosine near-dup primitive): broadcast the 20-row "
+        "probe side, scan the corpus once, per-probe argmax window.",
+    tags=("similarity", "llm"),
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = F.broadcast(
+        e.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        )
+    )
+    corpus = e.select(F.col("vec_id").alias("nn"), F.col("embedding").alias("ce"))
+    cs = dot_expr("ce", "qe") / (norm_expr("ce") * norm_expr("qe"))
+    pairs = (
+        corpus.join(probes, F.col("nn") != F.col("qid"))
+        .select("qid", "nn", cs.alias("cs"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("nn"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "nn", stable_round(F.col("cs"), 4).alias("cs"))
+        .orderBy("qid")
+    )
+
+
+# ---------------------------------------------------------------- Q76
+_PLANES = 4
+_DIM = 64
+
+
+def _ddb_plane_literal(plane: list[float]) -> str:
+    return "[" + ",".join(str(v) for v in plane) + "]::DOUBLE[]"
+
+
+def _q76_oracle() -> str:
+    planes = hyperplanes(_PLANES, _DIM)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{_ddb_plane_literal(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return (
+        f"WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings), "
+        "q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0) "
+        "SELECT e.vec_id, "
+        "FLOOR(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))*10000 + 0.5)/10000 AS dp "
+        "FROM b e CROSS JOIN q WHERE e.bucket = q.qb AND e.vec_id <> 0 "
+        "ORDER BY dp DESC, e.vec_id LIMIT 3"
+    )
+
+
+@register(
+    "q76_ann_lsh_bucket",
+    _q76_oracle(),
+    doc="ANN via random-hyperplane LSH (4 deterministic md5-seeded "
+        "planes → 16 buckets): candidates restricted to the query's "
+        "bucket, exact dot-product rerank — "
+        "operators/similarity.py:lsh_bucket_topk. At 100 TB the bucket "
+        "id is the index table's partition key.",
+    tags=("similarity", "llm", "ann"),
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
+    query = e.filter(F.col("vec_id") == 0)
+    return lsh_bucket_topk(corpus, query, k=3, n_planes=_PLANES, dim=_DIM)
+
+
+# ---------------------------------------------------------------- Q77
+_DDB_LANG_PRED = (
+    "CASE "
+    "WHEN (length(text) - length(replace(text,'e',''))) * 1.0 / length(text) >= 0.10 THEN 'en' "
+    "WHEN (length(text) - length(replace(text,'a',''))) * 1.0 / length(text) >= 0.10 THEN 'es' "
+    "WHEN (length(text) - length(replace(text,' ',''))) * 1.0 / length(text) >= 0.18 THEN 'fr' "
+    "ELSE 'other' END"
+)
+
+
+@register(
+    "q77_lang_id_heuristic",
+    f"SELECT lang, {_DDB_LANG_PRED} AS pred, COUNT(*) AS n FROM documents "
+    "GROUP BY 1, 2 ORDER BY lang, pred",
+    doc="Language-ID heuristic (operators/text.py:lang_id) × labeled lang "
+        "— confusion-matrix counts. Single scan, codegen-only.",
+    tags=("text", "llm"),
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.col("lang"), text_ops.lang_id(F.col("text")).alias("pred"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred")
+    )
+
+
+# ---------------------------------------------------------------- Q78
+_DDB_QSCORE = (
+    "0.5 * LEAST(1.0, n_chars / 200.0) "
+    "+ 0.3 * (1.0 - (length(text) - length(replace(text,' ',''))) * 1.0 / length(text)) "
+    "+ 0.2 * LEAST(1.0, ((length(text) - (length(text) - length(replace(text,' ','')))) "
+    "/ ((length(text) - length(replace(text,' ',''))) + 1.0)) / 8.0)"
+)
+
+
+@register(
+    "q78_quality_score_histogram",
+    f"SELECT CAST(FLOOR(({_DDB_QSCORE}) * 20) AS INT) AS bucket, COUNT(*) AS n "
+    "FROM documents GROUP BY 1 ORDER BY bucket",
+    doc="Quality-score histogram (operators/text.py:quality_score): "
+        "length/space-density/word-length composite, bucketed at 0.05.",
+    tags=("text", "llm"),
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    qs = text_ops.quality_score(F.col("text"), F.col("n_chars"))
+    return (
+        d.groupBy(F.floor(qs * 20).cast("int").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------- Q79
+@register(
+    "q79_token_count_stats",
+    "SELECT source, "
+    "CAST(SUM(len(list_filter(string_split(text,' '), x -> x <> ''))) AS BIGINT) AS wt, "
+    f"CAST(SUM(len(regexp_extract_all(text, '{text_ops.BPE_PATTERN}'))) AS BIGINT) AS bt "
+    "FROM documents GROUP BY source ORDER BY source",
+    doc="Token counting per source: whitespace tokens + BPE-ish regex "
+        "tokens (operators/text.py:ws_token_count/bpe_token_count).",
+    tags=("text", "llm"),
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(text_ops.ws_token_count(F.col("text"))).alias("wt"),
+            F.sum(text_ops.bpe_token_count(F.col("text"))).alias("bt"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------- Q80
+_DDB_FP = (
+    "list_aggregate(list_transform(range(1, greatest(1, length(text) - 15) + 1, 8), "
+    "i -> md5(substr(text, i, 16))), 'min')"
+)
+
+
+@register(
+    "q80_fingerprint_rolling_hash",
+    f"WITH fps AS (SELECT {_DDB_FP} AS fp FROM documents), "
+    "g AS (SELECT fp, COUNT(*) AS m FROM fps GROUP BY fp) "
+    "SELECT COUNT(*) AS u, CAST(SUM(m) AS BIGINT) AS n, "
+    "CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS c FROM g",
+    doc="Document fingerprinting via strided rolling-hash shingles "
+        "(operators/text.py:fingerprint): distinct fingerprints u, docs "
+        "n, collision buckets c.",
+    tags=("text", "llm", "dedup"),
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select(text_ops.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("m"))
+    )
+    return g.agg(
+        F.count("*").alias("u"),
+        F.sum("m").alias("n"),
+        F.sum(F.when(F.col("m") > 1, 1).otherwise(0)).alias("c"),
+    )
