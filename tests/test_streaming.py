@@ -1,0 +1,143 @@
+"""Streaming convergence tests (SURVEY.md §5.2 item 4): a bounded replay
+of the events fixture through Structured Streaming must converge to the
+batch-equivalent declared queries q56–q59; plus the watermark late-data
+policy test."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidb_gateway_spark.catalog import load_table
+from tidb_gateway_spark.queries import REGISTRY
+from tidb_gateway_spark.streaming import jobs
+
+from tests.oracle_diff import canonical_rows
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_dir, tmp_path_factory):
+    """Split the events fixture into 4 parquet files so the file-source
+    stream replays it as 4 micro-batches."""
+    d = tmp_path_factory.mktemp("events_stream")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # raw ns longs
+    raw.orderBy("event_id").coalesce(1).sortWithinPartitions("event_id").repartitionByRange(
+        4, "event_id"
+    ).write.mode("overwrite").parquet(str(d / "in"))
+    return str(d / "in")
+
+
+def drain(spark, stream_df, name, mode="complete"):
+    return jobs.run_to_completion(stream_df, name, output_mode=mode)
+
+
+def assert_matches_batch(stream_result, batch_df, keys):
+    a = canonical_rows(stream_result.select(*keys).toPandas())
+    b = canonical_rows(batch_df.select(*keys).toPandas())
+    assert a == b
+
+
+def test_tumbling_converges(spark, sf_dir, stream_dir):
+    s = jobs.read_events_stream(spark, stream_dir)
+    res = drain(spark, jobs.tumbling_counts(s), "t_tumbling")
+    batch = REGISTRY["q56_tumbling_window"].spark(spark, sf_dir)
+    assert_matches_batch(res, batch, ["w", "n"])
+
+
+def test_sliding_converges(spark, sf_dir, stream_dir):
+    """Stream sliding-window counts == the same F.window computation in
+    batch mode.  (The declared q57 form is a lag-over-present-buckets
+    proxy that skips empty buckets, so the faithful convergence target is
+    the batch run of the identical window job.)"""
+    s = jobs.read_events_stream(spark, stream_dir)
+    res = drain(spark, jobs.sliding_counts(s), "t_sliding")
+    batch = jobs.sliding_counts(load_table(spark, sf_dir, "events"))
+    assert_matches_batch(res, batch, ["w", "n10"])
+
+
+def test_session_converges(spark, sf_dir, stream_dir):
+    s = jobs.read_events_stream(spark, stream_dir)
+    res = drain(spark, jobs.session_counts(s), "t_session")
+    per_user = res.groupBy("user_id").agg(F.count("*").alias("sessions"))
+    batch = REGISTRY["q58_session_window"].spark(spark, sf_dir)
+    assert_matches_batch(per_user, batch, ["user_id", "sessions"])
+
+
+def test_stateful_dedup_converges(spark, sf_dir, stream_dir):
+    s = jobs.read_events_stream(spark, stream_dir)
+    res = drain(spark, jobs.stateful_dedup(s), "t_dedup", mode="append")
+    n_stream = res.count()
+    n_batch = REGISTRY["q59_stateful_dedup"].spark(spark, sf_dir).collect()[0]["n"]
+    assert n_stream == n_batch
+
+
+def test_stream_static_join(spark, sf_dir, stream_dir):
+    s = jobs.read_events_stream(spark, stream_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    res = drain(spark, jobs.stream_static_join(s, cust), "t_enrich")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    assert_matches_batch(res, batch, ["c_mktsegment", "n"])
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Inject a late row in a second file; with a 10-minute watermark the
+    closed window must not include it (SURVEY §2B watermark row)."""
+    import pandas as pd
+
+    d = tmp_path / "late"
+    os.makedirs(d / "in", exist_ok=True)
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf.to_parquet(d / "in" / name)
+
+    base_ns = 1_699_999_800 * 1_000_000_000  # multiple of 300 s: window-aligned
+    m = 60 * 1_000_000_000
+    # batch 1: events at t=0..4min (window w0) and t=30min (advances
+    # watermark to 20min > w0 end) — w0 closes with n=2.
+    write_batch("b1.parquet", [
+        (1, base_ns + 1 * m, 1, "click", 1.0, "{}"),
+        (2, base_ns + 3 * m, 1, "click", 1.0, "{}"),
+        (3, base_ns + 30 * m, 1, "click", 1.0, "{}"),
+    ])
+
+    s = jobs.read_events_stream(spark, str(d / "in"), max_files_per_trigger=1)
+    job = jobs.windowed_counts_with_watermark(s, minutes=5, watermark="10 minutes")
+
+    def run_once(sink_rows):
+        def sink(batch_df, _bid):
+            sink_rows.extend(batch_df.collect())
+
+        q = (
+            job.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(d / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    first_rows: list = []
+    run_once(first_rows)
+    first = {r["w"]: r["n"] for r in first_rows}
+    w0 = (base_ns // 1_000_000_000) // 300
+
+    # batch 2: a LATE row for w0 (t=2min) — the checkpointed watermark is
+    # already at 20min, so the row must be dropped, not re-emitted.
+    write_batch("b2.parquet", [(4, base_ns + 2 * m, 1, "click", 1.0, "{}")])
+    second_rows: list = []
+    run_once(second_rows)
+    second = {r["w"]: r["n"] for r in second_rows}
+
+    assert first.get(w0) == 2, f"on-time window wrong: {first}"
+    assert w0 not in second, f"late row re-opened closed window: {second}"

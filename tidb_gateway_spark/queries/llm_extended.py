@@ -332,3 +332,52 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("m").alias("n"),
         F.sum(F.when(F.col("m") > 1, 1).otherwise(0)).alias("c"),
     )
+
+
+# ---------------------------------------------------------------- Q81
+# Oracle recomputes the stub decode from md5 hex chars: byte k of the
+# payload = hex pair (2k+1, 2k+2) parsed via strpos arithmetic.
+_DDB_HEXPOS = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+
+def _ddb_byte(k: int) -> str:
+    hi = _DDB_HEXPOS.format(i=2 * k + 1)
+    lo = _DDB_HEXPOS.format(i=2 * k + 2)
+    return f"({hi} * 16 + {lo})"
+
+
+_Q81_ORACLE = (
+    "WITH hx AS (SELECT md5(text) AS h FROM documents), "
+    f"meta AS (SELECT CAST({_ddb_byte(0)} % 64 + 16 AS INT) AS width, "
+    f"CAST({_ddb_byte(1)} % 64 + 16 AS INT) AS height, "
+    f"(CASE {_ddb_byte(2)} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' "
+    "ELSE 'webp' END) AS fmt FROM hx) "
+    "SELECT fmt, COUNT(*) AS n, FLOOR(AVG(width)*100 + 0.5)/100 AS aw, "
+    "FLOOR(AVG(height)*100 + 0.5)/100 AS ah FROM meta GROUP BY fmt ORDER BY fmt"
+)
+
+
+@register(
+    "q81_multimodal_decode_stub",
+    _Q81_ORACLE,
+    doc="Multimodal binary-column pipeline: synthetic payload bytes → "
+        "Arrow-batched mapInPandas decode stub → metadata aggregate "
+        "(operators/multimodal.py). The oracle recomputes the stub's "
+        "byte arithmetic from md5 hex, so the whole mapInPandas path is "
+        "value-checked, not just row-counted.",
+    tags=("multimodal", "llm", "pandas_udf"),
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    decoded = multimodal.decode_metadata(multimodal.with_synthetic_binary(d))
+    return (
+        decoded.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            stable_round(F.avg("width"), 2).alias("aw"),
+            stable_round(F.avg("height"), 2).alias("ah"),
+        )
+        .orderBy("fmt")
+    )

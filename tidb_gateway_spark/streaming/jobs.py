@@ -1,0 +1,158 @@
+"""Structured Streaming jobs.
+
+Each job takes a *streaming* events DataFrame (schema of the events
+fixture after catalog normalization: event_id, ts timestamp, ts_us long,
+user_id, event_type, value, props) and returns the transformed streaming
+DataFrame; callers attach sinks.  Bounded replay of the fixture must
+converge to the batch-equivalent declared queries q56–q59
+(tests/test_streaming.py runs both and compares).
+
+The reference carries streams only as opaque byte relays
+(/root/reference/gateway/relay.go:12-99); event-time semantics,
+watermarks and state stores are engine-side capability this rebuild adds.
+
+Scale notes: all jobs are keyed-state operators — state is partitioned
+by group key across executors; watermarks bound state size (without one,
+a session/dedup state store grows forever at 100 TB/day ingest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw parquet nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over event parquet files, normalized like
+    catalog.load_table('events')."""
+    from tidb_gateway_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+    return (
+        raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_ns")
+    )
+
+
+def tumbling_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
+    """q56 twin: 5-minute tumbling window counts keyed like the batch
+    form (w = floor(epoch/300))."""
+    win = F.window("ts", f"{minutes} minutes")
+    return (
+        events.groupBy(win.alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.floor(F.unix_timestamp("win.start") / (minutes * 60))
+            .cast("bigint")
+            .alias("w"),
+            "n",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, minutes: int = 10, slide: int = 5) -> DataFrame:
+    """q57 twin: sliding window counts, keyed by the window END bucket so
+    it aligns with the batch formulation n10(w) = n(w) + n(w-1)."""
+    win = F.window("ts", f"{minutes} minutes", f"{slide} minutes")
+    return (
+        events.groupBy(win.alias("win"))
+        .agg(F.count("*").alias("n10"))
+        .select(
+            (F.floor(F.unix_timestamp("win.end") / (slide * 60)) - 1)
+            .cast("bigint")
+            .alias("w"),
+            "n10",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """q58 twin: session_window with a 30-minute gap → sessions per user.
+
+    Returns one row per (user_id, session); the convergence check counts
+    sessions per user after the stream drains.
+    """
+    return (
+        events.groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count("*").alias("events_in_session"))
+    )
+
+
+def stateful_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """q59 twin: exactly-once (user_id, event_type) pairs via the
+    dropDuplicates state store, bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+def windowed_counts_with_watermark(events: DataFrame, minutes: int = 5,
+                                   watermark: str = "10 minutes") -> DataFrame:
+    """Append-mode tumbling counts with a watermark: windows close (emit)
+    only once the watermark passes window end; later rows are dropped —
+    the late-data policy test drives this job."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.floor(F.unix_timestamp("win.start") / (minutes * 60))
+            .cast("bigint")
+            .alias("w"),
+            "n",
+        )
+    )
+
+
+def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream–static enrichment join: events ⋈ customer dimension.
+
+    The static side is broadcast per micro-batch (Q10's shape, streamed).
+    """
+    return (
+        events.join(
+            F.broadcast(customer), events.user_id == customer.c_custkey, "inner"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str,
+                      output_mode: str = "complete", timeout_sec: int = 120) -> DataFrame:
+    """Drain a bounded stream into an in-memory sink; return the result
+    as a batch DataFrame.  Test/bounded-replay helper."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = stream_df.sparkSession
+    return spark.table(query_name)
