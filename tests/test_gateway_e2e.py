@@ -1,0 +1,295 @@
+"""End-to-end wire tests (SURVEY.md §5.2 item 3): a raw-socket MySQL
+client connects to the asyncio gateway, authenticates with the
+username-prefix routing rule, and runs queries against Spark — covering
+COM_PING, USE, SET, @@vars, SHOW, multi-statement, error mapping,
+dialect rewrites, and the compressed protocol."""
+
+from __future__ import annotations
+
+import asyncio
+
+import pytest
+
+from tidb_gateway_spark.gateway import constants as C
+from tidb_gateway_spark.gateway.auth import native_scramble
+from tidb_gateway_spark.gateway.compress import CompressedStream
+from tidb_gateway_spark.gateway.packets import Handshake, HandshakeResponse
+from tidb_gateway_spark.gateway.server import Gateway
+from tidb_gateway_spark.gateway.wire import Buffer, PacketIO
+
+CLIENT_CAPS = (
+    C.CLIENT_PROTOCOL_41
+    | C.CLIENT_SECURE_CONNECTION
+    | C.CLIENT_PLUGIN_AUTH
+    | C.CLIENT_MULTI_STATEMENTS
+    | C.CLIENT_MULTI_RESULTS
+)
+
+
+class MiniClient:
+    """Raw-socket text-protocol MySQL client (client side of the codecs,
+    exercising the server's reader path independently)."""
+
+    def __init__(self, host: str, port: int):
+        self.host, self.port = host, port
+        self.capability = CLIENT_CAPS
+
+    async def connect(self, username: str, password: str = "", compress: bool = False):
+        self.reader, self.writer = await asyncio.open_connection(self.host, self.port)
+        self.pio = PacketIO(self.reader, self.writer)
+        greeting = Handshake.read(await self.pio.read_packet())
+        assert greeting.server_version == C.SERVER_VERSION
+        caps = self.capability | (C.CLIENT_COMPRESS if compress else 0)
+        auth = native_scramble(password, greeting.auth_plugin_data) if password else b""
+        res = HandshakeResponse(
+            capability=caps,
+            max_packet_size=1 << 24,
+            username=username,
+            auth_response=auth,
+            auth_plugin_name="mysql_native_password",
+        )
+        self.pio.write_packet(res.write())
+        await self.writer.drain()
+        reply = await self.pio.read_packet()
+        if compress and reply[0] == 0x00:
+            cs = CompressedStream(self.reader, self.writer)
+            self._stream = cs
+            self.pio = PacketIO(cs, cs)
+        else:
+            self._stream = None
+        return reply
+
+    async def _flush(self):
+        if self._stream:
+            await self._stream.drain()
+        else:
+            await self.writer.drain()
+
+    async def command(self, cmd: int, payload: bytes = b""):
+        self.pio.reset_seq()
+        if self._stream:
+            self._stream.reset_seq()
+        self.pio.write_packet(bytes([cmd]) + payload)
+        await self._flush()
+
+    async def query(self, sql: str):
+        """→ list of (columns, rows) result sets, or dict for OK/ERR."""
+        await self.command(C.COM_QUERY, sql.encode())
+        results = []
+        while True:
+            first = await self.pio.read_packet()
+            if first[0] == 0xFF:
+                code = int.from_bytes(first[1:3], "little")
+                results.append({"error": code, "message": first[9:].decode(errors="replace")})
+                return results
+            if first[0] == 0x00:
+                b = Buffer(first)
+                b.skip(1)
+                affected = b.read_lenenc_int()
+                b.read_lenenc_int()
+                status = b.read_uint(2)
+                results.append({"ok": True, "affected": affected, "status": status})
+                if status & C.SERVER_MORE_RESULTS_EXISTS:
+                    continue
+                return results
+            ncols = Buffer(first).read_lenenc_int()
+            cols = []
+            for _ in range(ncols):
+                p = Buffer(await self.pio.read_packet())
+                p.read_lenenc_string()  # catalog
+                p.read_lenenc_string()  # schema
+                p.read_lenenc_string()  # table
+                p.read_lenenc_string()  # org_table
+                cols.append(p.read_lenenc_string().decode())
+            eof = await self.pio.read_packet()
+            assert eof[0] == 0xFE
+            rows = []
+            while True:
+                p = await self.pio.read_packet()
+                if p and p[0] == 0xFE and len(p) < 9:
+                    status = int.from_bytes(p[3:5], "little") if len(p) >= 5 else 0
+                    break
+                b = Buffer(p)
+                row = []
+                for _ in range(ncols):
+                    if b.data[b.pos] == 0xFB:
+                        b.skip(1)
+                        row.append(None)
+                    else:
+                        row.append(b.read_lenenc_string().decode())
+                rows.append(row)
+            results.append((cols, rows))
+            if not status & C.SERVER_MORE_RESULTS_EXISTS:
+                return results
+
+    async def ping(self):
+        await self.command(C.COM_PING)
+        return await self.pio.read_packet()
+
+    async def quit(self):
+        await self.command(C.COM_QUIT)
+        self.writer.close()
+
+
+@pytest.fixture()
+def gateway(spark, sf_dir):
+    """Run the gateway inside each test's event loop via async context."""
+
+    def make():
+        return Gateway(
+            spark,
+            clusters={"sf001": sf_dir},
+            default_cluster=sf_dir,
+            users=None,
+            port=0,
+        )
+
+    return make
+
+
+def run_with_gateway(gateway_factory, client_coro):
+    async def go():
+        gw = gateway_factory()
+        await gw.start()
+        try:
+            return await asyncio.wait_for(client_coro(gw), timeout=180)
+        finally:
+            await gw.stop()
+
+    return asyncio.run(go())
+
+
+def test_basic_query_roundtrip(gateway):
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        ok = await c.connect("sf001.alice")
+        assert ok[0] == 0x00
+        res = await c.query("SELECT COUNT(*) AS n FROM lineitem")
+        cols, rows = res[0]
+        assert cols == ["n"]
+        assert int(rows[0][0]) == 6000
+        res = await c.query(
+            "SELECT l_returnflag, SUM(l_quantity) AS sq FROM lineitem "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
+        )
+        cols, rows = res[0]
+        assert cols == ["l_returnflag", "sq"]
+        assert [r[0] for r in rows] == ["A", "N", "R"]
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_session_commands_and_sysvars(gateway):
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        assert (await c.ping())[0] == 0x00
+        assert (await c.query("USE analytics"))[0]["ok"]
+        assert (await c.query("SET autocommit=0"))[0]["ok"]
+        res = await c.query("SELECT @@version, @@autocommit AS ac")
+        cols, rows = res[0]
+        assert cols == ["@@version", "ac"]
+        assert rows[0][0] == C.SERVER_VERSION
+        assert rows[0][1] == "0"
+        assert (await c.query("BEGIN"))[0]["ok"]
+        assert (await c.query("COMMIT"))[0]["ok"]
+        cols, rows = (await c.query("SHOW TABLES"))[0]
+        assert ["lineitem"] in rows
+        cols, rows = (await c.query("SHOW COLLATION"))[0]
+        assert any(r[0] == "utf8mb4_bin" for r in rows)
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_multi_statement_and_more_results(gateway):
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        res = await c.query("SELECT 1 AS a; SELECT 2 AS b")
+        assert len(res) == 2
+        assert res[0][1] == [["1"]]
+        assert res[1][1] == [["2"]]
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_error_mapping(gateway):
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        res = await c.query("SELECT * FROM does_not_exist")
+        assert res[0]["error"] == 1146
+        res = await c.query("SELEC broken")
+        assert res[0]["error"] == 1064
+        res = await c.query("SELECT nope FROM lineitem")
+        assert res[0]["error"] == 1054
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_unknown_cluster_rejected(gateway):
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        reply = await c.connect("nosuch.alice")
+        assert reply[0] == 0xFF
+        assert b"unknown cluster" in reply
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_native_password_auth(spark, sf_dir):
+    def factory():
+        return Gateway(spark, clusters={"sf001": sf_dir}, default_cluster=sf_dir,
+                       users={"alice": "s3cret"}, port=0)
+
+    async def scenario(gw):
+        good = MiniClient("127.0.0.1", gw.bound_port)
+        assert (await good.connect("sf001.alice", password="s3cret"))[0] == 0x00
+        await good.quit()
+        bad = MiniClient("127.0.0.1", gw.bound_port)
+        reply = await bad.connect("sf001.alice", password="wrong")
+        assert reply[0] == 0xFF
+
+    run_with_gateway(factory, scenario)
+
+
+def test_compressed_protocol(gateway):
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        ok = await c.connect("sf001.alice", compress=True)
+        assert ok[0] == 0x00
+        # result > 128 B so the deflate path engages
+        res = await c.query(
+            "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+        )
+        cols, rows = res[0]
+        assert len(rows) == 5
+        res = await c.query("SELECT COUNT(*) AS n FROM orders")
+        assert int(res[0][1][0][0]) == 1500
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_dialect_rewrites_e2e(gateway):
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        res = await c.query("SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5, 3")
+        cols, rows = res[0]
+        # o_orderkey starts at 0 in the fixture → offset 5 yields 5,6,7
+        assert [int(r[0]) for r in rows] == [5, 6, 7]
+        res = await c.query(
+            "SELECT GROUP_CONCAT(r_name) AS names FROM "
+            "(SELECT r_name FROM region ORDER BY r_regionkey) t"
+        )
+        cols, rows = res[0]
+        assert cols == ["names"]
+        assert "," in rows[0][0]
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)

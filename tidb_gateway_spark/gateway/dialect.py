@@ -1,0 +1,174 @@
+"""MySQL → Spark SQL dialect shim + session-local statement handling.
+
+The reference advertises "5.7.25-TiDB" and relays SQL opaquely; the
+engine must therefore accept MySQL-dialect statements.  Spark SQL
+natively covers most of the 5.7 surface (backtick quoting, IFNULL, DIV,
+CASE, etc.); this shim handles the rest token-level (SURVEY.md §4.2):
+
+* ``LIMIT x, y``              → ``LIMIT y OFFSET x``
+* ``GROUP_CONCAT(e)``         → ``concat_ws(',', collect_list(e))``
+* ``DATE_FORMAT(e,'%Y-%m')``  → ``date_format(e,'yyyy-MM')``
+* session statements (SET / USE / BEGIN / COMMIT / ROLLBACK / SHOW /
+  ``SELECT @@var``) answered locally, never reaching Spark.
+
+Multi-statement splitting honors quotes and comments
+(ClientMultiStatements, /root/reference/mysql/constants.go:57).
+"""
+
+from __future__ import annotations
+
+import re
+
+DATE_FORMAT_MAP = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%c": "M", "%d": "dd", "%e": "d",
+    "%H": "HH", "%k": "H", "%i": "mm", "%s": "ss", "%S": "ss", "%f": "SSSSSS",
+    "%M": "MMMM", "%b": "MMM", "%W": "EEEE", "%a": "EEE", "%j": "DDD",
+    "%T": "HH:mm:ss", "%%": "%",
+}
+
+_LIMIT_COMMA = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", re.IGNORECASE)
+_GROUP_CONCAT = re.compile(r"\bGROUP_CONCAT\s*\(", re.IGNORECASE)
+_DATE_FORMAT = re.compile(r"\bDATE_FORMAT\s*\(", re.IGNORECASE)
+_MYSQL_PATTERN = re.compile("|".join(re.escape(k) for k in DATE_FORMAT_MAP))
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split on ';' outside quotes/comments (multi-statement support)."""
+    out, cur = [], []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            quote = ch
+            cur.append(ch)
+            i += 1
+            while i < n:
+                cur.append(sql[i])
+                if sql[i] == "\\" and quote != "`" and i + 1 < n:
+                    cur.append(sql[i + 1])
+                    i += 2
+                    continue
+                if sql[i] == quote:
+                    i += 1
+                    break
+                i += 1
+            continue
+        if ch == "-" and sql[i : i + 3] in ("-- ", "--\t", "--\n"):
+            while i < n and sql[i] != "\n":
+                i += 1
+            continue
+        if ch == "#":
+            while i < n and sql[i] != "\n":
+                i += 1
+            continue
+        if ch == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        if ch == ";":
+            stmt = "".join(cur).strip()
+            if stmt:
+                out.append(stmt)
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    stmt = "".join(cur).strip()
+    if stmt:
+        out.append(stmt)
+    return out
+
+
+def _rewrite_limit_comma(sql: str) -> str:
+    return _LIMIT_COMMA.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
+
+
+def _rewrite_call(sql: str, pattern: re.Pattern, render) -> str:
+    """Rewrite FN(arg...) calls found by ``pattern``; ``render`` maps the
+    raw arg string to replacement SQL.  Paren-matching, quote-aware."""
+    out = []
+    pos = 0
+    while True:
+        m = pattern.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        out.append(sql[pos : m.start()])
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            ch = sql[i]
+            if ch == "'":
+                i += 1
+                while i < len(sql) and sql[i] != "'":
+                    i += 2 if sql[i] == "\\" else 1
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        inner = sql[m.end() : i - 1]
+        out.append(render(inner))
+        pos = i
+
+
+def _render_group_concat(inner: str) -> str:
+    sep = "','"
+    m = re.search(r"\bSEPARATOR\s+('(?:[^'\\]|\\.)*')\s*$", inner, re.IGNORECASE)
+    if m:
+        sep = m.group(1)
+        inner = inner[: m.start()].strip()
+        return f"concat_ws({sep}, collect_list({inner}))"
+    return f"concat_ws(',', collect_list({inner}))"
+
+
+def _render_date_format(inner: str) -> str:
+    def conv(m: re.Match) -> str:
+        return DATE_FORMAT_MAP[m.group(0)]
+
+    # convert %X tokens inside the single-quoted format string
+    def fix_literal(m: re.Match) -> str:
+        return "'" + _MYSQL_PATTERN.sub(conv, m.group(1)) + "'"
+
+    inner = re.sub(r"'((?:[^'\\]|\\.)*)'", fix_literal, inner)
+    return f"date_format({inner})"
+
+
+def to_spark_sql(sql: str) -> str:
+    """Apply the MySQL→Spark rewrites to one statement."""
+    sql = _rewrite_limit_comma(sql)
+    if _GROUP_CONCAT.search(sql):
+        sql = _rewrite_call(sql, _GROUP_CONCAT, _render_group_concat)
+    if _DATE_FORMAT.search(sql):
+        sql = _rewrite_call(sql, _DATE_FORMAT, _render_date_format)
+    return sql
+
+
+# ---- session statement classification ----
+
+_SET_RE = re.compile(r"^\s*SET\s+", re.IGNORECASE)
+_USE_RE = re.compile(r"^\s*USE\s+`?([A-Za-z0-9_.]+)`?\s*$", re.IGNORECASE)
+_TXN_RE = re.compile(r"^\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)\b", re.IGNORECASE)
+_SHOW_RE = re.compile(r"^\s*SHOW\s+(\S+)", re.IGNORECASE)
+_SYSVAR_SELECT_RE = re.compile(r"^\s*SELECT\s+[^()]*@@", re.IGNORECASE)
+_SYSVAR_TOKEN = re.compile(r"@@(?:session\.|global\.)?([A-Za-z_0-9]+)(?:\s+AS\s+`?([A-Za-z_0-9]+)`?)?", re.IGNORECASE)
+_PING_SELECT = re.compile(r"^\s*SELECT\s+1\s*$", re.IGNORECASE)
+
+
+def classify(stmt: str) -> tuple[str, object]:
+    """→ (kind, detail): kind ∈ {set, use, txn, show, sysvar, query}."""
+    if _SET_RE.match(stmt):
+        return "set", stmt
+    m = _USE_RE.match(stmt)
+    if m:
+        return "use", m.group(1)
+    m = _TXN_RE.match(stmt)
+    if m:
+        return "txn", m.group(1).upper()
+    m = _SHOW_RE.match(stmt)
+    if m:
+        return "show", m.group(1).lower()
+    if _SYSVAR_SELECT_RE.match(stmt):
+        return "sysvar", [(v.group(1), v.group(2) or f"@@{v.group(1)}")
+                          for v in _SYSVAR_TOKEN.finditer(stmt)]
+    return "query", stmt

@@ -1,0 +1,370 @@
+"""asyncio MySQL-protocol server fronting Spark SQL.
+
+The connection lifecycle mirrors the reference's nine-stage
+``handleConn`` (/root/reference/gateway/gateway.go:68-181) with the
+relay stages replaced by query execution (SURVEY.md §3.4):
+
+1. greeting (synthesized exactly like gateway.go:183-195)
+2. read HandshakeResponse; optional TLS upgrade + re-read
+   (gateway.go:88-100)
+3. record compression request (gateway.go:102)
+4. route by username prefix (gateway.go:253-267 → Router)
+5. authenticate locally (reference relays this; we terminate)
+6. command loop: COM_QUERY → dialect shim → spark.sql → text result
+   set, flushed at result boundaries (relay.go:85-93 discipline)
+
+Blocking Spark calls run in a thread-pool executor so the event loop
+keeps serving other connections (the goroutine-per-connection analog,
+gateway.go:63-64).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import itertools
+import logging
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import SparkSession
+
+from tidb_gateway_spark.catalog import TABLES, load_table
+from tidb_gateway_spark.gateway import constants as C
+from tidb_gateway_spark.gateway import dialect, packets, result_encoder
+from tidb_gateway_spark.gateway.auth import Authenticator
+from tidb_gateway_spark.gateway.compress import CompressedStream
+from tidb_gateway_spark.gateway.router import Router, UnknownClusterError
+from tidb_gateway_spark.gateway.wire import PacketIO, ProtocolError
+
+log = logging.getLogger("tidb_gateway_spark.gateway")
+
+
+class Gateway:
+    def __init__(
+        self,
+        spark: SparkSession,
+        clusters: dict[str, str],
+        default_cluster: str | None = None,
+        users: dict[str, str] | None = None,
+        host: str = "127.0.0.1",
+        port: int = 4000,
+        ssl_context=None,
+        max_workers: int = 16,
+    ):
+        self.spark = spark
+        self.router = Router(clusters, default=default_cluster)
+        self.auth = Authenticator(users)
+        self.host, self.port = host, port
+        self.ssl_context = ssl_context
+        self.conn_ids = itertools.count(1)  # atomic counter analog (gateway.go:71)
+        self.executor = ThreadPoolExecutor(max_workers=max_workers)
+        self._server: asyncio.AbstractServer | None = None
+
+    # ---- lifecycle ----
+    async def start(self) -> None:
+        self._server = await asyncio.start_server(self._handle_conn, self.host, self.port)
+
+    async def stop(self) -> None:
+        if self._server:
+            self._server.close()
+            await self._server.wait_closed()
+
+    @property
+    def bound_port(self) -> int:
+        return self._server.sockets[0].getsockname()[1]
+
+    # ---- per-connection ----
+    async def _handle_conn(self, reader: asyncio.StreamReader,
+                           writer: asyncio.StreamWriter) -> None:
+        conn_id = next(self.conn_ids)
+        pio = PacketIO(reader, writer)
+        try:
+            await self._serve(conn_id, pio, reader, writer)
+        except (ProtocolError, asyncio.IncompleteReadError, ConnectionError) as e:
+            log.debug("conn %d closed: %s", conn_id, e)
+        finally:
+            writer.close()
+
+    async def _serve(self, conn_id, pio, reader, writer) -> None:
+        import os
+
+        nonce = os.urandom(20)
+        greeting = packets.Handshake(connection_id=conn_id, auth_plugin_data=nonce)
+        pio.write_packet(greeting.write())
+        await writer.drain()
+
+        res = packets.HandshakeResponse.read(await pio.read_packet())
+        if res.is_ssl_request or (res.capability & C.CLIENT_SSL and self.ssl_context):
+            # TLS upgrade then re-read the real response (gateway.go:88-100)
+            if not self.ssl_context:
+                pio.write_packet(packets.err_packet(res.capability, message="SSL not enabled"))
+                await writer.drain()
+                return
+            await writer.start_tls(self.ssl_context)
+            res = packets.HandshakeResponse.read(await pio.read_packet())
+
+        use_compression = bool(res.capability & C.CLIENT_COMPRESS)
+
+        try:
+            route = self.router.route(res.username)
+        except UnknownClusterError as e:
+            pio.write_packet(packets.err_packet(res.capability, message=str(e)))
+            await writer.drain()
+            return
+
+        if not self.auth.check(route.username, nonce, res.auth_response):
+            pio.write_packet(
+                packets.err_packet(res.capability, code=1045, message="Access denied",
+                                   sqlstate="28000")
+            )
+            await writer.drain()
+            return
+
+        pio.write_packet(packets.ok_packet(res.capability))
+        await writer.drain()
+
+        if use_compression:
+            # compression engages after the handshake completes
+            cstream = CompressedStream(reader, writer)
+            pio = PacketIO(cstream, cstream)
+            drain = cstream.drain
+            reset_extra = cstream.reset_seq
+        else:
+            async def drain():
+                await writer.drain()
+
+            def reset_extra():
+                pass
+
+        session = _Session(self, route, res)
+        await self._command_loop(pio, drain, reset_extra, session)
+
+    async def _command_loop(self, pio, drain, reset_extra, session) -> None:
+        cap = session.capability
+        while True:
+            # per-command sequence reset (relay.go:56, 79; conn.go:257-262)
+            pio.reset_seq()
+            reset_extra()
+            packet = await pio.read_packet()
+            if not packet:
+                return
+            cmd, payload = packet[0], packet[1:]
+            if cmd == C.COM_QUIT:
+                return
+            if cmd == C.COM_PING:
+                pio.write_packet(packets.ok_packet(cap, status=session.status))
+            elif cmd == C.COM_INIT_DB:
+                session.database = payload.decode()
+                pio.write_packet(packets.ok_packet(cap, status=session.status))
+            elif cmd == C.COM_FIELD_LIST:
+                pio.write_packet(packets.eof_packet(cap, session.status))
+            elif cmd in (C.COM_STMT_PREPARE, C.COM_STMT_EXECUTE, C.COM_STMT_CLOSE):
+                pio.write_packet(
+                    packets.err_packet(cap, code=1295,
+                                       message="prepared statements not supported; use text protocol",
+                                       sqlstate="HY000")
+                )
+            elif cmd == C.COM_QUERY:
+                await self._run_query(pio, session, payload.decode())
+            else:
+                pio.write_packet(
+                    packets.err_packet(cap, message=f"unknown command {cmd:#x}")
+                )
+            await drain()  # flush at result boundary (relay.go:85-93)
+
+    async def _run_query(self, pio, session, sql: str) -> None:
+        cap = session.capability
+        stmts = dialect.split_statements(sql)
+        if not stmts:
+            pio.write_packet(packets.ok_packet(cap, status=session.status))
+            return
+        for i, stmt in enumerate(stmts):
+            more = i + 1 < len(stmts)
+            try:
+                await self._run_statement(pio, session, stmt, more)
+            except Exception as e:  # Spark analysis/execution errors → ERR
+                msg = str(e).split("\n")[0][:480]
+                code, state = _map_error(e)
+                pio.write_packet(packets.err_packet(cap, code=code, message=msg,
+                                                    sqlstate=state))
+                return
+
+    async def _run_statement(self, pio, session, stmt: str, more: bool) -> None:
+        cap = session.capability
+        status = session.status | (C.SERVER_MORE_RESULTS_EXISTS if more else 0)
+        kind, detail = dialect.classify(stmt)
+        if kind == "set":
+            session.record_set(detail)
+            pio.write_packet(packets.ok_packet(cap, status=status))
+        elif kind == "use":
+            session.database = detail
+            pio.write_packet(packets.ok_packet(cap, status=status))
+        elif kind == "txn":
+            session.apply_txn(detail)
+            pio.write_packet(packets.ok_packet(cap, status=session.status
+                                               | (C.SERVER_MORE_RESULTS_EXISTS if more else 0)))
+        elif kind == "sysvar":
+            cols = [alias for _, alias in detail]
+            row = [session.sysvar(name) for name, _ in detail]
+            result_encoder.write_simple_resultset(pio, cols, [row], cap,
+                                                 status=session.status, more_results=more)
+        elif kind == "show":
+            cols, rows = session.show(detail)
+            result_encoder.write_simple_resultset(pio, cols, rows, cap,
+                                                  status=session.status, more_results=more)
+        else:
+            df = await self._sql_async(session, dialect.to_spark_sql(stmt))
+            if df is None:
+                pio.write_packet(packets.ok_packet(cap, status=status))
+                return
+            gen = result_encoder.resultset_payloads(
+                df, cap, status=session.status, more_results=more
+            )
+            loop = asyncio.get_running_loop()
+            while True:
+                # advance the generator (and Spark's toLocalIterator) off
+                # the event loop; write from the loop thread
+                chunk = await loop.run_in_executor(
+                    self.executor, lambda: list(itertools.islice(gen, 512))
+                )
+                if not chunk:
+                    break
+                for payload in chunk:
+                    pio.write_packet(payload)
+
+    async def _sql_async(self, session, sql: str):
+        loop = asyncio.get_running_loop()
+
+        def run():
+            session.ensure_views()
+            return self.spark.sql(sql)
+
+        return await loop.run_in_executor(self.executor, run)
+
+
+def _map_error(e: Exception) -> tuple[int, str]:
+    """Spark exception → MySQL (code, sqlstate) (SURVEY.md §4.2; the
+    reference emits only 1105/08S01, constants.go:525-526)."""
+    name = type(e).__name__
+    text = str(e)
+    if "TABLE_OR_VIEW_NOT_FOUND" in text:
+        return 1146, "42S02"
+    if "UNRESOLVED_COLUMN" in text:
+        return 1054, "42S22"
+    if "PARSE_SYNTAX_ERROR" in text or "ParseException" in name:
+        return 1064, "42000"
+    return C.ER_UNKNOWN, C.SQLSTATE_UNKNOWN
+
+
+class _Session:
+    """Per-connection state: route, variables, txn/status bits."""
+
+    def __init__(self, gw: Gateway, route, res):
+        self.gw = gw
+        self.route = route
+        self.capability = res.capability
+        self.database = res.database or "default"
+        self.variables: dict[str, str] = {}
+        self.autocommit = True
+        self.in_trans = False
+        self._views_ready = False
+
+    # -- status bits (the reference only ever sets autocommit,
+    # gateway.go:191; we additionally track in-transaction) --
+    @property
+    def status(self) -> int:
+        s = C.SERVER_STATUS_AUTOCOMMIT if self.autocommit else 0
+        if self.in_trans:
+            s |= C.SERVER_STATUS_IN_TRANS
+        return s
+
+    def ensure_views(self) -> None:
+        from tidb_gateway_spark.catalog import register_views
+
+        register_views(self.gw.spark, self.route.sf_dir)
+
+    def record_set(self, stmt: str) -> None:
+        import re
+
+        m = re.match(r"\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(@@?[\w.]+|[\w.]+)\s*=\s*(.+)",
+                     stmt, re.IGNORECASE)
+        if m:
+            name = m.group(1).lstrip("@").lower()
+            value = m.group(2).strip().strip("'\"")
+            self.variables[name] = value
+            if name == "autocommit":
+                self.autocommit = value.lower() in ("1", "on", "true")
+
+    def apply_txn(self, verb: str) -> None:
+        if verb.startswith(("BEGIN", "START")):
+            self.in_trans = True
+        else:  # COMMIT / ROLLBACK — read-only engine: state flip only
+            self.in_trans = False
+
+    def sysvar(self, name: str) -> str:
+        name = name.lower()
+        defaults = {
+            "version": C.SERVER_VERSION,
+            "version_comment": "tidb-gateway-spark",
+            "autocommit": "1" if self.autocommit else "0",
+            "max_allowed_packet": str(64 * 1024 * 1024),
+            "sql_mode": "",
+            "character_set_client": "utf8mb4",
+            "collation_connection": "utf8mb4_bin",
+            "tx_isolation": "REPEATABLE-READ",
+            "transaction_isolation": "REPEATABLE-READ",
+        }
+        return self.variables.get(name, defaults.get(name, ""))
+
+    def show(self, what: str) -> tuple[list[str], list[list[object]]]:
+        if what == "databases":
+            return ["Database"], [[d.name] for d in self.gw.spark.catalog.listDatabases()]
+        if what == "tables":
+            self.ensure_views()
+            return ["Tables"], [[t] for t in TABLES]
+        if what == "collation":
+            return (
+                ["Collation", "Charset", "Id", "Default", "Compiled", "Sortlen"],
+                [
+                    [name, name.split("_")[0], cid,
+                     "Yes" if cid == C.DEFAULT_COLLATION_ID else "", "Yes", 1]
+                    for cid, name in sorted(C.COLLATIONS.items())
+                ],
+            )
+        if what == "variables":
+            return ["Variable_name", "Value"], [[k, v] for k, v in sorted(self.variables.items())]
+        return ["result"], []
+
+
+async def serve_forever(spark: SparkSession, clusters: dict[str, str], **kw) -> None:
+    gw = Gateway(spark, clusters, **kw)
+    await gw.start()
+    log.info("gateway listening on %s:%d", gw.host, gw.bound_port)
+    await asyncio.Event().wait()
+
+
+def main() -> None:
+    """CLI: python -m tidb_gateway_spark.gateway.server --port 4000
+    --cluster sf01=/root/testdata/sf0.01 --default sf01"""
+    import argparse
+
+    from tidb_gateway_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=4000)
+    ap.add_argument("--cluster", action="append", default=[],
+                    help="id=sf_dir (repeatable, like the reference's --backend)")
+    ap.add_argument("--default", dest="default_cluster", default=None)
+    args = ap.parse_args()
+
+    clusters = dict(c.split("=", 1) for c in args.cluster)
+    default = clusters.get(args.default_cluster, next(iter(clusters.values()), None))
+    spark = get_spark("tidb-gateway-spark-server")
+    asyncio.run(
+        serve_forever(spark, clusters, default_cluster=default,
+                      host=args.host, port=args.port)
+    )
+
+
+if __name__ == "__main__":
+    main()
