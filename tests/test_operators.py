@@ -1,0 +1,203 @@
+"""Operator-level unit tests: UDF-surface parity (SURVEY.md §2B UDF
+table), approx-op property tests (§5.2 item 5), dedup/similarity
+operator behavior, and source/sink round-trips."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tidb_gateway_spark.catalog import load_table
+from tidb_gateway_spark.functions import udf_surface
+from tidb_gateway_spark.operators import dedup, multimodal, similarity
+from tidb_gateway_spark.sources import io as sources_io
+
+
+# ---- UDF surface parity ----
+
+def test_pandas_udf_equals_row_udf_equals_builtin(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").limit(500)
+    out = li.select(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("builtin"),
+        udf_surface.discounted_price_rowudf("l_extendedprice", "l_discount").alias("rowu"),
+        udf_surface.discounted_price_pandas("l_extendedprice", "l_discount").alias("vec"),
+    ).collect()
+    for r in out:
+        assert math.isclose(r["builtin"], r["rowu"], rel_tol=1e-12)
+        assert math.isclose(r["builtin"], r["vec"], rel_tol=1e-12)
+
+
+def test_grouped_agg_udaf_equals_builtin_avg(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    # GROUPED_AGG pandas UDFs cannot share an agg() with builtin
+    # aggregates — compute separately and join.
+    udaf = e.groupBy("user_id").agg(udf_surface.mean_grouped_agg("value").alias("udaf"))
+    builtin = e.groupBy("user_id").agg(F.avg("value").alias("builtin"))
+    for r in udaf.join(builtin, "user_id").collect():
+        assert math.isclose(r["udaf"], r["builtin"], rel_tol=1e-9)
+
+
+def test_applyinpandas_normalize(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    out = udf_surface.normalize_per_group(e, "user_id", "value")
+    stats = out.groupBy("user_id").agg(
+        F.avg("znorm").alias("mu"), F.stddev_samp("znorm").alias("sd"),
+        F.count("*").alias("n"),
+    ).collect()
+    for r in stats:
+        assert abs(r["mu"]) < 1e-6
+        if r["n"] > 1 and r["sd"] is not None and r["sd"] > 0:
+            assert math.isclose(r["sd"], 1.0, rel_tol=1e-6)
+
+
+def test_posexplode_tokens(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(10)
+    toks = udf_surface.explode_tokens(d).collect()
+    assert toks and all(t["token"] != "" for t in toks)
+    first = [t for t in toks if t["doc_id"] == toks[0]["doc_id"]]
+    assert [t["pos"] for t in first] == sorted(t["pos"] for t in first)
+
+
+# ---- approx ops property test ----
+
+def test_approx_count_distinct_within_5pct(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey").alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+# ---- dedup / similarity operators ----
+
+def test_keep_first_is_deterministic_winner(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    kept = dedup.keep_first(d, F.md5("text"), "doc_id")
+    assert kept.count() == d.select(F.md5("text")).distinct().count()
+    # winner must be the minimum doc_id of its hash group
+    joined = (
+        kept.select(F.md5("text").alias("h"), F.col("doc_id").alias("winner"))
+        .join(d.select(F.md5("text").alias("h"), "doc_id"), "h")
+        .groupBy("h", "winner")
+        .agg(F.min("doc_id").alias("mn"))
+        .collect()
+    )
+    assert all(r["winner"] == r["mn"] for r in joined)
+
+
+def test_minhash_lsh_finds_exact_duplicates(spark, sf_dir):
+    """Identical texts have identical signatures → every exact-dup pair
+    must appear in the candidate set (recall=1 for exact dups)."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(d)
+    cand_set = {(r["a"], r["b"]) for r in cand.collect()}
+    dups = (
+        d.alias("x")
+        .join(d.alias("y"), (F.expr("md5(x.text) = md5(y.text)"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .collect()
+    )
+    if not dups:
+        pytest.skip("no exact duplicates at this scale factor (present at sf0.01)")
+    missing = [(r["a"], r["b"]) for r in dups if (r["a"], r["b"]) not in cand_set]
+    assert not missing
+
+
+def test_lsh_ann_is_exact_within_bucket(spark, sf_dir):
+    """The fixture embeddings are random (no cluster structure), so the
+    meaningful ANN invariant is: bucket-restricted top-k == brute-force
+    top-k over the candidates in the query's bucket, and scores never
+    exceed the global optimum."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
+    query = e.filter(F.col("vec_id") == 0)
+    bucketed = similarity.with_lsh_bucket(e, 4, 64)
+    qb = bucketed.filter(F.col("vec_id") == 0).collect()[0]["bucket"]
+    in_bucket = bucketed.filter((F.col("bucket") == qb) & (F.col("vec_id") != 0)).drop("bucket")
+    expected = similarity.brute_force_topk(in_bucket, query, k=10).collect()
+    got = similarity.lsh_bucket_topk(corpus, query, k=10, n_planes=4).collect()
+    assert [(r["vec_id"], r["dp"]) for r in got] == [
+        (r["vec_id"], r["dp"]) for r in expected
+    ]
+    global_best = similarity.brute_force_topk(corpus, query, k=1).collect()[0]["dp"]
+    assert all(r["dp"] <= global_best for r in got)
+
+
+def test_simhash_identical_docs_collide(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.simhash(dedup.doc_words(d))
+    pair = (
+        d.alias("x")
+        .join(d.alias("y"), (F.expr("md5(x.text) = md5(y.text)"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .limit(1)
+        .collect()
+    )
+    if pair:
+        a, b = pair[0]["a"], pair[0]["b"]
+        sig = {r["doc_id"]: r["sh"] for r in sh.filter(F.col("doc_id").isin(a, b)).collect()}
+        assert sig[a] == sig[b]
+
+
+# ---- multimodal plumbing ----
+
+def test_multimodal_decode_matches_python_oracle(spark, sf_dir):
+    import hashlib
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    decoded = multimodal.decode_metadata(multimodal.with_synthetic_binary(d)).collect()
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    assert decoded
+    for r in decoded:
+        payload = bytes.fromhex(hashlib.md5(texts[r["doc_id"]].encode()).hexdigest())
+        assert r["byte_len"] == 16
+        assert r["width"] == payload[0] % 64 + 16
+        assert r["height"] == payload[1] % 64 + 16
+        assert r["fmt"] == ("jpeg", "png", "webp")[payload[2] % 3]
+
+
+def test_resize_stub_raises_without_codec():
+    if multimodal.HAVE_CODEC:
+        pytest.skip("codec present")
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_stub(None)
+
+
+# ---- sources / sinks ----
+
+def test_csv_json_roundtrip_and_ctas(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region")
+    csv_path = str(tmp_path / "region_csv")
+    region.write.option("header", "true").csv(csv_path)
+    back = sources_io.read_csv(spark, csv_path)
+    assert sorted(r["r_name"] for r in back.collect()) == sorted(
+        r["r_name"] for r in region.collect()
+    )
+
+    json_path = str(tmp_path / "region_json")
+    region.write.json(json_path)
+    backj = sources_io.read_json(spark, json_path)
+    assert backj.count() == region.count()
+
+    out = str(tmp_path / "ctas")
+    sources_io.write_parquet_table(
+        load_table(spark, sf_dir, "orders"), out, partition_by=None
+    )
+    assert spark.read.parquet(out).count() == load_table(spark, sf_dir, "orders").count()
+
+
+def test_load_data_infile_analog(spark, tmp_path):
+    p = tmp_path / "infile.csv"
+    p.write_text("1,alpha\n2,beta\n3,gamma\n")
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("name", T.StringType())]
+    )
+    df = sources_io.load_data_infile(spark, str(p), "infile_t", schema=schema)
+    assert df.count() == 3
+    assert spark.sql("SELECT name FROM infile_t WHERE id = 2").collect()[0][0] == "beta"
