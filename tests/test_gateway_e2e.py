@@ -72,12 +72,24 @@ class MiniClient:
         self.pio.write_packet(bytes([cmd]) + payload)
         await self._flush()
 
-    async def query(self, sql: str):
-        """→ list of (columns, rows) result sets, or dict for OK/ERR."""
+    async def query(self, sql: str, infile_data: bytes | None = None):
+        """→ list of (columns, rows) result sets, or dict for OK/ERR.
+
+        ``infile_data``: bytes to stream when the server requests a
+        LOCAL INFILE (0xFB packet)."""
         await self.command(C.COM_QUERY, sql.encode())
         results = []
         while True:
             first = await self.pio.read_packet()
+            if first[:1] == b"\xfb":
+                # server requests the local file: stream content packets
+                # then an empty terminator, continuing the sequence
+                assert infile_data is not None, first
+                for i in range(0, len(infile_data), 8192):
+                    self.pio.write_packet(infile_data[i : i + 8192])
+                self.pio.write_packet(b"")
+                await self._flush()
+                continue
             if first[0] == 0xFF:
                 code = int.from_bytes(first[1:3], "little")
                 results.append({"error": code, "message": first[9:].decode(errors="replace")})
@@ -293,3 +305,63 @@ def test_dialect_rewrites_e2e(gateway):
         await c.quit()
 
     run_with_gateway(gateway, scenario)
+
+
+def test_load_data_local_infile(gateway):
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        csv = b"1,alpha\n2,beta\n3,gamma\n"
+        res = await c.query(
+            "LOAD DATA LOCAL INFILE '/client/side/data.csv' INTO TABLE staged",
+            infile_data=csv,
+        )
+        assert res[0]["ok"] and res[0]["affected"] == 3
+        cols, rows = (await c.query("SELECT c0, c1 FROM staged ORDER BY c0"))[0]
+        assert rows == [["1", "alpha"], ["2", "beta"], ["3", "gamma"]]
+        # second load appends (union semantics)
+        res = await c.query(
+            "LOAD DATA LOCAL INFILE 'x.csv' INTO TABLE staged", infile_data=b"4,delta\n"
+        )
+        assert res[0]["affected"] == 1
+        cols, rows = (await c.query("SELECT COUNT(*) AS n FROM staged"))[0]
+        assert rows == [["4"]]
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_cross_cluster_session_isolation(spark):
+    """Two connections routed to different clusters must see different
+    catalogs concurrently (per-connection newSession isolation)."""
+
+    def factory():
+        return Gateway(
+            spark,
+            clusters={"small": "/root/testdata/sf0.001", "big": "/root/testdata/sf0.01"},
+            default_cluster=None,
+            port=0,
+        )
+
+    async def scenario(gw):
+        c1 = MiniClient("127.0.0.1", gw.bound_port)
+        c2 = MiniClient("127.0.0.1", gw.bound_port)
+        await c1.connect("small.alice")
+        await c2.connect("big.bob")
+        q = "SELECT COUNT(*) AS n FROM lineitem"
+        (n1,), (n2,) = await asyncio.gather(c1.query(q), c2.query(q))
+        assert int(n1[1][0][0]) == 6000
+        assert int(n2[1][0][0]) == 60000
+        # interleave again in the other order to catch clobbering
+        (n2b,), (n1b,) = await asyncio.gather(c2.query(q), c1.query(q))
+        assert int(n1b[1][0][0]) == 6000
+        assert int(n2b[1][0][0]) == 60000
+        # temp view created on c1 must be invisible to c2
+        await c1.query("LOAD DATA LOCAL INFILE 'f' INTO TABLE mine",
+                       infile_data=b"9,ok\n")
+        res = await c2.query("SELECT COUNT(*) AS n FROM mine")
+        assert res[0].get("error") == 1146, res
+        await c1.quit()
+        await c2.quit()
+
+    run_with_gateway(factory, scenario)

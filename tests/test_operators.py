@@ -201,3 +201,27 @@ def test_load_data_infile_analog(spark, tmp_path):
     df = sources_io.load_data_infile(spark, str(p), "infile_t", schema=schema)
     assert df.count() == 3
     assert spark.sql("SELECT name FROM infile_t WHERE id = 2").collect()[0][0] == "beta"
+
+
+# ---- scalable global rank ----
+
+def test_global_row_number_matches_window(spark, sf_dir):
+    """Two-pass range-partitioned rank == single-partition window rank
+    (the 100 TB replacement for global windows; operators/rank.py)."""
+    from pyspark.sql import Window
+    from tidb_gateway_spark.operators.rank import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    scalable = global_row_number(
+        o, ["o_totalprice", "o_orderkey"], out_col="rn", num_partitions=7
+    ).select("o_orderkey", "rn")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    reference = o.select(
+        "o_orderkey", F.row_number().over(w).alias("rn")
+    )
+    assert scalable.subtract(reference).count() == 0
+    assert reference.subtract(scalable).count() == 0
+    # and it really is distributed: no single-partition exchange
+    from tidb_gateway_spark.plans import inspect
+    text = inspect.explain_formatted(scalable)
+    assert "SinglePartition" not in text, text

@@ -147,6 +147,12 @@ def to_spark_sql(sql: str) -> str:
 # ---- session statement classification ----
 
 _SET_RE = re.compile(r"^\s*SET\s+", re.IGNORECASE)
+_LOAD_DATA_RE = re.compile(
+    r"^\s*LOAD\s+DATA\s+LOCAL\s+INFILE\s+'((?:[^'\\]|\\.)*)'\s+INTO\s+TABLE\s+`?(\w+)`?"
+    r"(?:\s+FIELDS\s+TERMINATED\s+BY\s+'((?:[^'\\]|\\.)*)')?"
+    r"(?:\s+IGNORE\s+(\d+)\s+LINES)?\s*$",
+    re.IGNORECASE,
+)
 _USE_RE = re.compile(r"^\s*USE\s+`?([A-Za-z0-9_.]+)`?\s*$", re.IGNORECASE)
 _TXN_RE = re.compile(r"^\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)\b", re.IGNORECASE)
 _SHOW_RE = re.compile(r"^\s*SHOW\s+(\S+)", re.IGNORECASE)
@@ -156,7 +162,16 @@ _PING_SELECT = re.compile(r"^\s*SELECT\s+1\s*$", re.IGNORECASE)
 
 
 def classify(stmt: str) -> tuple[str, object]:
-    """→ (kind, detail): kind ∈ {set, use, txn, show, sysvar, query}."""
+    """→ (kind, detail): kind ∈ {set, use, txn, show, sysvar, load_data,
+    query}."""
+    m = _LOAD_DATA_RE.match(stmt)
+    if m:
+        return "load_data", {
+            "filename": m.group(1),
+            "table": m.group(2),
+            "delimiter": m.group(3) or ",",
+            "ignore_lines": int(m.group(4) or 0),
+        }
     if _SET_RE.match(stmt):
         return "set", stmt
     m = _USE_RE.match(stmt)

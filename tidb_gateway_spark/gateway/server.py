@@ -136,6 +136,7 @@ class Gateway:
                 pass
 
         session = _Session(self, route, res)
+        session.attach_spark(self.spark.newSession())
         await self._command_loop(pio, drain, reset_extra, session)
 
     async def _command_loop(self, pio, drain, reset_extra, session) -> None:
@@ -211,6 +212,8 @@ class Gateway:
             cols, rows = session.show(detail)
             result_encoder.write_simple_resultset(pio, cols, rows, cap,
                                                   status=session.status, more_results=more)
+        elif kind == "load_data":
+            await self._load_data_local(pio, session, detail, more)
         else:
             df = await self._sql_async(session, dialect.to_spark_sql(stmt))
             if df is None:
@@ -231,12 +234,41 @@ class Gateway:
                 for payload in chunk:
                     pio.write_packet(payload)
 
+    async def _load_data_local(self, pio, session, detail: dict, more: bool) -> None:
+        """LOAD DATA LOCAL INFILE (ClientLocalFiles, constants.go:10):
+        server requests the named file with a 0xFB packet; the client
+        streams its content as packets, terminated by an empty packet;
+        rows land in a session-local view (read-only engine: INFILE
+        appends to / creates a temp view, never mutates fixtures)."""
+        cap = session.capability
+        pio.write_packet(b"\xfb" + detail["filename"].encode())
+        # flush the file request so the client sees it
+        data = bytearray()
+        while True:
+            # the client continues the sequence — do not reset
+            chunk = await self._drain_and_read(pio)
+            if not chunk:
+                break
+            data += chunk
+        loop = asyncio.get_running_loop()
+        n = await loop.run_in_executor(
+            self.executor, lambda: session.ingest_csv(bytes(data), detail)
+        )
+        status = session.status | (C.SERVER_MORE_RESULTS_EXISTS if more else 0)
+        pio.write_packet(packets.ok_packet(cap, affected=n, status=status))
+
+    async def _drain_and_read(self, pio):
+        # helper: ensure our 0xFB request is flushed before blocking on read
+        if hasattr(pio.writer, "drain"):
+            await pio.writer.drain()
+        return await pio.read_packet()
+
     async def _sql_async(self, session, sql: str):
         loop = asyncio.get_running_loop()
 
         def run():
             session.ensure_views()
-            return self.spark.sql(sql)
+            return session.spark.sql(sql)
 
         return await loop.run_in_executor(self.executor, run)
 
@@ -266,7 +298,16 @@ class _Session:
         self.variables: dict[str, str] = {}
         self.autocommit = True
         self.in_trans = False
-        self._views_ready = False
+        self.spark = gw.spark  # replaced by attach_spark
+
+    def attach_spark(self, spark) -> None:
+        """Per-connection ``newSession()``: isolated temp views, current
+        database and SQLConf over the shared SparkContext — so two
+        connections routed to different clusters (or running LOAD DATA)
+        never clobber each other's catalogs."""
+        from tidb_gateway_spark.session import ensure_session_confs
+
+        self.spark = ensure_session_confs(spark)
 
     # -- status bits (the reference only ever sets autocommit,
     # gateway.go:191; we additionally track in-transaction) --
@@ -280,7 +321,31 @@ class _Session:
     def ensure_views(self) -> None:
         from tidb_gateway_spark.catalog import register_views
 
-        register_views(self.gw.spark, self.route.sf_dir)
+        register_views(self.spark, self.route.sf_dir)
+
+    def ingest_csv(self, data: bytes, detail: dict) -> int:
+        """LOAD DATA payload → session-local view; returns row count."""
+        import csv as _csv
+        import io as _io
+
+        text = data.decode("utf-8", errors="replace")
+        rows = list(_csv.reader(_io.StringIO(text), delimiter=detail["delimiter"]))
+        rows = rows[detail["ignore_lines"]:]
+        rows = [r for r in rows if r]
+        if not rows:
+            return 0
+        width = max(len(r) for r in rows)
+        cols = [f"c{i}" for i in range(width)]
+        normalized = [tuple((r + [None] * width)[:width]) for r in rows]
+        df = self.spark.createDataFrame(normalized, schema=cols)
+        table = detail["table"]
+        try:
+            existing = self.spark.table(table)
+            df = existing.unionByName(df, allowMissingColumns=True)
+        except Exception:
+            pass
+        df.createOrReplaceTempView(table)
+        return len(normalized)
 
     def record_set(self, stmt: str) -> None:
         import re
