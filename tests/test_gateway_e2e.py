@@ -365,3 +365,61 @@ def test_cross_cluster_session_isolation(spark):
         await c2.quit()
 
     run_with_gateway(factory, scenario)
+
+
+def _make_cert(tmp_path):
+    import subprocess
+
+    key, crt = str(tmp_path / "k.pem"), str(tmp_path / "c.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", key, "-out", crt, "-days", "1", "-subj", "/CN=localhost"],
+        check=True, capture_output=True,
+    )
+    return key, crt
+
+
+def test_tls_upgrade(spark, sf_dir, tmp_path):
+    """ClientSSL upgrade (gateway.go:88-100 / tls.go analog): client
+    sends a bare SSL request, both sides start TLS, handshake response
+    re-sent over the encrypted channel, queries flow."""
+    import ssl
+
+    key, crt = _make_cert(tmp_path)
+    server_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    server_ctx.load_cert_chain(crt, key)
+
+    def factory():
+        return Gateway(spark, clusters={"sf001": sf_dir}, default_cluster=sf_dir,
+                       port=0, ssl_context=server_ctx)
+
+    async def scenario(gw):
+        reader, writer = await asyncio.open_connection("127.0.0.1", gw.bound_port)
+        pio = PacketIO(reader, writer)
+        greeting = Handshake.read(await pio.read_packet())
+        assert greeting.capability & C.CLIENT_SSL
+        caps = CLIENT_CAPS | C.CLIENT_SSL
+        # stage 1: bare SSL request (32-byte prefix only)
+        pio.write_packet(HandshakeResponse(capability=caps, is_ssl_request=True).write())
+        await writer.drain()
+        # stage 2: client-side TLS upgrade (InsecureSkipVerify analog)
+        client_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        client_ctx.check_hostname = False
+        client_ctx.verify_mode = ssl.CERT_NONE
+        await writer.start_tls(client_ctx)
+        # stage 3: real handshake response over TLS (sequence continues)
+        res = HandshakeResponse(capability=caps, username="sf001.alice",
+                                auth_response=b"", auth_plugin_name="mysql_native_password")
+        pio.write_packet(res.write())
+        await writer.drain()
+        reply = await pio.read_packet()
+        assert reply[0] == 0x00, reply
+        # run a query over the encrypted channel
+        pio.reset_seq()
+        pio.write_packet(bytes([C.COM_QUERY]) + b"SELECT COUNT(*) AS n FROM region")
+        await writer.drain()
+        first = await pio.read_packet()
+        assert Buffer(first).read_lenenc_int() == 1  # one column
+        writer.close()
+
+    run_with_gateway(factory, scenario)

@@ -92,14 +92,24 @@ class Gateway:
         pio.write_packet(greeting.write())
         await writer.drain()
 
+        stream_r, stream_w = reader, writer
         res = packets.HandshakeResponse.read(await pio.read_packet())
-        if res.is_ssl_request or (res.capability & C.CLIENT_SSL and self.ssl_context):
-            # TLS upgrade then re-read the real response (gateway.go:88-100)
+        if res.is_ssl_request:
+            # TLS upgrade then re-read the real response (gateway.go:88-100);
+            # MemoryBIO handshake over the existing stream pair — see
+            # tls.py for the STARTTLS race this avoids.
             if not self.ssl_context:
                 pio.write_packet(packets.err_packet(res.capability, message="SSL not enabled"))
                 await writer.drain()
                 return
-            await writer.start_tls(self.ssl_context)
+            from tidb_gateway_spark.gateway.tls import TLSServerStream
+
+            tls = TLSServerStream(reader, writer, self.ssl_context)
+            await tls.handshake()
+            stream_r = stream_w = tls
+            seq = pio.seq  # sequence continues across the upgrade
+            pio = PacketIO(tls, tls)
+            pio.seq = seq
             res = packets.HandshakeResponse.read(await pio.read_packet())
 
         use_compression = bool(res.capability & C.CLIENT_COMPRESS)
@@ -120,17 +130,18 @@ class Gateway:
             return
 
         pio.write_packet(packets.ok_packet(res.capability))
-        await writer.drain()
+        await stream_w.drain()
 
         if use_compression:
-            # compression engages after the handshake completes
-            cstream = CompressedStream(reader, writer)
+            # compression engages after the handshake completes; stacks
+            # on raw or TLS streams alike
+            cstream = CompressedStream(stream_r, stream_w)
             pio = PacketIO(cstream, cstream)
             drain = cstream.drain
             reset_extra = cstream.reset_seq
         else:
             async def drain():
-                await writer.drain()
+                await stream_w.drain()
 
             def reset_extra():
                 pass
