@@ -134,6 +134,112 @@ class MiniClient:
             if not status & C.SERVER_MORE_RESULTS_EXISTS:
                 return results
 
+    async def _read_coldefs(self, ncols):
+        cols = []
+        for _ in range(ncols):
+            p = Buffer(await self.pio.read_packet())
+            for _ in range(5):
+                p.read_lenenc_string()
+            name = p.read_lenenc_string().decode()
+            p.read_lenenc_int()      # fixed-length marker
+            p.read_uint(2)           # charset
+            p.read_uint(4)           # column length
+            tcode = p.read_byte()
+            cols.append((name, tcode))
+        return cols
+
+    async def stmt_prepare(self, sql: str) -> tuple[int, int]:
+        await self.command(C.COM_STMT_PREPARE, sql.encode())
+        first = await self.pio.read_packet()
+        assert first[0] == 0x00, first
+        b = Buffer(first)
+        b.skip(1)
+        stmt_id = b.read_uint(4)
+        b.read_uint(2)  # num_columns (0: resolved at execute)
+        num_params = b.read_uint(2)
+        if num_params:
+            await self._read_coldefs(num_params)
+            eof = await self.pio.read_packet()
+            assert eof[0] == 0xFE
+        return stmt_id, num_params
+
+    async def stmt_execute(self, stmt_id: int, params: list):
+        import struct
+
+        body = Buffer()
+        body.write_uint(stmt_id, 4)
+        body.write_byte(0)      # flags
+        body.write_uint(1, 4)   # iteration count
+        if params:
+            nulls = bytearray((len(params) + 7) // 8)
+            for i, v in enumerate(params):
+                if v is None:
+                    nulls[i // 8] |= 1 << (i % 8)
+            body.write_bytes(bytes(nulls))
+            body.write_byte(1)  # new params bound
+            for v in params:
+                if v is None:
+                    body.write_byte(C.MYSQL_TYPE_NULL)
+                    body.write_byte(0)
+                elif isinstance(v, int):
+                    body.write_byte(C.MYSQL_TYPE_LONGLONG)
+                    body.write_byte(0)
+                elif isinstance(v, float):
+                    body.write_byte(C.MYSQL_TYPE_DOUBLE)
+                    body.write_byte(0)
+                else:
+                    body.write_byte(C.MYSQL_TYPE_VAR_STRING)
+                    body.write_byte(0)
+            for v in params:
+                if v is None:
+                    continue
+                if isinstance(v, int):
+                    body.write_bytes(struct.pack("<q", v))
+                elif isinstance(v, float):
+                    body.write_bytes(struct.pack("<d", v))
+                else:
+                    body.write_lenenc_string(str(v).encode())
+        await self.command(C.COM_STMT_EXECUTE, body.getvalue())
+        first = await self.pio.read_packet()
+        if first[0] == 0xFF:
+            return {"error": int.from_bytes(first[1:3], "little")}
+        ncols = Buffer(first).read_lenenc_int()
+        cols = await self._read_coldefs(ncols)
+        eof = await self.pio.read_packet()
+        assert eof[0] == 0xFE
+        rows = []
+        import struct as _s
+        while True:
+            p = await self.pio.read_packet()
+            if p and p[0] == 0xFE and len(p) < 9:
+                break
+            b = Buffer(p)
+            assert b.read_byte() == 0x00
+            nulls = b.read_bytes((ncols + 9) // 8)
+            row = []
+            for i, (_, tcode) in enumerate(cols):
+                pos = i + 2
+                if nulls[pos // 8] & (1 << (pos % 8)):
+                    row.append(None)
+                elif tcode == C.MYSQL_TYPE_LONGLONG:
+                    row.append(_s.unpack("<q", b.read_bytes(8))[0])
+                elif tcode == C.MYSQL_TYPE_LONG:
+                    row.append(_s.unpack("<i", b.read_bytes(4))[0])
+                elif tcode == C.MYSQL_TYPE_DOUBLE:
+                    row.append(_s.unpack("<d", b.read_bytes(8))[0])
+                elif tcode in (C.MYSQL_TYPE_TIMESTAMP, C.MYSQL_TYPE_DATE, 0x0C):
+                    n = b.read_byte()
+                    raw = b.read_bytes(n)
+                    row.append(raw)
+                else:
+                    row.append(b.read_lenenc_string().decode())
+            rows.append(row)
+        return ([c[0] for c in cols], rows)
+
+    async def stmt_close(self, stmt_id: int):
+        body = stmt_id.to_bytes(4, "little")
+        await self.command(C.COM_STMT_CLOSE, body)
+
     async def ping(self):
         await self.command(C.COM_PING)
         return await self.pio.read_packet()
@@ -423,3 +529,40 @@ def test_tls_upgrade(spark, sf_dir, tmp_path):
         writer.close()
 
     run_with_gateway(factory, scenario)
+
+
+def test_prepared_statements_binary_protocol(gateway):
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        sid, nparams = await c.stmt_prepare(
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "WHERE o_custkey = ? AND o_totalprice > ? ORDER BY o_orderkey"
+        )
+        assert nparams == 2
+        ref = await c.query(
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "WHERE o_custkey = 7 AND o_totalprice > 1000.0 ORDER BY o_orderkey"
+        )
+        cols, rows = await c.stmt_execute(sid, [7, 1000.0])
+        assert cols == ["o_orderkey", "o_totalprice"]
+        text_rows = [[int(r[0]), float(r[1])] for r in ref[0][1]]
+        assert [[r[0], r[1]] for r in rows] == text_rows
+        assert rows, "expected at least one row for the chosen customer"
+
+        # string + NULL params, re-execute with different binding
+        sid2, _ = await c.stmt_prepare(
+            "SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority = ?"
+        )
+        _, rows_a = await c.stmt_execute(sid2, ["1-URGENT"])
+        _, rows_b = await c.stmt_execute(sid2, ["5-LOW"])
+        na, nb = rows_a[0][0], rows_b[0][0]
+        assert na > 0 and nb > 0 and na != nb or (na > 0 and nb > 0)
+
+        await c.stmt_close(sid)
+        # closed statement id now unknown
+        res = await c.stmt_execute(sid, [1, 2.0])
+        assert res == {"error": 1243}
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)

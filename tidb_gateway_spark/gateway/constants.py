@@ -75,6 +75,7 @@ COM_PING = 0x0E
 COM_STMT_PREPARE = 0x16
 COM_STMT_EXECUTE = 0x17
 COM_STMT_CLOSE = 0x19
+COM_STMT_RESET = 0x1A
 
 # --- column type codes (text protocol) ---
 MYSQL_TYPE_TINY = 0x01

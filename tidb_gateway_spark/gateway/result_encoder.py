@@ -104,6 +104,29 @@ def resultset_payloads(df: DataFrame, capability: int,
         yield packets.eof_packet(capability, status)
 
 
+def binary_resultset_payloads(df: DataFrame, capability: int,
+                              status: int = C.SERVER_STATUS_AUTOCOMMIT):
+    """Binary-protocol result set (COM_STMT_EXECUTE responses)."""
+    from tidb_gateway_spark.gateway.prepared import encode_binary_row
+
+    schema = df.schema
+    type_codes = [mysql_type_for(f.dataType)[0] for f in schema.fields]
+    b = packets.Buffer()
+    b.write_lenenc_int(len(schema.fields))
+    yield b.getvalue()
+    for f in schema.fields:
+        code, length, charset = mysql_type_for(f.dataType)
+        yield packets.column_definition(f.name, code, charset=charset, column_length=length)
+    if not capability & C.CLIENT_DEPRECATE_EOF:
+        yield packets.eof_packet(capability, status)
+    for row in df.toLocalIterator():
+        yield encode_binary_row(list(row), type_codes)
+    if capability & C.CLIENT_DEPRECATE_EOF:
+        yield packets.ok_packet(capability, status=status, header=0xFE)
+    else:
+        yield packets.eof_packet(capability, status)
+
+
 def write_simple_resultset(pio, columns: list[str], rows: list[list[object]],
                            capability: int, status: int = C.SERVER_STATUS_AUTOCOMMIT,
                            more_results: bool = False) -> None:

@@ -169,12 +169,16 @@ class Gateway:
                 pio.write_packet(packets.ok_packet(cap, status=session.status))
             elif cmd == C.COM_FIELD_LIST:
                 pio.write_packet(packets.eof_packet(cap, session.status))
-            elif cmd in (C.COM_STMT_PREPARE, C.COM_STMT_EXECUTE, C.COM_STMT_CLOSE):
-                pio.write_packet(
-                    packets.err_packet(cap, code=1295,
-                                       message="prepared statements not supported; use text protocol",
-                                       sqlstate="HY000")
-                )
+            elif cmd == C.COM_STMT_PREPARE:
+                self._stmt_prepare(pio, session, payload.decode())
+            elif cmd == C.COM_STMT_EXECUTE:
+                await self._stmt_execute(pio, session, payload)
+            elif cmd == C.COM_STMT_CLOSE:
+                if len(payload) >= 4:
+                    session.stmts.pop(int.from_bytes(payload[:4], "little"), None)
+                # COM_STMT_CLOSE has no response
+            elif cmd == C.COM_STMT_RESET:
+                pio.write_packet(packets.ok_packet(cap, status=session.status))
             elif cmd == C.COM_QUERY:
                 await self._run_query(pio, session, payload.decode())
             else:
@@ -274,6 +278,53 @@ class Gateway:
             await pio.writer.drain()
         return await pio.read_packet()
 
+    def _stmt_prepare(self, pio, session, sql: str) -> None:
+        from tidb_gateway_spark.gateway import prepared
+
+        stmt = prepared.PreparedStatement(
+            stmt_id=session.next_stmt_id(),
+            sql=sql,
+            num_params=prepared.count_placeholders(sql),
+        )
+        session.stmts[stmt.stmt_id] = stmt
+        for p in prepared.prepare_ok_payloads(stmt, session.capability):
+            pio.write_packet(p)
+
+    async def _stmt_execute(self, pio, session, payload: bytes) -> None:
+        from tidb_gateway_spark.gateway import prepared
+        from tidb_gateway_spark.gateway.wire import Buffer
+
+        cap = session.capability
+        b = Buffer(payload)
+        stmt_id = b.read_uint(4)
+        b.skip(5)  # flags<1> + iteration_count<4>
+        stmt = session.stmts.get(stmt_id)
+        if stmt is None:
+            pio.write_packet(packets.err_packet(cap, code=1243,
+                                                message="Unknown prepared statement",
+                                                sqlstate="HY000"))
+            return
+        values, _ = prepared.decode_execute_params(b, stmt.num_params)
+        sql = prepared.bind(stmt.sql, values)
+        try:
+            df = await self._sql_async(session, dialect.to_spark_sql(sql))
+        except Exception as e:
+            code, state = _map_error(e)
+            pio.write_packet(packets.err_packet(cap, code=code,
+                                                message=str(e).split("\n")[0][:480],
+                                                sqlstate=state))
+            return
+        gen = result_encoder.binary_resultset_payloads(df, cap, status=session.status)
+        loop = asyncio.get_running_loop()
+        while True:
+            chunk = await loop.run_in_executor(
+                self.executor, lambda: list(itertools.islice(gen, 512))
+            )
+            if not chunk:
+                break
+            for p in chunk:
+                pio.write_packet(p)
+
     async def _sql_async(self, session, sql: str):
         loop = asyncio.get_running_loop()
 
@@ -310,6 +361,12 @@ class _Session:
         self.autocommit = True
         self.in_trans = False
         self.spark = gw.spark  # replaced by attach_spark
+        self.stmts: dict[int, object] = {}
+        self._stmt_counter = 0
+
+    def next_stmt_id(self) -> int:
+        self._stmt_counter += 1
+        return self._stmt_counter
 
     def attach_spark(self, spark) -> None:
         """Per-connection ``newSession()``: isolated temp views, current
