@@ -566,3 +566,23 @@ def test_prepared_statements_binary_protocol(gateway):
         await c.quit()
 
     run_with_gateway(gateway, scenario)
+
+
+def test_describe_and_show_create(gateway):
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        cols, rows = (await c.query("DESCRIBE orders"))[0]
+        assert cols[:3] == ["Field", "Type", "Null"]
+        fields = {r[0]: r[1] for r in rows}
+        assert fields["o_orderkey"] == "bigint(20)"
+        assert fields["o_totalprice"] == "double"
+        assert fields["o_orderdate"].startswith("datetime")
+        cols2, rows2 = (await c.query("SHOW COLUMNS FROM region"))[0]
+        assert {r[0] for r in rows2} == {"r_regionkey", "r_name"}
+        cols3, rows3 = (await c.query("SHOW CREATE TABLE region"))[0]
+        assert rows3[0][0] == "region"
+        assert "`r_name` varchar(1024)" in rows3[0][1]
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)

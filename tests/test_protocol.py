@@ -269,3 +269,29 @@ def test_classify():
     assert kind == "sysvar"
     assert vars_ == [("version", "@@version"), ("autocommit", "ac")]
     assert dialect.classify("SELECT * FROM t")[0] == "query"
+
+
+def test_bidirectional_request_response():
+    """Alternating directions with per-round sequence resets
+    (conn_test.go:36-65 analog): two endpoints each with their own pipe,
+    request/response rounds, seq reset between rounds."""
+
+    async def go():
+        rng = random.Random(99)
+        # a→b pipe and b→a pipe
+        r_ab, w_ab = make_pipe()
+        r_ba, w_ba = make_pipe()
+        a = PacketIO(r_ba, w_ab)   # a writes to ab, reads from ba
+        b = PacketIO(r_ab, w_ba)
+        for _ in range(10):
+            req = rng.randbytes(rng.randint(1, 4096))
+            a.reset_seq()
+            b.reset_seq()
+            a.write_packet(req)
+            assert await b.read_packet() == req
+            resp = rng.randbytes(rng.randint(1, 4096))
+            # response continues the sequence the request started
+            b.write_packet(resp)
+            assert await a.read_packet() == resp
+
+    run(go())

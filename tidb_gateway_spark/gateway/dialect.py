@@ -156,6 +156,9 @@ _LOAD_DATA_RE = re.compile(
 _USE_RE = re.compile(r"^\s*USE\s+`?([A-Za-z0-9_.]+)`?\s*$", re.IGNORECASE)
 _TXN_RE = re.compile(r"^\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)\b", re.IGNORECASE)
 _SHOW_RE = re.compile(r"^\s*SHOW\s+(\S+)", re.IGNORECASE)
+_DESCRIBE_RE = re.compile(r"^\s*(?:DESCRIBE|DESC)\s+`?(\w+)`?\s*$", re.IGNORECASE)
+_SHOW_COLUMNS_RE = re.compile(r"^\s*SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+`?(\w+)`?", re.IGNORECASE)
+_SHOW_CREATE_RE = re.compile(r"^\s*SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?", re.IGNORECASE)
 _SYSVAR_SELECT_RE = re.compile(r"^\s*SELECT\s+[^()]*@@", re.IGNORECASE)
 _SYSVAR_TOKEN = re.compile(r"@@(?:session\.|global\.)?([A-Za-z_0-9]+)(?:\s+AS\s+`?([A-Za-z_0-9]+)`?)?", re.IGNORECASE)
 _PING_SELECT = re.compile(r"^\s*SELECT\s+1\s*$", re.IGNORECASE)
@@ -180,6 +183,15 @@ def classify(stmt: str) -> tuple[str, object]:
     m = _TXN_RE.match(stmt)
     if m:
         return "txn", m.group(1).upper()
+    m = _DESCRIBE_RE.match(stmt)
+    if m:
+        return "describe", m.group(1)
+    m = _SHOW_COLUMNS_RE.match(stmt)
+    if m:
+        return "describe", m.group(1)
+    m = _SHOW_CREATE_RE.match(stmt)
+    if m:
+        return "show_create", m.group(1)
     m = _SHOW_RE.match(stmt)
     if m:
         return "show", m.group(1).lower()

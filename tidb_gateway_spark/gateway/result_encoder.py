@@ -52,6 +52,32 @@ def mysql_type_for(dt_: T.DataType) -> tuple[int, int, int]:
     return (C.MYSQL_TYPE_VAR_STRING, 4096, C.DEFAULT_COLLATION_ID)
 
 
+_TYPE_NAMES: list[tuple[type, str]] = [
+    (T.ByteType, "tinyint(4)"),
+    (T.ShortType, "smallint(6)"),
+    (T.IntegerType, "int(11)"),
+    (T.LongType, "bigint(20)"),
+    (T.FloatType, "float"),
+    (T.DoubleType, "double"),
+    (T.BooleanType, "tinyint(1)"),
+    (T.DateType, "date"),
+    (T.TimestampType, "timestamp(6)"),
+    (T.TimestampNTZType, "datetime(6)"),
+    (T.BinaryType, "blob"),
+    (T.StringType, "varchar(1024)"),
+]
+
+
+def mysql_type_name(dt_: T.DataType) -> str:
+    """Spark type → MySQL column-type string (DESCRIBE / SHOW CREATE)."""
+    if isinstance(dt_, T.DecimalType):
+        return f"decimal({dt_.precision},{dt_.scale})"
+    for klass, name in _TYPE_NAMES:
+        if isinstance(dt_, klass):
+            return name
+    return "text"  # arrays/maps/structs serialize as JSON-ish text
+
+
 def encode_value(v: object) -> bytes | None:
     """Python value → text-protocol bytes (None → NULL marker)."""
     if v is None:

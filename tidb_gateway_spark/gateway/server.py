@@ -227,6 +227,15 @@ class Gateway:
             cols, rows = session.show(detail)
             result_encoder.write_simple_resultset(pio, cols, rows, cap,
                                                   status=session.status, more_results=more)
+        elif kind in ("describe", "show_create"):
+            loop = asyncio.get_running_loop()
+            cols, rows = await loop.run_in_executor(
+                self.executor,
+                (session.describe if kind == "describe" else session.show_create),
+                detail,
+            )
+            result_encoder.write_simple_resultset(pio, cols, rows, cap,
+                                                  status=session.status, more_results=more)
         elif kind == "load_data":
             await self._load_data_local(pio, session, detail, more)
         else:
@@ -447,6 +456,32 @@ class _Session:
             "transaction_isolation": "REPEATABLE-READ",
         }
         return self.variables.get(name, defaults.get(name, ""))
+
+    def describe(self, table: str) -> tuple[list[str], list[list[object]]]:
+        """DESCRIBE / SHOW COLUMNS — inverse type mapping (SURVEY §1.3)."""
+        from tidb_gateway_spark.gateway.result_encoder import mysql_type_name
+
+        self.ensure_views()
+        schema = self.spark.table(table).schema
+        rows = [
+            [f.name, mysql_type_name(f.dataType), "YES" if f.nullable else "NO",
+             "", None, ""]
+            for f in schema.fields
+        ]
+        return ["Field", "Type", "Null", "Key", "Default", "Extra"], rows
+
+    def show_create(self, table: str) -> tuple[list[str], list[list[object]]]:
+        from tidb_gateway_spark.gateway.result_encoder import mysql_type_name
+
+        self.ensure_views()
+        schema = self.spark.table(table).schema
+        cols = ",\n".join(
+            f"  `{f.name}` {mysql_type_name(f.dataType)}"
+            + ("" if f.nullable else " NOT NULL")
+            for f in schema.fields
+        )
+        ddl = f"CREATE TABLE `{table}` (\n{cols}\n) ENGINE=SparkSQL DEFAULT CHARSET=utf8mb4"
+        return ["Table", "Create Table"], [[table, ddl]]
 
     def show(self, what: str) -> tuple[list[str], list[list[object]]]:
         if what == "databases":

@@ -172,13 +172,22 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
+    # Hoist norms to one computation per vector per side — recomputing
+    # them inside the pair expression would triple the higher-order-
+    # function work (O(pairs·dim) extra lambda evaluations).
     probes = F.broadcast(
         e.filter(F.col("vec_id") < 20).select(
-            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            norm_expr("embedding").alias("qn"),
         )
     )
-    corpus = e.select(F.col("vec_id").alias("nn"), F.col("embedding").alias("ce"))
-    cs = dot_expr("ce", "qe") / (norm_expr("ce") * norm_expr("qe"))
+    corpus = e.select(
+        F.col("vec_id").alias("nn"),
+        F.col("embedding").alias("ce"),
+        norm_expr("embedding").alias("cn"),
+    )
+    cs = dot_expr("ce", "qe") / (F.col("cn") * F.col("qn"))
     pairs = (
         corpus.join(probes, F.col("nn") != F.col("qid"))
         .select("qid", "nn", cs.alias("cs"))
