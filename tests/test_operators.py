@@ -225,3 +225,42 @@ def test_global_row_number_matches_window(spark, sf_dir):
     from tidb_gateway_spark.plans import inspect
     text = inspect.explain_formatted(scalable)
     assert "SinglePartition" not in text, text
+
+
+# ---- remaining §2B engine-surface rows (map functions, RANGE frames) ----
+
+def test_map_functions_with_literals(spark):
+    df = spark.sql(
+        "SELECT map('a', 1, 'b', 2) AS m"
+    ).select(
+        F.map_keys("m").alias("ks"),
+        F.map_values("m").alias("vs"),
+        F.element_at("m", "b").alias("vb"),
+    )
+    row = df.collect()[0]
+    assert sorted(row["ks"]) == ["a", "b"]
+    assert sorted(row["vs"]) == [1, 2]
+    assert row["vb"] == 2
+
+
+def test_range_frame_window(spark, sf_dir):
+    """RANGE BETWEEN on numeric ordering: sum of values of all events
+    within the preceding 300s (inclusive) per user."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").limit(2000)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-300_000_000, Window.currentRow)
+    )
+    got = e.select("event_id", "user_id", "ts_us", "value",
+                   F.sum("value").over(w).alias("s")).collect()
+    by_user: dict = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rows in by_user.values():
+        for r in rows:
+            expect = sum(x["value"] for x in rows
+                         if r["ts_us"] - 300_000_000 <= x["ts_us"] <= r["ts_us"])
+            assert abs(expect - r["s"]) < 1e-9
