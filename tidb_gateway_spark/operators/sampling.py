@@ -1,0 +1,39 @@
+"""Deterministic sampling / dataset splitting for training-data
+pipelines.
+
+``df.sample()`` is seed-dependent *per partitioning* — resplitting after
+a repartition reassigns rows, which silently leaks eval data into train
+at 100 TB where partitioning changes between runs.  Hash-based splits
+are a pure function of the row key: stable across partitionings,
+engines, and runs, and joinable back to provenance.
+
+The hash is the first 4 md5 bytes of ``salt|key`` taken mod 10 000
+(basis points) — recomputable in any engine (the q82/q83 oracles do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bps(key: Column, salt: str = "split") -> Column:
+    """Deterministic basis-point bucket [0, 10000) from a row key."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"), key.cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 10_000
+    )
+
+
+def deterministic_split(df: DataFrame, key: str, train_bps: int = 9_000,
+                        salt: str = "split") -> tuple[DataFrame, DataFrame]:
+    """(train, eval) split at ``train_bps``/10000 by hashed key."""
+    bucket = hash_bps(F.col(key), salt)
+    return df.filter(bucket < train_bps), df.filter(bucket >= train_bps)
+
+
+def hash_sample(df: DataFrame, key: str, bps: int, salt: str = "sample") -> DataFrame:
+    """~bps/10000 deterministic sample by hashed key — uniform within
+    every stratum by construction (hash is independent of any column),
+    one pass, no sampleBy seed drift."""
+    return df.filter(hash_bps(F.col(key), salt) < bps)

@@ -400,3 +400,119 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt")
     )
+
+
+# ---------------------------------------------------------------- Q82
+# Oracle recomputes hash_bps: first 8 md5 hex chars parsed as a 32-bit
+# int (DuckDB lacks conv(hex); strpos arithmetic builds the value).
+def _ddb_hex_to_int(hexpr: str, n: int) -> str:
+    terms = [
+        f"(strpos('0123456789abcdef', substr({hexpr}, {i + 1}, 1)) - 1) * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_DDB_BPS = (
+    "(" + _ddb_hex_to_int("md5('split|' || CAST(doc_id AS VARCHAR))", 8) + " % 10000)"
+)
+
+
+@register(
+    "q82_deterministic_split",
+    f"SELECT CASE WHEN {_DDB_BPS} < 9000 THEN 'train' ELSE 'eval' END AS part, "
+    "COUNT(*) AS n, COUNT(DISTINCT lang) AS nl FROM documents "
+    "GROUP BY 1 ORDER BY part",
+    doc="Deterministic 90/10 train-eval split by hashed doc_id "
+        "(operators/sampling.py) — stable across partitionings and "
+        "engines, unlike seed-based df.sample; the oracle recomputes the "
+        "md5 bucket from hex arithmetic.",
+    tags=("llm", "sampling"),
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    part = F.when(
+        sampling.hash_bps(F.col("doc_id"), "split") < 9000, "train"
+    ).otherwise("eval")
+    return (
+        d.groupBy(part.alias("part"))
+        .agg(F.count("*").alias("n"), F.countDistinct("lang").alias("nl"))
+        .orderBy("part")
+    )
+
+
+# ---------------------------------------------------------------- Q83
+_DDB_SAMPLE_BPS = (
+    "(" + _ddb_hex_to_int("md5('sample|' || CAST(doc_id AS VARCHAR))", 8) + " % 10000)"
+)
+
+
+@register(
+    "q83_hash_sample_per_stratum",
+    f"SELECT lang, COUNT(*) AS n FROM documents WHERE {_DDB_SAMPLE_BPS} < 2000 "
+    "GROUP BY lang ORDER BY lang",
+    doc="~20% deterministic hash sample, counted per language stratum "
+        "(operators/sampling.py:hash_sample) — uniformity within strata "
+        "falls out of hash independence.",
+    tags=("llm", "sampling"),
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.hash_sample(d, "doc_id", 2000, "sample")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------- Q84
+@register(
+    "q84_corpus_statistics",
+    "WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents) "
+    "SELECT COUNT(*) AS total_tokens, COUNT(DISTINCT w) AS vocab, "
+    "FLOOR((CAST(COUNT(DISTINCT w) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5)/1000000 AS ttr "
+    "FROM toks WHERE w <> ''",
+    doc="Corpus statistics: token count, vocabulary size, type-token "
+        "ratio — the dataset-card numbers for a training corpus.",
+    tags=("llm", "text"),
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("w")).filter(F.col("w") != "")
+    return toks.agg(
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("w").alias("vocab"),
+        stable_round(
+            F.countDistinct("w").cast("double") / F.count("*"), 6
+        ).alias("ttr"),
+    )
+
+
+# ---------------------------------------------------------------- Q85
+@register(
+    "q85_length_percentiles",
+    "SELECT lang, CAST(quantile_cont(n_chars, 0.25) AS DOUBLE) AS p25, "
+    "CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS p50, "
+    "CAST(quantile_cont(n_chars, 0.75) AS DOUBLE) AS p75 "
+    "FROM documents GROUP BY lang ORDER BY lang",
+    doc="Exact length percentiles per language (Spark percentile ↔ "
+        "DuckDB quantile_cont share linear interpolation semantics; "
+        "probed bitwise-equal). At 100 TB use approx_percentile.",
+    tags=("llm", "text", "agg"),
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.expr("CAST(percentile(n_chars, 0.25D) AS DOUBLE)").alias("p25"),
+            F.expr("CAST(percentile(n_chars, 0.5D) AS DOUBLE)").alias("p50"),
+            F.expr("CAST(percentile(n_chars, 0.75D) AS DOUBLE)").alias("p75"),
+        )
+        .orderBy("lang")
+    )
