@@ -586,3 +586,27 @@ def test_describe_and_show_create(gateway):
         await c.quit()
 
     run_with_gateway(gateway, scenario)
+
+
+def test_mysql_dialect_functions_e2e(gateway):
+    """MySQL-isms a 5.7 client would send (SURVEY §4.2 shim table):
+    IFNULL/DIV/backticks are native Spark SQL; LIMIT x,y / GROUP_CONCAT /
+    DATE_FORMAT go through the rewriter."""
+
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        cols, rows = (await c.query(
+            "SELECT IFNULL(NULL, 42) AS a, 17 DIV 5 AS b, `r_name` AS c "
+            "FROM `region` ORDER BY `r_regionkey` LIMIT 1"
+        ))[0]
+        assert rows[0][0] == "42" and rows[0][1] == "3"
+        cols, rows = (await c.query(
+            "SELECT DATE_FORMAT(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n "
+            "FROM orders GROUP BY DATE_FORMAT(o_orderdate, '%Y-%m') "
+            "ORDER BY ym LIMIT 3"
+        ))[0]
+        assert all(len(r[0]) == 7 and r[0][4] == "-" for r in rows)
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
