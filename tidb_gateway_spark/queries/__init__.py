@@ -15,7 +15,8 @@ from tidb_gateway_spark.queries import (  # noqa: F401, E402
     subqueries,
 )
 
-try:  # extended LLM-pipeline ops (Q72+) — registered when present
+try:  # extended ops (Q72+) — registered when present
     from tidb_gateway_spark.queries import llm_extended  # noqa: F401
+    from tidb_gateway_spark.queries import analytics_extended  # noqa: F401
 except ImportError:
     pass
