@@ -89,16 +89,20 @@ def lsh_bands(signatures: DataFrame, bands: int, rows_per_band: int,
     return out
 
 
-def minhash_lsh_candidates(documents: DataFrame, k: int = 6, bands: int = 3) -> DataFrame:
+def minhash_lsh_candidates(documents: DataFrame, k: int = 6, bands: int = 3,
+                           shingles: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs (a < b) via MinHash banding.
 
     At scale the band join is the only shuffle that matters; its key
     (band, bv) is high-cardinality so it spreads evenly, and identical
     documents (the common hot case) collapse into per-bucket groups that
     AQE's skew handling splits if one bucket explodes.
+
+    Pass a precomputed ``shingles`` frame to share the explode+distinct
+    across pipeline stages (the candidate→verify pipeline reuses it).
     """
     rows_per_band = k // bands
-    sigs = minhash_signatures(doc_shingles(documents), k=k)
+    sigs = minhash_signatures(shingles if shingles is not None else doc_shingles(documents), k=k)
     bl = lsh_bands(sigs, bands, rows_per_band)
     x = bl.alias("x")
     y = bl.alias("y")

@@ -139,7 +139,7 @@ _Q74_ORACLE = (
 def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     shingles = dedup.doc_shingles(d)
-    cand = dedup.minhash_lsh_candidates(d, k=_K, bands=_BANDS)
+    cand = dedup.minhash_lsh_candidates(d, k=_K, bands=_BANDS, shingles=shingles)
     jp = dedup.jaccard_pairs(cand, shingles)
     return (
         jp.filter(F.col("jac") >= 0.5)
