@@ -610,3 +610,51 @@ def test_mysql_dialect_functions_e2e(gateway):
         await c.quit()
 
     run_with_gateway(gateway, scenario)
+
+
+def test_large_result_row_fragmentation(gateway):
+    """A >16 MiB row crosses the MAX_PAYLOAD fragmentation boundary
+    through the whole server stack (A14/A15 e2e; SURVEY §7 hard part 3)."""
+
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        n = 17_000_000
+        res = await c.query(f"SELECT repeat('x', {n}) AS big, 7 AS t")
+        cols, rows = res[0]
+        assert cols == ["big", "t"]
+        assert len(rows[0][0]) == n
+        assert set(rows[0][0]) == {"x"}
+        assert rows[0][1] == "7"
+        # connection still healthy afterwards
+        res = await c.query("SELECT 1 AS ok")
+        assert res[0][1] == [["1"]]
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_malformed_packet_closes_only_that_connection(gateway):
+    async def scenario(gw):
+        import struct
+
+        bad_reader, bad_writer = await asyncio.open_connection("127.0.0.1", gw.bound_port)
+        await bad_reader.readexactly(4)  # greeting header
+        # garbage with a wrong sequence number
+        bad_writer.write(struct.pack("<I", 0xDEADBEEF) * 3)
+        await bad_writer.drain()
+        # server drops that connection...
+        try:
+            await asyncio.wait_for(bad_reader.read(), timeout=30)
+        except asyncio.TimeoutError:
+            pass
+        bad_writer.close()
+        # ...but keeps serving others
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        ok = await c.connect("sf001.alice")
+        assert ok[0] == 0x00
+        res = await c.query("SELECT 1 AS ok")
+        assert res[0][1] == [["1"]]
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)

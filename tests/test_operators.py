@@ -264,3 +264,35 @@ def test_range_frame_window(spark, sf_dir):
             expect = sum(x["value"] for x in rows
                          if r["ts_us"] - 300_000_000 <= x["ts_us"] <= r["ts_us"])
             assert abs(expect - r["s"]) < 1e-9
+
+
+# ---- generic as-of join ----
+
+def test_asof_join_matches_correlated_semantics(spark, sf_dir):
+    """operators/asof.py against a brute-force per-row oracle: for each
+    purchase event, the value of the latest strictly-earlier event of
+    the same user (any type)."""
+    from tidb_gateway_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    right = e.select("user_id", "ts_us", F.col("value").alias("prev_value"),
+                     F.col("event_id").alias("prev_id"))
+    got = asof_join(left, right, "user_id", "ts_us",
+                    ["prev_value", "prev_id"]).collect()
+
+    rows = e.select("event_id", "user_id", "ts_us", "value").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for v in by_user.values():
+        v.sort(key=lambda r: r["ts_us"])
+    expect = {}
+    for r in rows:
+        prev = [x for x in by_user[r["user_id"]] if x["ts_us"] < r["ts_us"]]
+        expect[r["event_id"]] = prev[-1]["event_id"] if prev else None
+    assert got, "no purchase events?"
+    for r in got:
+        assert r["prev_id_asof"] == expect[r["event_id"]], r
