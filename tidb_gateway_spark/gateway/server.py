@@ -58,15 +58,24 @@ class Gateway:
         self.conn_ids = itertools.count(1)  # atomic counter analog (gateway.go:71)
         self.executor = ThreadPoolExecutor(max_workers=max_workers)
         self._server: asyncio.AbstractServer | None = None
+        self._conn_tasks: set[asyncio.Task] = set()
 
     # ---- lifecycle ----
     async def start(self) -> None:
         self._server = await asyncio.start_server(self._handle_conn, self.host, self.port)
 
-    async def stop(self) -> None:
+    async def stop(self, drain_timeout: float = 10.0) -> None:
+        """Close the listener and drain in-flight connections (the
+        WaitGroup shutdown of gateway.go:42-48), cancelling stragglers."""
         if self._server:
             self._server.close()
             await self._server.wait_closed()
+        if self._conn_tasks:
+            done, pending = await asyncio.wait(self._conn_tasks, timeout=drain_timeout)
+            for t in pending:
+                t.cancel()
+            if pending:
+                await asyncio.gather(*pending, return_exceptions=True)
 
     @property
     def bound_port(self) -> int:
@@ -75,6 +84,10 @@ class Gateway:
     # ---- per-connection ----
     async def _handle_conn(self, reader: asyncio.StreamReader,
                            writer: asyncio.StreamWriter) -> None:
+        task = asyncio.current_task()
+        if task is not None:
+            self._conn_tasks.add(task)
+            task.add_done_callback(self._conn_tasks.discard)
         conn_id = next(self.conn_ids)
         pio = PacketIO(reader, writer)
         try:
@@ -523,14 +536,24 @@ def main() -> None:
     ap.add_argument("--cluster", action="append", default=[],
                     help="id=sf_dir (repeatable, like the reference's --backend)")
     ap.add_argument("--default", dest="default_cluster", default=None)
+    # TLS flags mirror the reference's (main.go / tls.go:11-45)
+    ap.add_argument("--cert", default=None, help="server certificate PEM")
+    ap.add_argument("--key", default=None, help="server private key PEM")
+    ap.add_argument("--ca", default=None, help="client CA pool (enables mTLS)")
     args = ap.parse_args()
+
+    ssl_context = None
+    if args.cert and args.key:
+        from tidb_gateway_spark.gateway.tls import load_server_context
+
+        ssl_context = load_server_context(args.cert, args.key, cafile=args.ca)
 
     clusters = dict(c.split("=", 1) for c in args.cluster)
     default = clusters.get(args.default_cluster, next(iter(clusters.values()), None))
     spark = get_spark("tidb-gateway-spark-server")
     asyncio.run(
         serve_forever(spark, clusters, default_cluster=default,
-                      host=args.host, port=args.port)
+                      host=args.host, port=args.port, ssl_context=ssl_context)
     )
 
 
