@@ -658,3 +658,20 @@ def test_malformed_packet_closes_only_that_connection(gateway):
         await c.quit()
 
     run_with_gateway(gateway, scenario)
+
+
+def test_prepared_param_quoting(gateway):
+    """String params containing quotes/backslashes bind safely (the
+    literal-rendering path must not be injectable or lossy)."""
+
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        sid, _ = await c.stmt_prepare("SELECT ? AS v, length(?) AS l")
+        tricky = "O'Brien \\ ' DROP; --"
+        cols, rows = await c.stmt_execute(sid, [tricky, tricky])
+        assert rows[0][0] == tricky
+        assert rows[0][1] == len(tricky)
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
