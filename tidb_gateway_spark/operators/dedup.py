@@ -37,8 +37,12 @@ def doc_words(documents: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def doc_shingles(documents: DataFrame, n: int = 3, id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
-    """Distinct (doc_id, shingle) pairs with n-word shingles.
+                 text_col: str = "text", distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) pairs with n-word shingles.
+
+    ``distinct=False`` skips the dedup shuffle — correct for consumers
+    that are multiset-invariant (MinHash: min over a multiset equals min
+    over its set); Jaccard needs the distinct sets.
 
     Shingle choice is load-bearing: unigram sets collapse when the corpus
     shares a small vocabulary (every document collides with every other —
@@ -53,14 +57,14 @@ def doc_shingles(documents: DataFrame, n: int = 3, id_col: str = "doc_id",
         + ", ' ', ".join(f"element_at(wlist, i + {k})" for k in range(n))
         + ")) ELSE array(concat_ws(' ', wlist)) END"
     )
-    return (
+    out = (
         documents.select(
             id_col,
             F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("wlist"),
         )
         .select(id_col, F.explode(F.expr(shingle_expr)).alias("w"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(words: DataFrame, k: int = 6, id_col: str = "doc_id") -> DataFrame:
@@ -102,7 +106,10 @@ def minhash_lsh_candidates(documents: DataFrame, k: int = 6, bands: int = 3,
     across pipeline stages (the candidate→verify pipeline reuses it).
     """
     rows_per_band = k // bands
-    sigs = minhash_signatures(shingles if shingles is not None else doc_shingles(documents), k=k)
+    sigs = minhash_signatures(
+        shingles if shingles is not None else doc_shingles(documents, distinct=False),
+        k=k,
+    )
     bl = lsh_bands(sigs, bands, rows_per_band)
     x = bl.alias("x")
     y = bl.alias("y")
