@@ -516,3 +516,88 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------- Q90
+@register(
+    "q90_incremental_dedup_anti_join",
+    f"WITH seen AS (SELECT md5(text) AS h FROM documents WHERE {_DDB_SAMPLE_BPS} < 5000) "
+    "SELECT COUNT(*) AS novel, (SELECT COUNT(*) FROM documents) AS total FROM documents d "
+    "WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.h = md5(d.text))",
+    doc="Incremental dedup: new-batch documents anti-joined against a "
+        "prior snapshot's content hashes (the daily-ingest shape — the "
+        "'snapshot' here is a deterministic half-sample). The anti join "
+        "shuffles 16-byte hashes only.",
+    tags=("dedup", "llm"),
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    seen = sampling.hash_sample(d, "doc_id", 5000, "sample").select(
+        F.md5("text").alias("h")
+    )
+    novel = (
+        d.select("doc_id", F.md5("text").alias("h"))
+        .join(seen, "h", "left_anti")
+        .agg(F.count("*").alias("novel"))
+    )
+    total = d.agg(F.count("*").alias("total"))
+    return novel.crossJoin(total)
+
+
+# ---------------------------------------------------------------- Q91
+@register(
+    "q91_contamination_check",
+    f"WITH {_DDB_SHINGLES}, "
+    "bench AS (SELECT DISTINCT w FROM shingles WHERE doc_id < 10), "
+    "hits AS (SELECT DISTINCT s.doc_id FROM shingles s JOIN bench b ON s.w = b.w "
+    "WHERE s.doc_id >= 10) "
+    "SELECT COUNT(*) AS contaminated FROM hits",
+    doc="Eval-contamination detection: corpus documents sharing any "
+        "3-word shingle with a benchmark set (doc_id < 10) via semi-join "
+        "on shingles — the standard decontamination pass before "
+        "training; cost ∝ shingles, never pairwise.",
+    tags=("dedup", "llm", "text"),
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shingles = dedup.doc_shingles(d)
+    bench = shingles.filter(F.col("doc_id") < 10).select("w").distinct()
+    return (
+        shingles.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "w", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .agg(F.count("*").alias("contaminated"))
+    )
+
+
+# ---------------------------------------------------------------- Q92
+_PII_PATTERNS = {
+    "email": "[a-z0-9._]+@[a-z0-9]+[.][a-z]+",
+    "longnum": "[0-9]{6,}",
+    "url": "https?://[^ ]+",
+}
+
+
+@register(
+    "q92_pii_pattern_scan",
+    "SELECT "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN regexp_matches(text, '{pat}') THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
+        for name, pat in _PII_PATTERNS.items()
+    )
+    + ", COUNT(*) AS total FROM documents",
+    doc="Safety/PII pattern scan: documents matching email/long-number/"
+        "URL regexes (the pre-training filter pass). Single scan, all "
+        "patterns evaluated per row inside codegen.",
+    tags=("text", "llm"),
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    aggs = [
+        F.sum(F.when(F.col("text").rlike(pat), 1).otherwise(0)).alias(name)
+        for name, pat in _PII_PATTERNS.items()
+    ]
+    return d.agg(*aggs, F.count("*").alias("total"))
