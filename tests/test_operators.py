@@ -227,6 +227,89 @@ def test_global_row_number_matches_window(spark, sf_dir):
     assert "SinglePartition" not in text, text
 
 
+def test_global_row_number_is_permutation_sf001(spark):
+    """Regression: repartitionByRange-based ranking re-sampled boundaries
+    per execution, so the counts job and final job could disagree →
+    duplicate/gapped ranks (caught at sf0.01 by the driver sim).  The
+    literal-boundary bucketing must yield an exact 1..N permutation."""
+    from tidb_gateway_spark.operators.rank import global_row_number
+
+    o = load_table(spark, "/root/testdata/sf0.01", "orders")
+    r = global_row_number(
+        o.select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
+        out_col="rn",
+        num_partitions=8,
+    )
+    agg = r.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("rn").alias("d"),
+        F.min("rn").alias("mn"),
+        F.max("rn").alias("mx"),
+    ).collect()[0]
+    assert agg["n"] == agg["d"] == agg["mx"], agg
+    assert agg["mn"] == 1, agg
+
+
+def test_global_dense_rank_matches_window(spark, sf_dir):
+    from pyspark.sql import Window
+    from tidb_gateway_spark.operators.rank import global_dense_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    scalable = global_dense_rank(
+        o, ["o_orderpriority"], out_col="dr", num_partitions=3
+    ).select("o_orderkey", "dr")
+    w = Window.orderBy("o_orderpriority")
+    reference = o.select("o_orderkey", F.dense_rank().over(w).alias("dr"))
+    assert scalable.subtract(reference).count() == 0
+    assert reference.subtract(scalable).count() == 0
+
+
+def test_global_dense_rank_desc_order(spark, sf_dir):
+    from pyspark.sql import Window
+    from tidb_gateway_spark.operators.rank import global_dense_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    scalable = global_dense_rank(
+        o, ["o_orderpriority"], order_cols=[("o_orderpriority", "desc")],
+        out_col="dr", num_partitions=3,
+    ).select("o_orderkey", "dr")
+    w = Window.orderBy(F.desc("o_orderpriority"))
+    reference = o.select("o_orderkey", F.dense_rank().over(w).alias("dr"))
+    assert scalable.subtract(reference).count() == 0
+    assert reference.subtract(scalable).count() == 0
+
+
+def test_global_ntile_matches_window(spark, sf_dir):
+    from pyspark.sql import Window
+    from tidb_gateway_spark.operators.rank import global_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    for n in (4, 7):  # 7 does not divide the row count → uneven tiles
+        scalable = global_ntile(
+            o, n, ["o_totalprice", "o_orderkey"], out_col="q",
+            num_partitions=5,
+        ).select("o_orderkey", "q")
+        w = Window.orderBy("o_totalprice", "o_orderkey")
+        reference = o.select("o_orderkey", F.ntile(n).over(w).alias("q"))
+        assert scalable.subtract(reference).count() == 0, f"ntile({n})"
+        assert reference.subtract(scalable).count() == 0, f"ntile({n})"
+
+
+def test_global_ntile_fewer_rows_than_tiles(spark, sf_dir):
+    from pyspark.sql import Window
+    from tidb_gateway_spark.operators.rank import global_ntile
+
+    r = load_table(spark, sf_dir, "region")  # 5 rows
+    scalable = global_ntile(
+        r, 8, ["r_regionkey"], out_col="q", num_partitions=3
+    ).select("r_regionkey", "q")
+    w = Window.orderBy("r_regionkey")
+    reference = r.select("r_regionkey", F.ntile(8).over(w).alias("q"))
+    assert scalable.subtract(reference).count() == 0
+    assert reference.subtract(scalable).count() == 0
+
+
 # ---- remaining §2B engine-surface rows (map functions, RANGE frames) ----
 
 def test_map_functions_with_literals(spark):

@@ -64,6 +64,29 @@ def test_topk_never_global_sorts(spark, sf_dir):
     assert "TakeOrderedAndProject" in inspect.explain_formatted(df)
 
 
+def test_global_window_queries_have_no_single_partition_sort(spark, sf_dir):
+    """q32/q37 (global rank / ntile) route through the two-pass
+    range-partitioned operators: their physical plans must not contain
+    a single-partition exchange (the 100×-scale killer a bare
+    Window.orderBy would introduce)."""
+    for qid in ("q32_rank_dense_rank", "q37_ntile"):
+        df = REGISTRY[qid].spark(spark, sf_dir)
+        text = inspect.explain_formatted(df)
+        assert "SinglePartition" not in text, f"{qid}: {text}"
+
+
+def test_q75_argmax_is_partial_aggregate_not_window(spark, sf_dir):
+    """q75's per-probe argmax must be a partial-aggregable max(struct)
+    — partial+final aggregation (SortAggregate: struct max can't use
+    hash-agg buffers, but each map task still reduces to ≤20 rows before
+    the shuffle), no Window over corpus-sized qid partitions."""
+    df = REGISTRY["q75_cosine_nearest_neighbor"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    assert "Window" not in text, text
+    n_aggs = text.count("HashAggregate") + text.count("SortAggregate")
+    assert n_aggs >= 2, text
+
+
 def test_no_rowudf_in_declared_plans(spark, sf_dir):
     """Declared queries must stay JVM-side: no row-at-a-time Python
     UDFs in any plan (q81's ArrowEvalPython/mapInPandas is the only

@@ -1,29 +1,160 @@
-"""Scalable global ranking.
+"""Scalable global ranking (ROW_NUMBER / RANK / DENSE_RANK / NTILE).
 
 A vanilla ``Window.orderBy(...)`` with no partition key moves ALL rows
 to one partition — correct, but a single-machine bottleneck that defeats
 the cluster at 100 TB (Spark even warns).  The scalable formulation is
-the classic two-pass range-partitioned rank:
+the classic two-pass range-bucketed rank:
 
-1. range-partition by the sort key (``repartitionByRange`` samples
-   boundaries);
-2. rank within each partition (cheap, local sort);
-3. compute per-partition row counts, prefix-sum them on the driver
-   (#partitions values, not rows), and add each partition's offset.
+1. compute range-bucket boundaries for the leading sort key ONCE
+   (approx-percentile collect, #partitions scalars) and embed them as
+   literals, making bucket assignment a pure deterministic expression;
+2. rank within each bucket (``Window.partitionBy(bucket)`` — cheap,
+   bucket-local sort);
+3. compute per-bucket row counts, prefix-sum them on the driver
+   (#buckets values, not rows), and add each bucket's offset.
 
-Ties across partition boundaries are handled by ranking on the full
-(key, tiebreak) ordering, which range partitioning keeps contiguous.
+Why not ``repartitionByRange`` + ``spark_partition_id``: range-exchange
+boundaries are re-SAMPLED on every execution (empirically
+non-deterministic across jobs of the same session), so a counts job and
+the final job can disagree about which partition a row lands in —
+producing corrupted offsets.  Literal boundaries make every execution
+agree by construction.
 
-``global_row_number`` is exact and distributed; the declared global
-window queries (q32/q37) keep the single-partition form for oracle
-parity at fixture scale — this operator is what replaces them at 100 TB
-(tests assert equivalence).
+Ties on the leading key all land in the same bucket (boundary
+comparisons are strict), so a non-unique leading key is safe; include a
+unique tiebreak in ``order_cols`` for deterministic output.  A single
+hot leading-key value collapses into one bucket — the same skew
+exposure RangePartitioner has; mitigate by choosing a higher-resolution
+leading key.
+
+These operators are wired into the declared global-window queries
+(q32/q37 in queries/windows.py) so the plan the engine ships is the one
+you'd run at scale; tests/test_plans.py asserts their physical plans
+contain no single-partition window exchange, and tests/test_operators.py
+asserts value equivalence with the vanilla window forms.
+
+Building a ranked DataFrame triggers two eager metadata-sized jobs (the
+boundary quantiles and the per-bucket counts — scalars, never rows).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_NUMERIC_KINDS = (
+    "int", "bigint", "smallint", "tinyint", "float", "double", "decimal"
+)
+
+
+def _norm_keys(order_cols: list) -> list[tuple[str, bool]]:
+    """Normalize order_cols entries to (column_name, descending).
+
+    Accepted entry forms: ``"name"`` (ascending) or ``("name", "desc")``
+    / ``("name", "asc")``.
+    """
+    keys: list[tuple[str, bool]] = []
+    for c in order_cols:
+        if isinstance(c, str):
+            keys.append((c, False))
+        elif isinstance(c, (tuple, list)) and len(c) == 2:
+            keys.append((c[0], str(c[1]).lower() == "desc"))
+        else:
+            raise TypeError(
+                f"order_cols entries must be 'name' or ('name', 'asc'|'desc'); got {c!r}"
+            )
+    return keys
+
+
+def _sort_exprs(keys: list[tuple[str, bool]]) -> list[Column]:
+    return [F.col(n).desc() if d else F.col(n).asc() for n, d in keys]
+
+
+def _order_surrogate(name: str, dtype: str) -> Column | None:
+    """An order-preserving numeric proxy of the leading sort key, used
+    only for BUCKETING (rows with equal proxies tie into the same
+    bucket, which is always safe — the in-bucket window sorts exactly).
+
+    numeric → itself; string → first 7 UTF-8 bytes as a bigint
+    (truncate-then-right-pad keeps binary/lexicographic order);
+    date/timestamp → epoch seconds.  Unsupported types → None (single
+    bucket).
+    """
+    col = F.col(name)
+    if dtype.startswith(_NUMERIC_KINDS):
+        return col
+    if dtype == "string":
+        hex14 = F.rpad(F.substring(F.hex(F.encode(col, "UTF-8")), 1, 14), 14, "0")
+        return F.conv(hex14, 16, 10).cast("bigint")
+    if dtype in ("date", "timestamp", "timestamp_ntz"):
+        return col.cast("timestamp").cast("double")
+    if dtype == "boolean":
+        return col.cast("int")
+    return None
+
+
+def _bucket_expr(df: DataFrame, leading: tuple[str, bool],
+                 parts: int) -> Column:
+    """Deterministic range-bucket id (0-based, ordered like the sort).
+
+    Boundaries are approx-percentiles of the leading key (via its
+    order-preserving numeric surrogate), computed once and baked in as
+    literals, so every execution assigns identical buckets.
+    """
+    name, desc = leading
+    dtype = dict(df.dtypes)[name]
+    skey = _order_surrogate(name, dtype)
+    if parts <= 1 or skey is None:
+        return F.lit(0)
+    probs = [i / parts for i in range(1, parts)]
+    row = df.select(
+        F.percentile_approx(
+            skey, F.array(*[F.lit(p) for p in probs]), F.lit(10000)
+        ).alias("q")
+    ).collect()[0]
+    qs = [v for v in (row["q"] or []) if v is not None]
+    bounds = sorted(set(qs), reverse=desc)
+    if not bounds:
+        return F.lit(0)
+    col = F.col(name)
+    if desc:
+        hits = [F.when(skey < F.lit(b), 1).otherwise(0) for b in bounds]
+        expr = sum(hits[1:], hits[0])
+        # desc ordering puts NULLs last in Spark
+        return F.when(col.isNull(), F.lit(len(bounds))).otherwise(expr)
+    hits = [F.when(skey > F.lit(b), 1).otherwise(0) for b in bounds]
+    expr = sum(hits[1:], hits[0])
+    # asc ordering puts NULLs first; null comparisons fall to otherwise(0)
+    return F.when(col.isNull(), F.lit(0)).otherwise(expr)
+
+
+def _ranked(df: DataFrame, order_cols: list, out_col: str,
+            num_partitions: int | None) -> tuple[DataFrame, int]:
+    """Range-bucketed global row_number; returns (df, total_rows)."""
+    keys = _norm_keys(order_cols)
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    bucketed = df.withColumn("_bucket", _bucket_expr(df, keys[0], parts))
+    w = Window.partitionBy("_bucket").orderBy(*_sort_exprs(keys))
+    local = bucketed.withColumn("_local_rn", F.row_number().over(w))
+    # per-bucket counts: #buckets rows to the driver, not data.  Bucket
+    # assignment is a deterministic literal expression, so this job and
+    # the final execution agree by construction.
+    counts = {
+        r["_bucket"]: r["n"]
+        for r in bucketed.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    offset_col = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )[F.col("_bucket")]
+    out = (
+        local.withColumn(out_col, (F.col("_local_rn") + offset_col).cast("int"))
+        .drop("_bucket", "_local_rn")
+    )
+    return out, acc
 
 
 def global_row_number(df: DataFrame, order_cols: list, out_col: str = "rn",
@@ -31,29 +162,61 @@ def global_row_number(df: DataFrame, order_cols: list, out_col: str = "rn",
     """Exact global ROW_NUMBER over ``order_cols`` without a
     single-partition window.
 
-    ``order_cols``: list of Columns or names; must be a total order
-    (include a unique tiebreak) for deterministic output.
+    ``order_cols``: list of ``"name"`` / ``("name", "desc")`` entries;
+    must be a total order (include a unique tiebreak) for deterministic
+    output.  With a total order this is also exact RANK (ties are
+    impossible, so RANK == ROW_NUMBER).
     """
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, *cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    w = Window.partitionBy("_pid").orderBy(*cols)
-    local = ranged.withColumn("_local_rn", F.row_number().over(w))
-    # per-partition counts: #partitions rows to the driver, not data
-    counts = {
-        r["_pid"]: r["n"]
-        for r in local.groupBy("_pid").agg(F.count("*").alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offset_col = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )[F.col("_pid")]
-    return (
-        local.withColumn(out_col, (F.col("_local_rn") + offset_col).cast("int"))
-        .drop("_pid", "_local_rn")
-    )
+    return _ranked(df, order_cols, out_col, num_partitions)[0]
+
+
+def global_dense_rank(df: DataFrame, key_cols: list[str],
+                      order_cols: list | None = None, out_col: str = "dr",
+                      num_partitions: int | None = None,
+                      broadcast_keys: bool = True) -> DataFrame:
+    """Exact global DENSE_RANK over ``key_cols`` without a
+    single-partition window.
+
+    DENSE_RANK depends only on the *distinct* ordering keys, so rank the
+    distinct-key set (usually ≪ rows; one hot key collapses to one row,
+    making this skew-immune) and join the ranks back.  ``order_cols``
+    defaults to ascending ``key_cols``; pass ``("name", "desc")``
+    entries for descending semantics.  The join side is broadcast by
+    default — set ``broadcast_keys=False`` when the distinct-key set is
+    itself huge and let AQE pick the strategy.
+    """
+    keys = df.select(*key_cols).distinct()
+    ranked = global_row_number(keys, order_cols or list(key_cols), out_col,
+                               num_partitions)
+    if broadcast_keys:
+        ranked = F.broadcast(ranked)
+    return df.join(ranked, on=list(key_cols))
+
+
+def global_ntile(df: DataFrame, n: int, order_cols: list,
+                 out_col: str = "q",
+                 num_partitions: int | None = None) -> DataFrame:
+    """Exact global NTILE(n) over ``order_cols`` without a
+    single-partition window.
+
+    Standard SQL tile semantics: with N total rows, the first N mod n
+    tiles get ceil(N/n) rows, the rest floor(N/n).  The tile is a pure
+    arithmetic function of the global row number and N (a driver-side
+    scalar from the ranking pass), so no second shuffle is needed.
+    ``order_cols`` must be a total order for deterministic assignment.
+    """
+    ranked, total = _ranked(df, order_cols, "_rn", num_partitions)
+    base, rem = divmod(total, n)
+    rn = F.col("_rn")
+    if base == 0:
+        # fewer rows than tiles: row i goes to tile i
+        tile = rn
+    else:
+        boundary = rem * (base + 1)
+        tile = F.when(
+            rn <= F.lit(boundary),
+            F.floor((rn - 1) / F.lit(base + 1)) + 1,
+        ).otherwise(
+            F.lit(rem) + F.floor((rn - F.lit(boundary) - 1) / F.lit(base)) + 1
+        )
+    return ranked.withColumn(out_col, tile.cast("int")).drop("_rn")

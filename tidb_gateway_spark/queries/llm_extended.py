@@ -165,12 +165,13 @@ _Q75_ORACLE = (
     _Q75_ORACLE,
     doc="Exact cosine nearest neighbor for the first 20 vectors "
         "(embedding-cosine near-dup primitive): broadcast the 20-row "
-        "probe side, scan the corpus once, per-probe argmax window.",
+        "probe side, scan the corpus once, per-probe argmax as a "
+        "max(struct) aggregate — partial-aggregable map-side, so each "
+        "corpus partition reduces to ≤20 rows before the shuffle; no "
+        "per-probe sort, no corpus-sized window partitions at 100 TB.",
     tags=("similarity", "llm"),
 )
 def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "embeddings")
     # Hoist norms to one computation per vector per side — recomputing
     # them inside the pair expression would triple the higher-order-
@@ -192,11 +193,21 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(probes, F.col("nn") != F.col("qid"))
         .select("qid", "nn", cs.alias("cs"))
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("nn"))
+    # Argmax via max(struct(cs, -nn)): lexicographic struct max picks the
+    # highest cosine, ties broken toward the lowest neighbor id — same
+    # total order as ROW_NUMBER() OVER (ORDER BY cs DESC, nn).  Unlike a
+    # window, this aggregates partially on the map side (each partition
+    # emits ≤ n_probes rows), so the shuffle is O(partitions × probes),
+    # independent of corpus size.
+    best = pairs.groupBy("qid").agg(
+        F.max(F.struct(F.col("cs"), (-F.col("nn")).alias("neg_nn"))).alias("b")
+    )
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("qid", "nn", stable_round(F.col("cs"), 4).alias("cs"))
+        best.select(
+            "qid",
+            (-F.col("b.neg_nn")).alias("nn"),
+            stable_round(F.col("b.cs"), 4).alias("cs"),
+        )
         .orderBy("qid")
     )
 

@@ -2,10 +2,14 @@
 
 Scale notes: per-user windows (Q31/33–36) shuffle once by user_id then
 sort within partitions — scales linearly.  The *global* windows (Q32
-rank over all orders, Q37 ntile) are single-partition by construction in
-vanilla Spark; they are correct here, and at 100 TB a global rank would
-be re-expressed as a two-pass range-partitioned rank (sample → range
-boundaries → per-partition rank + offset), which `operators/` documents.
+rank over all orders, Q37 ntile) would be single-partition sorts in
+vanilla Spark; the declared plans instead route through the two-pass
+range-partitioned operators in operators/rank.py (sample → range
+boundaries → per-partition rank + driver-side offset prefix-sum), so
+the shipped plan is the one you'd run at 100 TB.  tests/test_plans.py
+asserts no single-partition window exchange appears in their physical
+plans; tests/test_operators.py asserts equivalence with the vanilla
+window forms.
 """
 
 from __future__ import annotations
@@ -43,19 +47,30 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT o_orderkey, CAST(RANK() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS r, "
     "CAST(DENSE_RANK() OVER (ORDER BY o_orderpriority) AS INT) AS dr "
     "FROM orders ORDER BY o_orderkey LIMIT 100",
-    doc="RANK / DENSE_RANK over global windows.",
+    doc="RANK / DENSE_RANK over global windows, via the scale-safe "
+        "two-pass operators (operators/rank.py): the rank ordering has "
+        "a unique tiebreak (o_orderkey) so RANK == global ROW_NUMBER; "
+        "DENSE_RANK ranks the distinct o_orderpriority set (5 values) "
+        "and broadcast-joins the ranks back.  No single-partition sort.",
     tags=("window",),
 )
 def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.rank import (
+        global_dense_rank,
+        global_row_number,
+    )
+
     o = load_table(spark, sf_dir, "orders")
-    wr = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    wd = Window.orderBy("o_orderpriority")
+    # RANK() OVER (ORDER BY o_totalprice DESC, o_orderkey): the tiebreak
+    # makes the ordering total, so rank == row_number exactly.
+    ranked = global_row_number(
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        [("o_totalprice", "desc"), "o_orderkey"],
+        out_col="r",
+    )
+    dense = global_dense_rank(ranked, ["o_orderpriority"], out_col="dr")
     return (
-        o.select(
-            "o_orderkey",
-            F.rank().over(wr).alias("r"),
-            F.dense_rank().over(wd).alias("dr"),
-        )
+        dense.select("o_orderkey", "r", "dr")
         .orderBy("o_orderkey")
         .limit(100)
     )
@@ -140,15 +155,20 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT CAST(q AS INT) AS q, COUNT(*) AS n FROM "
     "(SELECT NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q FROM orders) t "
     "GROUP BY q ORDER BY q",
-    doc="NTILE quartiles (deterministic: unique orderkey tiebreak).",
+    doc="NTILE quartiles (deterministic: unique orderkey tiebreak), via "
+        "the scale-safe two-pass global_ntile (operators/rank.py): tile "
+        "is pure arithmetic on the range-partitioned row number and the "
+        "driver-side total.  No single-partition sort.",
     tags=("window",),
 )
 def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.rank import global_ntile
+
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
-        o.select(F.ntile(4).over(w).alias("q"))
-        .groupBy("q")
-        .agg(F.count("*").alias("n"))
-        .orderBy("q")
+    tiled = global_ntile(
+        o.select("o_totalprice", "o_orderkey"),
+        4,
+        ["o_totalprice", "o_orderkey"],
+        out_col="q",
     )
+    return tiled.groupBy("q").agg(F.count("*").alias("n")).orderBy("q")
