@@ -7,6 +7,7 @@ dialect rewrites, and the compressed protocol."""
 from __future__ import annotations
 
 import asyncio
+import datetime as dt_mod
 
 import pytest
 
@@ -39,6 +40,7 @@ class MiniClient:
         self.pio = PacketIO(self.reader, self.writer)
         greeting = Handshake.read(await self.pio.read_packet())
         assert greeting.server_version == C.SERVER_VERSION
+        self.server_capability = greeting.capability
         caps = self.capability | (C.CLIENT_COMPRESS if compress else 0)
         auth = native_scramble(password, greeting.auth_plugin_data) if password else b""
         res = HandshakeResponse(
@@ -155,20 +157,26 @@ class MiniClient:
         b = Buffer(first)
         b.skip(1)
         stmt_id = b.read_uint(4)
-        b.read_uint(2)  # num_columns (0: resolved at execute)
+        num_columns = b.read_uint(2)
         num_params = b.read_uint(2)
         if num_params:
             await self._read_coldefs(num_params)
             eof = await self.pio.read_packet()
             assert eof[0] == 0xFE
+        self.last_prepare_columns = None
+        if num_columns:
+            self.last_prepare_columns = await self._read_coldefs(num_columns)
+            eof = await self.pio.read_packet()
+            assert eof[0] == 0xFE
         return stmt_id, num_params
 
-    async def stmt_execute(self, stmt_id: int, params: list):
+    def _encode_execute_body(self, stmt_id: int, params: list,
+                             cursor: bool = False, send_types: bool = True):
         import struct
 
         body = Buffer()
         body.write_uint(stmt_id, 4)
-        body.write_byte(0)      # flags
+        body.write_byte(C.CURSOR_TYPE_READ_ONLY if cursor else 0)
         body.write_uint(1, 4)   # iteration count
         if params:
             nulls = bytearray((len(params) + 7) // 8)
@@ -176,30 +184,64 @@ class MiniClient:
                 if v is None:
                     nulls[i // 8] |= 1 << (i % 8)
             body.write_bytes(bytes(nulls))
-            body.write_byte(1)  # new params bound
-            for v in params:
-                if v is None:
-                    body.write_byte(C.MYSQL_TYPE_NULL)
-                    body.write_byte(0)
-                elif isinstance(v, int):
-                    body.write_byte(C.MYSQL_TYPE_LONGLONG)
-                    body.write_byte(0)
-                elif isinstance(v, float):
-                    body.write_byte(C.MYSQL_TYPE_DOUBLE)
-                    body.write_byte(0)
-                else:
-                    body.write_byte(C.MYSQL_TYPE_VAR_STRING)
-                    body.write_byte(0)
+            body.write_byte(1 if send_types else 0)
+            if send_types:
+                for v in params:
+                    if v is None:
+                        body.write_byte(C.MYSQL_TYPE_NULL)
+                        body.write_byte(0)
+                    elif isinstance(v, dt_mod.timedelta):
+                        body.write_byte(C.MYSQL_TYPE_TIME)
+                        body.write_byte(0)
+                    elif isinstance(v, int):
+                        body.write_byte(C.MYSQL_TYPE_LONGLONG)
+                        body.write_byte(0)
+                    elif isinstance(v, float):
+                        body.write_byte(C.MYSQL_TYPE_DOUBLE)
+                        body.write_byte(0)
+                    else:
+                        body.write_byte(C.MYSQL_TYPE_VAR_STRING)
+                        body.write_byte(0)
             for v in params:
                 if v is None:
                     continue
-                if isinstance(v, int):
+                if isinstance(v, dt_mod.timedelta):
+                    total_us = int(v / dt_mod.timedelta(microseconds=1))
+                    neg = 1 if total_us < 0 else 0
+                    total_us = abs(total_us)
+                    s, us = divmod(total_us, 1_000_000)
+                    days, rem = divmod(s, 86400)
+                    h, rem = divmod(rem, 3600)
+                    mi, sec = divmod(rem, 60)
+                    if us:
+                        body.write_byte(12)
+                        body.write_byte(neg)
+                        body.write_uint(days, 4)
+                        body.write_bytes(bytes([h, mi, sec]))
+                        body.write_uint(us, 4)
+                    else:
+                        body.write_byte(8)
+                        body.write_byte(neg)
+                        body.write_uint(days, 4)
+                        body.write_bytes(bytes([h, mi, sec]))
+                elif isinstance(v, int):
                     body.write_bytes(struct.pack("<q", v))
                 elif isinstance(v, float):
                     body.write_bytes(struct.pack("<d", v))
                 else:
                     body.write_lenenc_string(str(v).encode())
-        await self.command(C.COM_STMT_EXECUTE, body.getvalue())
+        return body.getvalue()
+
+    async def _read_binary_rows(self, cols):
+        first = await self.pio.read_packet()
+        return await self._read_binary_rows_with_first(first, cols)
+
+    async def stmt_execute(self, stmt_id: int, params: list,
+                           send_types: bool = True):
+        await self.command(
+            C.COM_STMT_EXECUTE,
+            self._encode_execute_body(stmt_id, params, send_types=send_types),
+        )
         first = await self.pio.read_packet()
         if first[0] == 0xFF:
             return {"error": int.from_bytes(first[1:3], "little")}
@@ -207,12 +249,52 @@ class MiniClient:
         cols = await self._read_coldefs(ncols)
         eof = await self.pio.read_packet()
         assert eof[0] == 0xFE
-        rows = []
+        rows, _ = await self._read_binary_rows(cols)
+        return ([c[0] for c in cols], rows)
+
+    async def stmt_execute_cursor(self, stmt_id: int, params: list):
+        """EXECUTE with CURSOR_TYPE_READ_ONLY: server answers column
+        definitions + EOF only; rows come via stmt_fetch."""
+        await self.command(
+            C.COM_STMT_EXECUTE,
+            self._encode_execute_body(stmt_id, params, cursor=True),
+        )
+        first = await self.pio.read_packet()
+        if first[0] == 0xFF:
+            return {"error": int.from_bytes(first[1:3], "little")}
+        ncols = Buffer(first).read_lenenc_int()
+        cols = await self._read_coldefs(ncols)
+        eof = await self.pio.read_packet()
+        assert eof[0] == 0xFE
+        status = int.from_bytes(eof[3:5], "little") if len(eof) >= 5 else 0
+        return cols, status
+
+    async def stmt_fetch(self, stmt_id: int, n: int, cols):
+        """COM_STMT_FETCH: up to n binary rows + EOF (no column defs)."""
+        body = Buffer()
+        body.write_uint(stmt_id, 4)
+        body.write_uint(n, 4)
+        await self.command(C.COM_STMT_FETCH, body.getvalue())
+        first = await self.pio.read_packet()
+        if first and first[0] == 0xFF:
+            return {"error": int.from_bytes(first[1:3], "little")}
+        if first and first[0] == 0xFE and len(first) < 9:
+            status = int.from_bytes(first[3:5], "little") if len(first) >= 5 else 0
+            return [], status
+        # first packet was a row — push back handling: decode it plus rest
+        rows_first, eof = await self._read_binary_rows_with_first(first, cols)
+        status = int.from_bytes(eof[3:5], "little") if len(eof) >= 5 else 0
+        return rows_first, status
+
+    async def _read_binary_rows_with_first(self, first, cols):
         import struct as _s
+
+        ncols = len(cols)
+        rows = []
+        p = first
         while True:
-            p = await self.pio.read_packet()
             if p and p[0] == 0xFE and len(p) < 9:
-                break
+                return rows, p
             b = Buffer(p)
             assert b.read_byte() == 0x00
             nulls = b.read_bytes((ncols + 9) // 8)
@@ -234,7 +316,7 @@ class MiniClient:
                 else:
                     row.append(b.read_lenenc_string().decode())
             rows.append(row)
-        return ([c[0] for c in cols], rows)
+            p = await self.pio.read_packet()
 
     async def stmt_close(self, stmt_id: int):
         body = stmt_id.to_bytes(4, "little")
@@ -419,7 +501,8 @@ def test_load_data_local_infile(gateway):
         await c.connect("sf001.alice")
         csv = b"1,alpha\n2,beta\n3,gamma\n"
         res = await c.query(
-            "LOAD DATA LOCAL INFILE '/client/side/data.csv' INTO TABLE staged",
+            "LOAD DATA LOCAL INFILE '/client/side/data.csv' INTO TABLE staged "
+            "FIELDS TERMINATED BY ','",
             infile_data=csv,
         )
         assert res[0]["ok"] and res[0]["affected"] == 3
@@ -427,11 +510,42 @@ def test_load_data_local_infile(gateway):
         assert rows == [["1", "alpha"], ["2", "beta"], ["3", "gamma"]]
         # second load appends (union semantics)
         res = await c.query(
-            "LOAD DATA LOCAL INFILE 'x.csv' INTO TABLE staged", infile_data=b"4,delta\n"
+            "LOAD DATA LOCAL INFILE 'x.csv' INTO TABLE staged "
+            "FIELDS TERMINATED BY ','",
+            infile_data=b"4,delta\n",
         )
         assert res[0]["affected"] == 1
         cols, rows = (await c.query("SELECT COUNT(*) AS n FROM staged"))[0]
         assert rows == [["4"]]
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_load_data_tab_delimited(gateway):
+    """MySQL semantics: FIELDS TERMINATED BY '\\t' arrives as the raw
+    two-char escape and must unescape to a real tab; omitting the FIELDS
+    clause entirely defaults to tab (not comma)."""
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        tsv = b"1\talpha\n2\tbeta\n"
+        res = await c.query(
+            "LOAD DATA LOCAL INFILE 't.tsv' INTO TABLE tabbed "
+            "FIELDS TERMINATED BY '\\t'",
+            infile_data=tsv,
+        )
+        assert res[0]["ok"] and res[0]["affected"] == 2, res
+        cols, rows = (await c.query("SELECT c0, c1 FROM tabbed ORDER BY c0"))[0]
+        assert rows == [["1", "alpha"], ["2", "beta"]]
+        # no FIELDS clause → MySQL default is tab
+        res = await c.query(
+            "LOAD DATA LOCAL INFILE 'u.tsv' INTO TABLE tabbed2",
+            infile_data=b"7\tzeta\n",
+        )
+        assert res[0]["ok"] and res[0]["affected"] == 1, res
+        cols, rows = (await c.query("SELECT c0, c1 FROM tabbed2"))[0]
+        assert rows == [["7", "zeta"]]
         await c.quit()
 
     run_with_gateway(gateway, scenario)
@@ -563,6 +677,134 @@ def test_prepared_statements_binary_protocol(gateway):
         # closed statement id now unknown
         res = await c.stmt_execute(sid, [1, 2.0])
         assert res == {"error": 1243}
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_prepare_reports_column_metadata(gateway):
+    """COM_STMT_PREPARE resolves the result schema at prepare time
+    (num_columns > 0 + column definition packets), so strict clients can
+    pre-allocate row buffers before EXECUTE."""
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        sid, nparams = await c.stmt_prepare(
+            "SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = ?"
+        )
+        assert nparams == 1
+        assert c.last_prepare_columns is not None
+        assert [col[0] for col in c.last_prepare_columns] == [
+            "o_orderkey", "o_totalprice"
+        ]
+        # type codes carried through the inverse type mapping
+        assert c.last_prepare_columns[0][1] == C.MYSQL_TYPE_LONGLONG
+        assert c.last_prepare_columns[1][1] == C.MYSQL_TYPE_DOUBLE
+        await c.stmt_close(sid)
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_cursor_fetch_streams_rows(gateway):
+    """CURSOR_TYPE_READ_ONLY EXECUTE opens a server-side cursor
+    (SERVER_STATUS_CURSOR_EXISTS, constants.go:23-37); COM_STMT_FETCH
+    drains it in batches, the final EOF carrying LAST_ROW_SENT."""
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        sid, _ = await c.stmt_prepare(
+            "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 25"
+        )
+        cols, status = await c.stmt_execute_cursor(sid, [])
+        assert status & C.SERVER_STATUS_CURSOR_EXISTS, hex(status)
+        fetched = []
+        last_seen = False
+        for _ in range(10):
+            rows, status = await c.stmt_fetch(sid, 10, cols)
+            fetched.extend(rows)
+            if status & C.SERVER_STATUS_LAST_ROW_SENT:
+                last_seen = True
+                break
+        assert last_seen, "cursor never reported LAST_ROW_SENT"
+        assert len(fetched) == 25
+        assert fetched[0][0] < fetched[-1][0]
+        # fetch after drain → error (cursor closed)
+        res = await c.stmt_fetch(sid, 10, cols)
+        assert isinstance(res, dict) and res["error"] == 1243, res
+        await c.stmt_close(sid)
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_reexecute_without_rebound_types(gateway):
+    """Connector/J-style re-EXECUTE with new_params_bound_flag=0: the
+    server must reuse the types cached from the first EXECUTE instead of
+    dropping the connection."""
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        sid, _ = await c.stmt_prepare(
+            "SELECT COUNT(*) AS n FROM orders WHERE o_custkey = ?"
+        )
+        _, rows1 = await c.stmt_execute(sid, [7])
+        _, rows2 = await c.stmt_execute(sid, [8], send_types=False)
+        assert rows1[0][0] >= 0 and rows2[0][0] >= 0
+        # connection still alive
+        pong = await c.ping()
+        assert pong[0] == 0x00
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_time_param_binds_as_duration(gateway):
+    """MYSQL_TYPE_TIME (0x0B) params decode via the binary TIME layout
+    and bind as 'HH:MM:SS' literals instead of garbage lenenc bytes."""
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        sid, _ = await c.stmt_prepare("SELECT CAST(? AS STRING) AS t")
+        _, rows = await c.stmt_execute(
+            sid, [dt_mod.timedelta(hours=1, minutes=2, seconds=3)]
+        )
+        assert rows == [["01:02:03"]], rows
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_show_collation_full_map(gateway):
+    """SHOW COLLATION returns the full MySQL 5.7 collation table (the
+    reference ships 220 entries, constants.go:77-298), and the handshake
+    accepts an arbitrary valid charset byte."""
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        # connect with a non-default collation byte (33 = utf8_general_ci)
+        c.capability = CLIENT_CAPS
+        await c.connect("sf001.alice")
+        cols, rows = (await c.query("SHOW COLLATION"))[0]
+        assert cols[:3] == ["Collation", "Charset", "Id"]
+        assert len(rows) == len(C.COLLATIONS) == 220
+        by_id = {int(r[2]): r for r in rows}
+        assert by_id[46][0] == "utf8mb4_bin" and by_id[46][3] == "Yes"
+        assert by_id[33][0] == "utf8_general_ci"
+        assert by_id[33][1] == "utf8"
+        assert by_id[63][1] == "binary"
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_ssl_not_advertised_without_tls(gateway):
+    """A gateway with no ssl_context must mask CLIENT_SSL from the
+    greeting so ssl-mode=PREFERRED clients don't attempt an upgrade that
+    can only fail."""
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        assert not (c.server_capability & C.CLIENT_SSL)
         await c.quit()
 
     run_with_gateway(gateway, scenario)

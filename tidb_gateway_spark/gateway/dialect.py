@@ -164,15 +164,43 @@ _SYSVAR_TOKEN = re.compile(r"@@(?:session\.|global\.)?([A-Za-z_0-9]+)(?:\s+AS\s+
 _PING_SELECT = re.compile(r"^\s*SELECT\s+1\s*$", re.IGNORECASE)
 
 
+_SQL_ESCAPES = {
+    "0": "\0", "n": "\n", "t": "\t", "r": "\r", "b": "\b",
+    "Z": "\x1a", "\\": "\\", "'": "'", '"': '"', "%": "\\%", "_": "\\_",
+}
+
+
+def _unescape_sql_string(s: str) -> str:
+    """Process MySQL string-literal escape sequences (\\t, \\n, \\\\, …).
+
+    Unknown escapes resolve to the escaped character itself, matching
+    MySQL semantics ("\\x" → "x")."""
+    out, i, ln = [], 0, len(s)
+    while i < ln:
+        ch = s[i]
+        if ch == "\\" and i + 1 < ln:
+            nxt = s[i + 1]
+            out.append(_SQL_ESCAPES.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def classify(stmt: str) -> tuple[str, object]:
     """→ (kind, detail): kind ∈ {set, use, txn, show, sysvar, load_data,
     query}."""
     m = _LOAD_DATA_RE.match(stmt)
     if m:
+        # MySQL default FIELDS TERMINATED BY is '\t' when the clause is
+        # omitted; a captured clause carries raw escape sequences
+        # ("\\t") that must be processed to the real character.
+        delim = _unescape_sql_string(m.group(3)) if m.group(3) is not None else "\t"
         return "load_data", {
-            "filename": m.group(1),
+            "filename": _unescape_sql_string(m.group(1)),
             "table": m.group(2),
-            "delimiter": m.group(3) or ",",
+            "delimiter": delim,
             "ignore_lines": int(m.group(4) or 0),
         }
     if _SET_RE.match(stmt):

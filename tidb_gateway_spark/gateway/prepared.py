@@ -29,6 +29,17 @@ class PreparedStatement:
     stmt_id: int
     sql: str
     num_params: int
+    # (type, flags) pairs cached from the first EXECUTE; clients such as
+    # Connector/J legitimately send new_params_bound_flag=0 on
+    # re-EXECUTE, expecting the server to reuse these.
+    param_types: list[tuple[int, int]] | None = None
+    # cursor-mode state (COM_STMT_EXECUTE with CURSOR_TYPE_READ_ONLY →
+    # rows are buffered and drained by COM_STMT_FETCH)
+    cursor: object | None = None
+    # result-set column metadata resolved at PREPARE: list of
+    # (name, type_code, charset, display_length); None when the
+    # statement's schema could not be resolved ahead of EXECUTE.
+    columns: list[tuple[str, int, int, int]] | None = None
 
 
 def count_placeholders(sql: str) -> int:
@@ -53,11 +64,19 @@ def count_placeholders(sql: str) -> int:
 
 
 def prepare_ok_payloads(stmt: PreparedStatement, capability: int) -> list[bytes]:
-    """COM_STMT_PREPARE_OK + parameter definition packets."""
+    """COM_STMT_PREPARE_OK + parameter and column definition packets.
+
+    Column metadata is resolved at PREPARE time (Catalyst analysis of
+    the statement with NULL-bound params) so strict clients that
+    pre-allocate row buffers from the prepare response (e.g. JDBC)
+    see the real schema; num_columns falls back to 0 when resolution
+    failed (non-rowset statements, unresolvable views).
+    """
+    num_columns = len(stmt.columns) if stmt.columns else 0
     b = Buffer()
     b.write_byte(0x00)
     b.write_uint(stmt.stmt_id, 4)
-    b.write_uint(0, 2)  # num_columns: resolved at EXECUTE time
+    b.write_uint(num_columns, 2)
     b.write_uint(stmt.num_params, 2)
     b.write_byte(0)     # filler
     b.write_uint(0, 2)  # warning count
@@ -65,6 +84,11 @@ def prepare_ok_payloads(stmt: PreparedStatement, capability: int) -> list[bytes]
     if stmt.num_params:
         for i in range(stmt.num_params):
             out.append(packets.column_definition(f"?{i}", C.MYSQL_TYPE_VAR_STRING))
+        out.append(packets.eof_packet(capability))
+    if num_columns:
+        for name, code, charset, length in stmt.columns:
+            out.append(packets.column_definition(name, code, charset=charset,
+                                                 column_length=length))
         out.append(packets.eof_packet(capability))
     return out
 
@@ -86,19 +110,43 @@ def _read_binary_time(b: Buffer) -> dt.datetime:
     return dt.datetime(y, mo, d, h, mi, s, us)
 
 
-def decode_execute_params(payload: Buffer, num_params: int) -> tuple[list, bool]:
+def _read_binary_duration(b: Buffer) -> dt.timedelta:
+    """MYSQL_TYPE_TIME value: length byte 0/8/12, sign, days, H/M/S,
+    optional micros."""
+    n = b.read_byte()
+    if n == 0:
+        return dt.timedelta(0)
+    neg = b.read_byte() == 1
+    days = b.read_uint(4)
+    h, mi, s = b.read_byte(), b.read_byte(), b.read_byte()
+    us = b.read_uint(4) if n >= 12 else 0
+    td = dt.timedelta(days=days, hours=h, minutes=mi, seconds=s, microseconds=us)
+    return -td if neg else td
+
+
+def decode_execute_params(
+    payload: Buffer, num_params: int,
+    cached_types: list[tuple[int, int]] | None = None,
+) -> tuple[list, list[tuple[int, int]]]:
     """Decode the COM_STMT_EXECUTE tail after stmt_id/flags/iteration.
 
-    Returns (values, new_bound).  Caller passes a Buffer positioned at
-    the NULL bitmap.
+    Returns (values, types).  Caller passes a Buffer positioned at the
+    NULL bitmap.  When new_params_bound_flag is 0 the client expects the
+    types bound at the first EXECUTE to be reused (Connector/J caches
+    them); ``cached_types`` supplies those.
     """
     if num_params == 0:
-        return [], False
+        return [], []
     bitmap = payload.read_bytes((num_params + 7) // 8)
     new_bound = payload.read_byte() == 1
-    if not new_bound:
-        raise ProtocolError("re-execution without bound types unsupported")
-    types = [(payload.read_byte(), payload.read_byte()) for _ in range(num_params)]
+    if new_bound:
+        types = [(payload.read_byte(), payload.read_byte()) for _ in range(num_params)]
+    elif cached_types is not None and len(cached_types) == num_params:
+        types = cached_types
+    else:
+        raise ProtocolError(
+            "re-execution without bound types and no cached types"
+        )
     values: list = []
     for i, (tcode, flags) in enumerate(types):
         if bitmap[i // 8] & (1 << (i % 8)):
@@ -121,13 +169,16 @@ def decode_execute_params(payload: Buffer, num_params: int) -> tuple[list, bool]
             values.append(struct.unpack("<f", payload.read_bytes(4))[0])
         elif tcode == C.MYSQL_TYPE_DOUBLE:
             values.append(struct.unpack("<d", payload.read_bytes(8))[0])
-        elif tcode in (C.MYSQL_TYPE_DATE, C.MYSQL_TYPE_TIMESTAMP, 0x0C):  # 0x0C=DATETIME
+        elif tcode in (C.MYSQL_TYPE_DATE, C.MYSQL_TYPE_TIMESTAMP,
+                       C.MYSQL_TYPE_DATETIME):
             values.append(_read_binary_time(payload))
+        elif tcode == C.MYSQL_TYPE_TIME:
+            values.append(_read_binary_duration(payload))
         elif tcode == C.MYSQL_TYPE_NULL:
             values.append(None)
         else:  # VARCHAR/VAR_STRING/STRING/BLOB/NEWDECIMAL — lenenc bytes
             values.append(payload.read_lenenc_string().decode("utf-8", "replace"))
-    return values, new_bound
+    return values, list(types)
 
 
 def render_literal(v: object) -> str:
@@ -140,6 +191,17 @@ def render_literal(v: object) -> str:
         return repr(v)
     if isinstance(v, dt.datetime):
         return "TIMESTAMP '" + v.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+    if isinstance(v, dt.timedelta):
+        # TIME param → 'HH:MM:SS[.ffffff]' string literal (MySQL TIME
+        # text form; negative durations carry a leading '-')
+        total_us = int(v / dt.timedelta(microseconds=1))
+        sign = "-" if total_us < 0 else ""
+        total_us = abs(total_us)
+        s, us = divmod(total_us, 1_000_000)
+        h, rem = divmod(s, 3600)
+        mi, sec = divmod(rem, 60)
+        frac = f".{us:06d}" if us else ""
+        return f"'{sign}{h:02d}:{mi:02d}:{sec:02d}{frac}'"
     s = str(v).replace("\\", "\\\\").replace("'", "''")
     return f"'{s}'"
 

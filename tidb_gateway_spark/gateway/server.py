@@ -101,7 +101,14 @@ class Gateway:
         import os
 
         nonce = os.urandom(20)
-        greeting = packets.Handshake(connection_id=conn_id, auth_plugin_data=nonce)
+        # Only advertise CLIENT_SSL when we can actually upgrade:
+        # ssl-mode=PREFERRED clients send SSLRequest whenever the flag is
+        # set and would dead-end on "SSL not enabled" otherwise.
+        cap = C.DEFAULT_CAPABILITY
+        if not self.ssl_context:
+            cap &= ~C.CLIENT_SSL
+        greeting = packets.Handshake(connection_id=conn_id,
+                                     auth_plugin_data=nonce, capability=cap)
         pio.write_packet(greeting.write())
         await writer.drain()
 
@@ -183,14 +190,20 @@ class Gateway:
             elif cmd == C.COM_FIELD_LIST:
                 pio.write_packet(packets.eof_packet(cap, session.status))
             elif cmd == C.COM_STMT_PREPARE:
-                self._stmt_prepare(pio, session, payload.decode())
+                await self._stmt_prepare(pio, session, payload.decode())
             elif cmd == C.COM_STMT_EXECUTE:
                 await self._stmt_execute(pio, session, payload)
+            elif cmd == C.COM_STMT_FETCH:
+                await self._stmt_fetch(pio, session, payload)
             elif cmd == C.COM_STMT_CLOSE:
                 if len(payload) >= 4:
                     session.stmts.pop(int.from_bytes(payload[:4], "little"), None)
                 # COM_STMT_CLOSE has no response
             elif cmd == C.COM_STMT_RESET:
+                if len(payload) >= 4:
+                    stmt = session.stmts.get(int.from_bytes(payload[:4], "little"))
+                    if stmt is not None:
+                        stmt.cursor = None
                 pio.write_packet(packets.ok_packet(cap, status=session.status))
             elif cmd == C.COM_QUERY:
                 await self._run_query(pio, session, payload.decode())
@@ -300,7 +313,7 @@ class Gateway:
             await pio.writer.drain()
         return await pio.read_packet()
 
-    def _stmt_prepare(self, pio, session, sql: str) -> None:
+    async def _stmt_prepare(self, pio, session, sql: str) -> None:
         from tidb_gateway_spark.gateway import prepared
 
         stmt = prepared.PreparedStatement(
@@ -308,9 +321,34 @@ class Gateway:
             sql=sql,
             num_params=prepared.count_placeholders(sql),
         )
+        stmt.columns = await self._resolve_prepare_columns(session, stmt)
         session.stmts[stmt.stmt_id] = stmt
         for p in prepared.prepare_ok_payloads(stmt, session.capability):
             pio.write_packet(p)
+
+    async def _resolve_prepare_columns(self, session, stmt):
+        """Resolve result-set column metadata at PREPARE time: Catalyst
+        analysis of the statement with every param bound to NULL.  Lazy —
+        no job runs.  Returns None (num_columns=0 in the response) for
+        non-rowset statements or when analysis fails (e.g. params in
+        positions where a NULL changes resolution)."""
+        from tidb_gateway_spark.gateway import prepared
+
+        head = stmt.sql.lstrip()[:8].upper()
+        if not head.startswith(("SELECT", "WITH", "VALUES", "TABLE", "(")):
+            return None
+        try:
+            probe_sql = prepared.bind(stmt.sql, [None] * stmt.num_params)
+            df = await self._sql_async(session, dialect.to_spark_sql(probe_sql))
+            if df is None:
+                return None
+            cols = []
+            for f in df.schema.fields:
+                code, length, charset = result_encoder.mysql_type_for(f.dataType)
+                cols.append((f.name, code, charset, length))
+            return cols
+        except Exception:
+            return None
 
     async def _stmt_execute(self, pio, session, payload: bytes) -> None:
         from tidb_gateway_spark.gateway import prepared
@@ -319,16 +357,21 @@ class Gateway:
         cap = session.capability
         b = Buffer(payload)
         stmt_id = b.read_uint(4)
-        b.skip(5)  # flags<1> + iteration_count<4>
+        flags = b.read_byte()
+        b.skip(4)  # iteration_count
         stmt = session.stmts.get(stmt_id)
         if stmt is None:
             pio.write_packet(packets.err_packet(cap, code=1243,
                                                 message="Unknown prepared statement",
                                                 sqlstate="HY000"))
             return
-        values, _ = prepared.decode_execute_params(b, stmt.num_params)
-        sql = prepared.bind(stmt.sql, values)
         try:
+            values, types = prepared.decode_execute_params(
+                b, stmt.num_params, cached_types=stmt.param_types
+            )
+            if types:
+                stmt.param_types = types
+            sql = prepared.bind(stmt.sql, values)
             df = await self._sql_async(session, dialect.to_spark_sql(sql))
         except Exception as e:
             code, state = _map_error(e)
@@ -336,16 +379,94 @@ class Gateway:
                                                 message=str(e).split("\n")[0][:480],
                                                 sqlstate=state))
             return
+        if flags & C.CURSOR_TYPE_READ_ONLY and df is not None:
+            await self._open_cursor(pio, session, stmt, df)
+            return
         gen = result_encoder.binary_resultset_payloads(df, cap, status=session.status)
         loop = asyncio.get_running_loop()
-        while True:
-            chunk = await loop.run_in_executor(
-                self.executor, lambda: list(itertools.islice(gen, 512))
+        try:
+            while True:
+                chunk = await loop.run_in_executor(
+                    self.executor, lambda: list(itertools.islice(gen, 512))
+                )
+                if not chunk:
+                    break
+                for p in chunk:
+                    pio.write_packet(p)
+        except Exception as e:
+            # Spark evaluation is lazy: execution errors surface during
+            # iteration — answer with ERR instead of dropping the
+            # connection (mid-result-set errors still tear down, as the
+            # wire format has no row-stream abort marker)
+            code, state = _map_error(e)
+            pio.write_packet(packets.err_packet(cap, code=code,
+                                                message=str(e).split("\n")[0][:480],
+                                                sqlstate=state))
+
+    async def _open_cursor(self, pio, session, stmt, df) -> None:
+        """CURSOR_TYPE_READ_ONLY EXECUTE: answer with column definitions
+        only (status carries SERVER_STATUS_CURSOR_EXISTS,
+        constants.go:23-37); rows are drained by COM_STMT_FETCH."""
+        cap = session.capability
+        schema = df.schema
+        type_codes = [result_encoder.mysql_type_for(f.dataType)[0]
+                      for f in schema.fields]
+        loop = asyncio.get_running_loop()
+        # toLocalIterator() triggers planning; keep it off the event loop.
+        row_iter = await loop.run_in_executor(self.executor, df.toLocalIterator)
+        stmt.cursor = {"iter": row_iter, "type_codes": type_codes}
+        status = session.status | C.SERVER_STATUS_CURSOR_EXISTS
+        b = packets.Buffer()
+        b.write_lenenc_int(len(schema.fields))
+        pio.write_packet(b.getvalue())
+        for f in schema.fields:
+            code, length, charset = result_encoder.mysql_type_for(f.dataType)
+            pio.write_packet(packets.column_definition(
+                f.name, code, charset=charset, column_length=length))
+        pio.write_packet(packets.eof_packet(cap, status))
+
+    async def _stmt_fetch(self, pio, session, payload: bytes) -> None:
+        """COM_STMT_FETCH: stream up to num_rows binary rows from the
+        statement's open cursor; EOF carries CURSOR_EXISTS while rows
+        remain and LAST_ROW_SENT once drained."""
+        from tidb_gateway_spark.gateway import prepared
+        from tidb_gateway_spark.gateway.wire import Buffer
+
+        cap = session.capability
+        b = Buffer(payload)
+        stmt_id = b.read_uint(4)
+        want = b.read_uint(4)
+        stmt = session.stmts.get(stmt_id)
+        if stmt is None or stmt.cursor is None:
+            pio.write_packet(packets.err_packet(
+                cap, code=1243,
+                message="Unknown prepared statement or no open cursor",
+                sqlstate="HY000"))
+            return
+        cur = stmt.cursor
+        loop = asyncio.get_running_loop()
+        try:
+            rows = await loop.run_in_executor(
+                self.executor,
+                lambda: list(itertools.islice(cur["iter"], max(1, want)))
             )
-            if not chunk:
-                break
-            for p in chunk:
-                pio.write_packet(p)
+            for row in rows:
+                pio.write_packet(
+                    prepared.encode_binary_row(list(row), cur["type_codes"])
+                )
+        except Exception as e:
+            code, state = _map_error(e)
+            pio.write_packet(packets.err_packet(cap, code=code,
+                                                message=str(e).split("\n")[0][:480],
+                                                sqlstate=state))
+            stmt.cursor = None
+            return
+        exhausted = len(rows) < max(1, want)
+        status = session.status | C.SERVER_STATUS_CURSOR_EXISTS
+        if exhausted:
+            status |= C.SERVER_STATUS_LAST_ROW_SENT
+            stmt.cursor = None
+        pio.write_packet(packets.eof_packet(cap, status))
 
     async def _sql_async(self, session, sql: str):
         loop = asyncio.get_running_loop()
@@ -419,7 +540,14 @@ class _Session:
         import io as _io
 
         text = data.decode("utf-8", errors="replace")
-        rows = list(_csv.reader(_io.StringIO(text), delimiter=detail["delimiter"]))
+        delim = detail["delimiter"] or ","
+        if len(delim) == 1:
+            rows = list(_csv.reader(_io.StringIO(text), delimiter=delim))
+        else:
+            # csv.reader requires a 1-char delimiter; multi-char
+            # terminators split plainly (no quote handling, as MySQL's
+            # FIELDS TERMINATED BY does with multi-char sequences)
+            rows = [line.split(delim) for line in text.splitlines()]
         rows = rows[detail["ignore_lines"]:]
         rows = [r for r in rows if r]
         if not rows:
