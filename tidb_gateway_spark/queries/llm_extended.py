@@ -138,9 +138,9 @@ _Q74_ORACLE = (
 )
 def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    shingles = dedup.doc_shingles(d)
-    cand = dedup.minhash_lsh_candidates(d, k=_K, bands=_BANDS, shingles=shingles)
-    jp = dedup.jaccard_pairs(cand, shingles)
+    arrays = dedup.doc_shingle_arrays(d)
+    cand = dedup.minhash_lsh_candidates(d, k=_K, bands=_BANDS, shingle_arrays=arrays)
+    jp = dedup.jaccard_pairs(cand, arrays)
     return (
         jp.filter(F.col("jac") >= 0.5)
         .select("a", "b", stable_round(F.col("jac"), 4).alias("jac"))
