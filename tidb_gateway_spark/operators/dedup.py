@@ -47,85 +47,63 @@ def _shingle_array_sql(n: int) -> str:
     )
 
 
-def doc_shingle_arrays(documents: DataFrame, n: int = 3, id_col: str = "doc_id",
-                       text_col: str = "text", distinct: bool = True) -> DataFrame:
-    """(doc_id, ws: array<string>) with per-document n-word shingles —
-    computed row-locally, NO shuffle.
-
-    This is the scale-defining choice for the dedup family: signatures
-    derived from these arrays (MinHash via array_min∘transform, exact
-    sets via array_distinct) are map-side expressions, so the first
-    shuffle in the whole pipeline is the LSH band join itself.  The
-    explode→groupBy formulation shuffles |corpus|×|shingles| rows
-    before producing the same per-document values.
-
-    ``distinct=False`` skips the in-array dedup — correct for consumers
-    that are multiset-invariant (MinHash: min over a multiset equals min
-    over its set); Jaccard needs the distinct sets.
-    """
-    ws = F.expr(_shingle_array_sql(n))
-    if distinct:
-        ws = F.array_distinct(ws)
-    return documents.select(
-        id_col,
-        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("wlist"),
-    ).select(id_col, ws.alias("ws"))
-
-
 def doc_shingles(documents: DataFrame, n: int = 3, id_col: str = "doc_id",
                  text_col: str = "text", distinct: bool = True) -> DataFrame:
-    """(doc_id, shingle) pairs with n-word shingles (exploded form, for
-    consumers that need row-per-shingle, e.g. the q91 contamination
-    semi-join).
+    """(doc_id, shingle) pairs with n-word shingles (exploded form).
 
     Shingle choice is load-bearing: unigram sets collapse when the corpus
     shares a small vocabulary (every document collides with every other —
     O(n²) candidate blowup); n-gram shingles have corpus-scale cardinality
     so only genuinely similar documents share them.  Short documents
     (< n words) contribute their whole text as one shingle.
+
+    ``distinct=True`` dedups through a shuffle — deliberately: the
+    exchange it creates is a plan-level REUSE POINT, so consumers that
+    fan out (q91's benchmark/probe sides, band unions) evaluate the
+    shingling once.  Measured at sf0.1, replacing this with map-side
+    ``array_distinct`` made q91 18× slower because every fan-out branch
+    re-ran the shingle transform against the scan.
     """
-    arrays = doc_shingle_arrays(documents, n=n, id_col=id_col,
-                                text_col=text_col, distinct=distinct)
-    return arrays.select(id_col, F.explode("ws").alias("w"))
+    out = (
+        documents.select(
+            id_col,
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("wlist"),
+        )
+        .select(id_col, F.explode(F.expr(_shingle_array_sql(n))).alias("w"))
+    )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(words: DataFrame, k: int = 6, id_col: str = "doc_id") -> DataFrame:
     """k-column MinHash signature per document (columns h0..h{k-1}) from
-    an exploded (doc_id, w) frame — one groupBy shuffle.
+    an exploded (doc_id, w) frame.
 
-    Prefer :func:`minhash_signatures_from_arrays` in pipelines: it
-    computes the same values map-side with no shuffle at all.
+    Single-digest MinHash: ONE md5 per shingle, with the j-th hash
+    function taken as the j-th 5-hex-digit (20-bit) slice of the digest —
+    slices of a cryptographic digest are independent, the standard
+    one-hash-plus-derivation construction (datasketch does the same with
+    one base hash and k permutations).  Versus k independent salted md5s
+    this cuts the dominant cost (digesting every shingle k times) by k×,
+    and the values stay engine-reproducible: the DuckDB oracle computes
+    the identical substrings.
+
+    Plan shape: groupBy partial-aggregates map-side, so the shuffle
+    carries per-partition minima (≤ k slices per doc per partition),
+    never the shingle text; this codegen'd hash-aggregate measured ~6×
+    faster at sf0.1 than evaluating the same hashes through interpreted
+    higher-order ``transform`` lambdas over per-doc shingle arrays, and
+    the aggregate's exchange is a reuse point for the band-union fan-out.
+
+    k ≤ 6 (32 hex chars / 5 per slice).
     """
+    if k > 6:
+        raise ValueError("single-digest MinHash supports k <= 6 slices")
+    h = F.md5(F.col("w"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("w")))).alias(f"h{j}")
+        F.min(F.substring(h, 1 + 5 * j, 5)).alias(f"h{j}")
         for j in range(k)
     ]
     return words.groupBy(id_col).agg(*aggs)
-
-
-def minhash_signatures_from_arrays(arrays: DataFrame, k: int = 6,
-                                   id_col: str = "doc_id") -> DataFrame:
-    """k-column MinHash signature per document, computed row-locally from
-    a (doc_id, ws: array<string>) frame — ZERO shuffle.
-
-    ``array_min(transform(ws, w -> md5(j||'|'||w)))`` is the same value
-    the exploded groupBy-min form produces (min over a multiset equals
-    min over its set), but it never leaves the scan's partition: at
-    100 TB the signature stage costs no network at all, and the first
-    shuffle of the dedup pipeline is the LSH band join itself.
-    """
-    def hasher(j: int):
-        # Must return a ONE-argument lambda: pyspark treats a second
-        # lambda parameter as the (element, index) form, which would bind
-        # the index column instead of the salt.
-        prefix = f"{j}|"
-        return lambda w: F.md5(F.concat(F.lit(prefix), w))
-
-    cols = [
-        F.array_min(F.transform("ws", hasher(j))).alias(f"h{j}")
-        for j in range(k)
-    ]
-    return arrays.select(F.col(id_col), *cols)
 
 
 def lsh_bands(signatures: DataFrame, bands: int, rows_per_band: int,
@@ -146,24 +124,22 @@ def lsh_bands(signatures: DataFrame, bands: int, rows_per_band: int,
 
 
 def minhash_lsh_candidates(documents: DataFrame, k: int = 6, bands: int = 3,
-                           shingle_arrays: DataFrame | None = None) -> DataFrame:
+                           shingles: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs (a < b) via MinHash banding.
 
-    Signatures are map-side (:func:`minhash_signatures_from_arrays`), so
-    at scale the band join is the ONLY shuffle; its key (band, bv) is
-    high-cardinality so it spreads evenly, and identical documents (the
-    common hot case) collapse into per-bucket groups that AQE's skew
-    handling splits if one bucket explodes.
+    Two shuffles total: the signature aggregate (partial-aggregated
+    map-side, shuffle carries minima only) and the band equi-join.  The
+    join key (band, bv) is high-cardinality so it spreads evenly, and
+    identical documents (the common hot case) collapse into per-bucket
+    groups that AQE's skew handling splits if one bucket explodes.
 
-    Pass a precomputed ``shingle_arrays`` frame (doc_shingle_arrays) to
-    share the shingling across pipeline stages (the candidate→verify
-    pipeline reuses it); distinct or multiset arrays give identical
-    signatures.
+    Pass a precomputed ``shingles`` frame (doc_shingles) to share the
+    shingling across pipeline stages; multiset (distinct=False) input
+    gives identical signatures since min is multiset-invariant.
     """
     rows_per_band = k // bands
-    sigs = minhash_signatures_from_arrays(
-        shingle_arrays if shingle_arrays is not None
-        else doc_shingle_arrays(documents, distinct=False),
+    sigs = minhash_signatures(
+        shingles if shingles is not None else doc_shingles(documents, distinct=False),
         k=k,
     )
     bl = lsh_bands(sigs, bands, rows_per_band)
@@ -200,28 +176,36 @@ def simhash(words: DataFrame, bits: int = 16, id_col: str = "doc_id") -> DataFra
     return per_doc.select(F.col(id_col), sig.alias("sh"))
 
 
-def jaccard_pairs(candidates: DataFrame, arrays: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (a, b) → (a, b, jac),
-    from a (doc_id, ws: array<string>) frame with DISTINCT arrays.
+def jaccard_pairs(candidates: DataFrame, words: DataFrame) -> DataFrame:
+    """Exact word-set Jaccard for candidate pairs (a, b) → (a, b, jac).
 
-    Two equi-joins attach each side's set to the pair, then
-    ``array_intersect`` computes |A∩B| per pair row-locally — no groupBy
-    stage at all.  Cost is proportional to the candidate count (the LSH
-    output), never corpus², and the per-pair work is a single JVM set
-    intersection instead of an exploded shuffle of every shingle.
+    Joins the candidate list back to the word sets — cost is proportional
+    to the candidate count, not the corpus size squared.  All three uses
+    of ``words`` (both join sides and the size aggregate) reuse the same
+    exchange when the caller passes the distinct shingle frame that the
+    signature stage consumed, so the whole candidate→verify pipeline
+    reads the corpus exactly once.
     """
-    aa = arrays.select(F.col("doc_id").alias("a"), F.col("ws").alias("wsa"))
-    bb = arrays.select(F.col("doc_id").alias("b"), F.col("ws").alias("wsb"))
-    i = F.size(F.array_intersect("wsa", "wsb"))
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    wa = words.select(F.col("doc_id").alias("a"), "w")
+    wb = words.select(F.col("doc_id").alias("b"), "w")
+    inter = (
+        candidates.join(wa, "a")
+        .join(wb, ["b", "w"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("nb"))
     return (
-        candidates.join(aa, "a")
-        .join(bb, "b")
+        inter.join(sa, "a")
+        .join(sb, "b")
         .select(
             "a",
             "b",
             (
-                i.cast("double")
-                / (F.size("wsa") + F.size("wsb") - i).cast("double")
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
             ).alias("jac"),
         )
     )
