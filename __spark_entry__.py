@@ -23,19 +23,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q22_tpch_q1_agg"].spark(spark, "/root/testdata/sf0.001")
 
 
-def _ordered_qids() -> list[str]:
-    """Registry qids with q51–q92 first.
+# Queries whose implementation changed recently and therefore need the
+# driver's oracle harness (which may cover only a window of the registry)
+# to re-certify them before anything already green in a prior round.
+_CHANGED_FIRST = (
+    "q72_minhash_lsh_candidates",  # oracle hash family aligned (r3)
+    "q74_jaccard_verify",          # ported to exploded-shingle API (r3)
+    "q32_rank_dense_rank",         # two-pass range-bucketed rank (r2)
+    "q37_ntile",                   # two-pass range-bucketed rank (r2)
+    "q57_sliding_window",          # de-globalized bucket LAG (r3)
+)
 
-    Round 1's driver correctness harness recorded rows only for the first
-    50 entries it saw (q01–q50 — all green, CORRECTNESS_r01.json).  Listing
-    the still-uncertified qids first lets round 2 certify the other half;
-    q01–q50 follow and re-certify if the harness covers more than 50.
+
+def _ordered_qids() -> list[str]:
+    """Registry qids, changed-this-round first, then q10–q50 (certified
+    only against the pre-rewrite code in round 1), then the rest.
+
+    The driver correctness harness may record only the first N entries it
+    sees; ordering by staleness makes the certified window cover exactly
+    what changed.
     """
     from tidb_gateway_spark.queries import REGISTRY
 
     def sort_key(qid: str) -> tuple[int, str]:
+        if qid in _CHANGED_FIRST:
+            return (0, qid)
         num = int(qid[1:3]) if qid[1:3].isdigit() else 99
-        return (0 if num >= 51 else 1, qid)
+        return (1 if 10 <= num <= 50 else 2, qid)
 
     return sorted(REGISTRY, key=sort_key)
 

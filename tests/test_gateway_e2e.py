@@ -738,6 +738,33 @@ def test_cursor_fetch_streams_rows(gateway):
     run_with_gateway(gateway, scenario)
 
 
+def test_reexecute_closes_stale_cursor(gateway):
+    """MySQL closes any open cursor on re-EXECUTE: after a partial
+    COM_STMT_FETCH, a plain (non-cursor) re-EXECUTE must invalidate the
+    old iterator so a later COM_STMT_FETCH errors instead of serving
+    stale rows from the prior execution."""
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        sid, _ = await c.stmt_prepare(
+            "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 25"
+        )
+        cols, status = await c.stmt_execute_cursor(sid, [])
+        assert status & C.SERVER_STATUS_CURSOR_EXISTS, hex(status)
+        rows, _ = await c.stmt_fetch(sid, 5, cols)  # partial drain
+        assert len(rows) == 5
+        # non-cursor re-EXECUTE streams a full resultset...
+        _, rows2 = await c.stmt_execute(sid, [])
+        assert len(rows2) == 25
+        # ...and the stale cursor must be gone, not resumed at row 6
+        res = await c.stmt_fetch(sid, 5, cols)
+        assert isinstance(res, dict) and res["error"] == 1243, res
+        await c.stmt_close(sid)
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
 def test_reexecute_without_rebound_types(gateway):
     """Connector/J-style re-EXECUTE with new_params_bound_flag=0: the
     server must reuse the types cached from the first EXECUTE instead of

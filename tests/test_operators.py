@@ -280,6 +280,27 @@ def test_global_dense_rank_desc_order(spark, sf_dir):
     assert reference.subtract(scalable).count() == 0
 
 
+def test_global_dense_rank_null_keys(spark, sf_dir):
+    """Regression (ADVICE r2): rows whose ranking key is NULL were
+    silently dropped by the plain equi-join-back; DENSE_RANK must rank
+    NULL keys (nulls-first asc) via the null-safe join."""
+    from pyspark.sql import Window
+    from tidb_gateway_spark.operators.rank import global_dense_rank
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "pr", F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(
+            F.col("o_orderpriority"))
+    )
+    scalable = global_dense_rank(
+        o, ["pr"], out_col="dr", num_partitions=3
+    ).select("o_orderkey", "dr")
+    assert scalable.count() == o.count()  # no rows dropped
+    w = Window.orderBy("pr")
+    reference = o.select("o_orderkey", F.dense_rank().over(w).alias("dr"))
+    assert scalable.subtract(reference).count() == 0
+    assert reference.subtract(scalable).count() == 0
+
+
 def test_global_ntile_matches_window(spark, sf_dir):
     from pyspark.sql import Window
     from tidb_gateway_spark.operators.rank import global_ntile

@@ -365,6 +365,10 @@ class Gateway:
                                                 message="Unknown prepared statement",
                                                 sqlstate="HY000"))
             return
+        # MySQL closes any open cursor on re-EXECUTE: a partially-fetched
+        # cursor from the previous execution must not serve stale rows to
+        # a later COM_STMT_FETCH (mirrors COM_STMT_RESET).
+        stmt.cursor = None
         try:
             values, types = prepared.decode_execute_params(
                 b, stmt.num_params, cached_types=stmt.param_types

@@ -188,9 +188,20 @@ def global_dense_rank(df: DataFrame, key_cols: list[str],
     keys = df.select(*key_cols).distinct()
     ranked = global_row_number(keys, order_cols or list(key_cols), out_col,
                                num_partitions)
+    # Null-safe equi-join: DENSE_RANK ranks NULL keys too (nulls-first
+    # asc); a plain equi-join would silently drop rows whose key is NULL
+    # (NULL != NULL in join conditions).  eqNullSafe (<=>) stays a
+    # hash-joinable equi-condition, so broadcast still applies.
+    ranked = ranked.select(
+        *[F.col(c).alias(f"_rk_{c}") for c in key_cols], out_col
+    )
     if broadcast_keys:
         ranked = F.broadcast(ranked)
-    return df.join(ranked, on=list(key_cols))
+    cond = None
+    for c in key_cols:
+        clause = F.col(c).eqNullSafe(F.col(f"_rk_{c}"))
+        cond = clause if cond is None else (cond & clause)
+    return df.join(ranked, cond).drop(*[f"_rk_{c}" for c in key_cols])
 
 
 def global_ntile(df: DataFrame, n: int, order_cols: list,

@@ -42,9 +42,12 @@ _DDB_SHINGLES = (
     "(SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS wl "
     "FROM documents)))"
 )
+# Single-digest MinHash: hash function j is the j-th 5-hex-digit slice
+# of ONE md5 per shingle — must state the same family as
+# operators/dedup.py:minhash_signatures (one digest, k slices).
 _DDB_SIGS = (
     "sigs AS (SELECT doc_id, "
-    + ", ".join(f"MIN(md5('{j}|' || w)) AS h{j}" for j in range(_K))
+    + ", ".join(f"MIN(substr(md5(w), {1 + 5 * j}, 5)) AS h{j}" for j in range(_K))
     + " FROM shingles GROUP BY doc_id)"
 )
 _DDB_BANDS = (
@@ -138,9 +141,12 @@ _Q74_ORACLE = (
 )
 def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    arrays = dedup.doc_shingle_arrays(d)
-    cand = dedup.minhash_lsh_candidates(d, k=_K, bands=_BANDS, shingle_arrays=arrays)
-    jp = dedup.jaccard_pairs(cand, arrays)
+    # distinct=True shingles: the dedup exchange is a plan reuse point
+    # shared by the signature aggregate, both Jaccard join sides, and
+    # the size aggregate — the corpus is shingled exactly once.
+    shingles = dedup.doc_shingles(d)
+    cand = dedup.minhash_lsh_candidates(d, k=_K, bands=_BANDS, shingles=shingles)
+    jp = dedup.jaccard_pairs(cand, shingles)
     return (
         jp.filter(F.col("jac") >= 0.5)
         .select("a", "b", stable_round(F.col("jac"), 4).alias("jac"))

@@ -38,22 +38,30 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q57_sliding_window",
     "WITH t AS (SELECT CAST(FLOOR(epoch_us(ts)/300000000) AS BIGINT) AS w, COUNT(*) AS n "
     "FROM events GROUP BY 1) "
-    "SELECT w, n + COALESCE(LAG(n) OVER (ORDER BY w), 0) AS n10 FROM t ORDER BY w",
+    "SELECT cur.w AS w, cur.n + COALESCE(prev.n, 0) AS n10 "
+    "FROM t cur LEFT JOIN t prev ON prev.w = cur.w - 1 ORDER BY w",
     doc="Sliding 10-minute window with 5-minute slide, expressed as two "
         "phase-shifted tumbling buckets (batch form of "
-        "window(ts,'10 minutes','5 minutes')).",
+        "window(ts,'10 minutes','5 minutes')).  The previous bucket comes "
+        "from a self equi-join on w-1, not LAG over a global window: the "
+        "join is shuffle-parallel (and exact — an empty predecessor bucket "
+        "contributes 0, where LAG would skip to the last non-empty one), "
+        "whereas Window.orderBy with no partition key funnels every bucket "
+        "of the time range through one partition.",
     tags=("streaming",),
 )
 def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = F.floor(F.col("ts_us") / 300_000_000).cast("bigint").alias("w")
     t = e.groupBy(w).agg(F.count("*").alias("n"))
-    lagw = Window.orderBy("w")
+    cur, prev = t.alias("cur"), t.alias("prev")
     return (
-        t.select(
-            "w",
-            (F.col("n") + F.coalesce(F.lag("n").over(lagw), F.lit(0))).alias("n10"),
-        ).orderBy("w")
+        cur.join(prev, F.col("prev.w") == F.col("cur.w") - 1, "left")
+        .select(
+            F.col("cur.w").alias("w"),
+            (F.col("cur.n") + F.coalesce(F.col("prev.n"), F.lit(0))).alias("n10"),
+        )
+        .orderBy("w")
     )
 
 
