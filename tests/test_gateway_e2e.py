@@ -738,6 +738,64 @@ def test_cursor_fetch_streams_rows(gateway):
     run_with_gateway(gateway, scenario)
 
 
+def test_analyze_table_feeds_cbo_stats(gateway):
+    """ANALYZE TABLE promotes the fixture to a catalog table, computes
+    table + column statistics, and the CBO sees them: EXPLAIN COST
+    reports a rowCount afterwards, and queries keep answering."""
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        ok = (await c.query("ANALYZE TABLE orders COMPUTE STATISTICS"))[0]
+        assert isinstance(ok, dict) and "error" not in ok, ok
+        ok = (await c.query(
+            "ANALYZE TABLE orders COMPUTE STATISTICS FOR COLUMNS o_custkey"
+        ))[0]
+        assert isinstance(ok, dict) and "error" not in ok, ok
+        # plan evidence: catalog stats visible to the optimizer
+        _, cost_rows = (await c.query(
+            "EXPLAIN COST SELECT o_custkey FROM orders"))[0]
+        text = "\n".join(str(v) for row in cost_rows for v in row)
+        assert "rowCount=" in text, text[:800]
+        # the promoted table still answers queries correctly
+        _, rows = (await c.query("SELECT COUNT(*) AS n FROM orders"))[0]
+        assert int(rows[0][0]) == 1500, rows
+        # non-promotable table → clean ERR, connection lives
+        err = (await c.query("ANALYZE TABLE events COMPUTE STATISTICS"))[0]
+        assert isinstance(err, dict) and err.get("error"), err
+        pong = await c.ping()
+        assert pong[0] == 0x00
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_binary_date_uses_4_byte_layout(gateway):
+    """DATE columns in the binary protocol must use the spec-minimal
+    4-byte layout (length, year:2, month, day — mysql/buffer.go wire
+    contract), not the 7-byte datetime form with zeroed time fields."""
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        sid, _ = await c.stmt_prepare(
+            # o_orderdate is stored as timestamp in the fixture; CAST
+            # produces a true DATE column (timestamps keep the 7/11-byte
+            # forms — test_prepared_statements covers those).
+            "SELECT CAST(o_orderdate AS DATE) AS d FROM orders "
+            "ORDER BY o_orderkey LIMIT 3"
+        )
+        _, rows = await c.stmt_execute(sid, [])
+        assert len(rows) == 3
+        for (raw,) in rows:
+            assert isinstance(raw, bytes) and len(raw) == 4, raw
+            year = int.from_bytes(raw[0:2], "little")
+            month, day = raw[2], raw[3]
+            assert 1990 <= year <= 2030 and 1 <= month <= 12 and 1 <= day <= 31
+        await c.stmt_close(sid)
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
 def test_reexecute_closes_stale_cursor(gateway):
     """MySQL closes any open cursor on re-EXECUTE: after a partial
     COM_STMT_FETCH, a plain (non-cursor) re-EXECUTE must invalidate the

@@ -269,6 +269,17 @@ def test_classify():
     assert kind == "sysvar"
     assert vars_ == [("version", "@@version"), ("autocommit", "ac")]
     assert dialect.classify("SELECT * FROM t")[0] == "query"
+    kind, d = dialect.classify("ANALYZE TABLE orders COMPUTE STATISTICS")
+    assert (kind, d["table"], d["suffix"]) == ("analyze", "orders", "")
+    kind, d = dialect.classify(
+        "analyze table `orders` compute statistics for columns o_custkey, o_totalprice"
+    )
+    assert kind == "analyze" and d["table"] == "orders"
+    assert d["suffix"].upper().startswith("FOR COLUMNS")
+    kind, d = dialect.classify("ANALYZE TABLE orders COMPUTE STATISTICS NOSCAN")
+    assert (kind, d["suffix"]) == ("analyze", "NOSCAN")
+    # not a stats statement → falls through to the query path
+    assert dialect.classify("ANALYZE TABLE orders")[0] == "query"
 
 
 def test_bidirectional_request_response():

@@ -87,6 +87,65 @@ def test_stream_static_join(spark, sf_dir, stream_dir):
     assert_matches_batch(res, batch, ["c_mktsegment", "n"])
 
 
+def test_session_late_event_merges_sessions(spark, tmp_path):
+    """Session-window late-merge (SURVEY §5.2): an out-of-order event
+    arriving WITHIN the watermark, landing in the gap between two
+    provisional sessions, must fuse them into one session covering all
+    three events — not open a third session or be dropped."""
+    import pandas as pd
+
+    d = tmp_path / "smerge"
+    os.makedirs(d / "in", exist_ok=True)
+
+    def write_batch(name, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).to_parquet(d / "in" / name)
+
+    base_ns = 1_700_000_000 * 1_000_000_000
+    m = 60 * 1_000_000_000
+    # batch 1: user 1 at t=0 and t=50min — 50min apart > 30min gap, so
+    # the provisional state is TWO sessions.
+    write_batch("b1.parquet", [
+        (1, base_ns + 0 * m, 1, "click", 1.0, "{}"),
+        (2, base_ns + 50 * m, 1, "click", 1.0, "{}"),
+    ])
+    # batch 2: out-of-order event at t=25min (within the 2h watermark:
+    # max_ts 50min − 120min < 0, nothing is final yet).  Gaps become
+    # 25min and 25min — both under the 30min gap → one merged session.
+    write_batch("b2.parquet", [
+        (3, base_ns + 25 * m, 1, "click", 1.0, "{}"),
+    ])
+
+    s = jobs.read_events_stream(spark, str(d / "in"), max_files_per_trigger=1)
+    job = jobs.session_counts(s, gap_minutes=30, watermark="2 hours")
+    per_batch: list[list] = []  # complete mode: each batch = full state
+
+    def sink(batch_df, _bid):
+        per_batch.append(batch_df.collect())
+
+    q = (
+        job.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(d / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # before the late event: the provisional state is TWO sessions
+    before = sorted(per_batch[0], key=lambda r: r["sw"]["start"])
+    assert [r["events_in_session"] for r in before] == [1, 1], before
+    # after it: exactly ONE merged session holding all 3 events,
+    # spanning t=0 → last event + gap
+    finals = per_batch[-1]
+    assert len(finals) == 1, finals
+    assert finals[0]["events_in_session"] == 3, finals
+    sw = finals[0]["sw"]
+    span_min = (sw["end"] - sw["start"]).total_seconds() / 60
+    assert span_min == 50 + 30, span_min
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Inject a late row in a second file; with a 10-minute watermark the
     closed window must not include it (SURVEY §2B watermark row)."""

@@ -79,6 +79,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def promote_to_catalog_table(spark: SparkSession, sf_dir: str,
+                             name: str, db: str) -> str:
+    """Promote a fixture parquet path to an external catalog table so
+    Spark can persist table/column statistics for it (temp views cannot
+    hold stats).  Returns the qualified table name.
+
+    At 100 TB this is the normal state of the world — tables live in a
+    metastore and ANALYZE feeds the cost-based optimizer's join
+    reordering / broadcast decisions; the temp-view path is the
+    stats-less fallback.  ``events`` is not promotable: its catalog
+    schema would expose the raw TIMESTAMP(NANOS) column instead of the
+    engine's (ts, ts_us) projection.
+    """
+    if name == "events":
+        raise ValueError("table 'events' does not support ANALYZE "
+                         "(non-promotable nanosecond-timestamp schema)")
+    ensure_session_confs(spark)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+    qualified = f"`{db}`.`{name}`"
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {qualified} USING parquet "
+        f"LOCATION '{sf_dir}/{name}.parquet'"
+    )
+    return qualified
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views named as in FIXTURES.md.
 

@@ -154,6 +154,11 @@ _LOAD_DATA_RE = re.compile(
     re.IGNORECASE,
 )
 _USE_RE = re.compile(r"^\s*USE\s+`?([A-Za-z0-9_.]+)`?\s*$", re.IGNORECASE)
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+`?(\w+)`?\s+COMPUTE\s+STATISTICS"
+    r"(\s+FOR\s+COLUMNS\s+[\w`,\s]+|\s+FOR\s+ALL\s+COLUMNS|\s+NOSCAN)?\s*$",
+    re.IGNORECASE,
+)
 _TXN_RE = re.compile(r"^\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)\b", re.IGNORECASE)
 _SHOW_RE = re.compile(r"^\s*SHOW\s+(\S+)", re.IGNORECASE)
 _DESCRIBE_RE = re.compile(r"^\s*(?:DESCRIBE|DESC)\s+`?(\w+)`?\s*$", re.IGNORECASE)
@@ -203,6 +208,12 @@ def classify(stmt: str) -> tuple[str, object]:
             "delimiter": delim,
             "ignore_lines": int(m.group(4) or 0),
         }
+    m = _ANALYZE_RE.match(stmt)
+    if m:
+        # TiDB accepts ANALYZE TABLE for CBO statistics
+        # (SURVEY.md §4.2); mapped onto Spark's ANALYZE TABLE.
+        return "analyze", {"table": m.group(1),
+                           "suffix": (m.group(2) or "").strip()}
     if _SET_RE.match(stmt):
         return "set", stmt
     m = _USE_RE.match(stmt)

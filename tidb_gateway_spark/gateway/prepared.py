@@ -263,12 +263,18 @@ def encode_binary_row(values: list, type_codes: list[int]) -> bytes:
         elif tcode == C.MYSQL_TYPE_DOUBLE:
             b.write_bytes(struct.pack("<d", float(v)))
         elif tcode in (C.MYSQL_TYPE_DATE, C.MYSQL_TYPE_TIMESTAMP, 0x0C):
+            # Binary date/time layout is length-prefixed and spec-minimal
+            # (reference wire contract mysql/buffer.go:21-194): DATE
+            # values carry 4 bytes (year, month, day), DATETIME 7, and 11
+            # only when microseconds are present.
             if isinstance(v, dt.datetime):
                 y, mo, d = v.year, v.month, v.day
                 h, mi, s, us = v.hour, v.minute, v.second, v.microsecond
-            else:  # date
-                y, mo, d = v.year, v.month, v.day
-                h = mi = s = us = 0
+            else:  # date → 4-byte form
+                b.write_byte(4)
+                b.write_uint(v.year, 2)
+                b.write_bytes(bytes([v.month, v.day]))
+                continue
             if us:
                 b.write_byte(11)
                 b.write_uint(y, 2)

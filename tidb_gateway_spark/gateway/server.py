@@ -262,6 +262,11 @@ class Gateway:
             )
             result_encoder.write_simple_resultset(pio, cols, rows, cap,
                                                   status=session.status, more_results=more)
+        elif kind == "analyze":
+            loop = asyncio.get_running_loop()
+            await loop.run_in_executor(self.executor, session.analyze_table,
+                                       detail)
+            pio.write_packet(packets.ok_packet(cap, status=status))
         elif kind == "load_data":
             await self._load_data_local(pio, session, detail, more)
         else:
@@ -568,6 +573,33 @@ class _Session:
             pass
         df.createOrReplaceTempView(table)
         return len(normalized)
+
+    def analyze_table(self, detail: dict) -> None:
+        """ANALYZE TABLE → Spark table/column statistics for the CBO.
+
+        Temp views cannot hold statistics, so the fixture table is
+        promoted to an external catalog table (metadata only — the
+        parquet files are not copied), ANALYZE runs against it, and this
+        session's shadowing temp view is dropped with the current
+        database pointed at the cluster's so unqualified references
+        resolve to the analyzed table from now on.  With
+        spark.sql.cbo.enabled, subsequent multiway joins use the
+        rowCount/size stats for join reordering and broadcast decisions.
+        """
+        import re as _re
+
+        from tidb_gateway_spark.catalog import promote_to_catalog_table
+
+        self.ensure_views()
+        db = _re.sub(r"\W", "_", self.route.cluster_id)
+        qualified = promote_to_catalog_table(
+            self.spark, self.route.sf_dir, detail["table"], db)
+        self.spark.sql(
+            f"ANALYZE TABLE {qualified} COMPUTE STATISTICS "
+            f"{detail['suffix']}".strip()
+        )
+        self.spark.catalog.dropTempView(detail["table"])
+        self.spark.catalog.setCurrentDatabase(db)
 
     def record_set(self, stmt: str) -> None:
         import re

@@ -24,11 +24,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tidb_gateway_spark.operators.partitioning import ensure_min_partitions
+
 HEX_HIGH = tuple("89abcdef")  # hex digits with the top bit set
 
 
 def doc_words(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct (doc_id, word) pairs (unigram sets — SimHash features)."""
+    """Distinct (doc_id, word) pairs (unigram sets — SimHash features).
+
+    No parallelism guard here (contrast doc_shingles): consumers hash
+    AFTER the distinct's exchange, which already spreads the work, and
+    the pre-shuffle explode is too cheap to justify repartitioning the
+    raw text (measured: the guard made q73 ~25% slower at sf1).
+    """
     return (
         documents.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(F.col("w") != "")
@@ -65,7 +73,8 @@ def doc_shingles(documents: DataFrame, n: int = 3, id_col: str = "doc_id",
     re-ran the shingle transform against the scan.
     """
     out = (
-        documents.select(
+        ensure_min_partitions(documents)
+        .select(
             id_col,
             F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("wlist"),
         )

@@ -66,6 +66,62 @@ def brute_force_topk(
     )
 
 
+def cosine_nn_arrow(corpus: DataFrame, probes: list[tuple[int, list[float]]],
+                    id_col: str = "nn", vec_col: str = "ce") -> DataFrame:
+    """Exact cosine nearest neighbor of each probe over the corpus, via
+    Arrow-batched numpy (``mapInPandas``) with per-batch partial argmax.
+
+    ``probes``: small [(qid, vector), ...] list (metadata-sized — the
+    probe set is broadcast inside the task closure, like rank.py's bucket
+    boundaries).  Each Arrow batch computes a (batch × n_probes) cosine
+    matrix with one BLAS matmul and emits at most one (qid, nn, cs) row
+    per probe — the map-side reduction, so the shuffle carries
+    O(batches × probes) rows regardless of corpus size, identical in
+    shape to the ``max(struct)`` JVM plan.  Ties break toward the lowest
+    neighbor id, matching ROW_NUMBER() OVER (ORDER BY cs DESC, nn).
+
+    This is the sanctioned Python stage: dense linear algebra is the one
+    place interpreted JVM higher-order functions lose by ~20× to
+    vectorized BLAS, and the Arrow batch transfer amortizes the Python
+    boundary.  Returns (qid, nn, cs) — one row per probe.
+    """
+    import numpy as np
+
+    P = np.array([v for _, v in probes], dtype=np.float64).T  # dim × q
+    p_norm = np.sqrt((P * P).sum(axis=0))
+    qids = [int(q) for q, _ in probes]
+
+    def partial_nn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            c_norm = np.sqrt((M * M).sum(axis=1))
+            S = (M @ P) / (c_norm[:, None] * p_norm[None, :])
+            rows = []
+            for j, qid in enumerate(qids):
+                col = S[:, j].copy()
+                col[ids == qid] = -np.inf  # exclude self-match
+                mx = col.max()
+                if mx == -np.inf:
+                    continue
+                rows.append((qid, int(ids[col == mx].min()), float(mx)))
+            yield pd.DataFrame(rows, columns=["qid", "nn", "cs"])
+
+    partials = corpus.select(id_col, vec_col).mapInPandas(
+        partial_nn, schema="qid long, nn long, cs double"
+    )
+    best = partials.groupBy("qid").agg(
+        F.max(F.struct(F.col("cs"), (-F.col("nn")).alias("neg_nn"))).alias("b")
+    )
+    return best.select(
+        "qid", (-F.col("b.neg_nn")).alias("nn"), F.col("b.cs").alias("cs")
+    )
+
+
 def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 hyperplanes seeded from md5(plane, coord).
 

@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 from tidb_gateway_spark.catalog import load_table
 from tidb_gateway_spark.functions import stable_round
 from tidb_gateway_spark.operators import dedup, text as text_ops
+from tidb_gateway_spark.operators.partitioning import ensure_min_partitions
 from tidb_gateway_spark.operators.similarity import (
+    cosine_nn_arrow,
     dot_expr,
     hyperplanes,
     lsh_bucket_topk,
@@ -179,41 +181,23 @@ _Q75_ORACLE = (
 )
 def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    # Hoist norms to one computation per vector per side — recomputing
-    # them inside the pair expression would triple the higher-order-
-    # function work (O(pairs·dim) extra lambda evaluations).
-    probes = F.broadcast(
-        e.filter(F.col("vec_id") < 20).select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("qe"),
-            norm_expr("embedding").alias("qn"),
-        )
-    )
-    corpus = e.select(
-        F.col("vec_id").alias("nn"),
-        F.col("embedding").alias("ce"),
-        norm_expr("embedding").alias("cn"),
-    )
-    cs = dot_expr("ce", "qe") / (F.col("cn") * F.col("qn"))
-    pairs = (
-        corpus.join(probes, F.col("nn") != F.col("qid"))
-        .select("qid", "nn", cs.alias("cs"))
-    )
-    # Argmax via max(struct(cs, -nn)): lexicographic struct max picks the
-    # highest cosine, ties broken toward the lowest neighbor id — same
-    # total order as ROW_NUMBER() OVER (ORDER BY cs DESC, nn).  Unlike a
-    # window, this aggregates partially on the map side (each partition
-    # emits ≤ n_probes rows), so the shuffle is O(partitions × probes),
-    # independent of corpus size.
-    best = pairs.groupBy("qid").agg(
-        F.max(F.struct(F.col("cs"), (-F.col("nn")).alias("neg_nn"))).alias("b")
-    )
+    # The probe set is metadata-sized (20 rows) — collected into the task
+    # closure like rank.py's bucket boundaries, never row data.
+    probes = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < 20)
+                  .select("vec_id", "embedding").collect()
+    ]
+    corpus = e.select(F.col("vec_id").alias("nn"),
+                      F.col("embedding").alias("ce"))
+    # Arrow-batched numpy scan with per-batch partial argmax (see
+    # operators/similarity.py:cosine_nn_arrow): one BLAS matmul per
+    # batch, ≤ n_probes rows emitted per batch, so the shuffle is
+    # O(batches × probes) — same reduction shape as the previous JVM
+    # max(struct) plan, ~20× faster on the dense arithmetic.
+    best = cosine_nn_arrow(corpus, probes)
     return (
-        best.select(
-            "qid",
-            (-F.col("b.neg_nn")).alias("nn"),
-            stable_round(F.col("b.cs"), 4).alias("cs"),
-        )
+        best.select("qid", "nn", stable_round(F.col("cs"), 4).alias("cs"))
         .orderBy("qid")
     )
 
@@ -357,7 +341,9 @@ _DDB_FP = (
     tags=("text", "llm", "dedup"),
 )
 def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # parallelism guard: ~250 map-side md5 calls per document must not
+    # single-thread on a one-row-group table (operators/partitioning.py)
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     g = (
         d.select(text_ops.fingerprint("text").alias("fp"))
         .groupBy("fp")
@@ -612,7 +598,9 @@ _PII_PATTERNS = {
     tags=("text", "llm"),
 )
 def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # parallelism guard: three regex scans per document run map-side in
+    # the partial aggregate — spread them (operators/partitioning.py)
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     aggs = [
         F.sum(F.when(F.col("text").rlike(pat), 1).otherwise(0)).alias(name)
         for name, pat in _PII_PATTERNS.items()

@@ -36,6 +36,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # AQE skew-join splitting: mandatory at 100 TB where key skew is the
     # norm (hot users, hot dates); free locally.
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Cost-based optimization: inert until ANALYZE TABLE populates
+    # catalog statistics (temp views carry none), then drives join
+    # reordering and broadcast decisions — the 100 TB multiway-join
+    # answer that AQE's runtime-only view cannot give.
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
 }
 
 

@@ -86,12 +86,23 @@ def sliding_counts(events: DataFrame, minutes: int = 10, slide: int = 5) -> Data
     )
 
 
-def session_counts(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def session_counts(events: DataFrame, gap_minutes: int = 30,
+                   watermark: str | None = None) -> DataFrame:
     """q58 twin: session_window with a 30-minute gap → sessions per user.
 
     Returns one row per (user_id, session); the convergence check counts
     sessions per user after the stream drains.
+
+    With ``watermark``, out-of-order events arriving within the
+    watermark MERGE open sessions (an event landing in the gap between
+    two provisional sessions fuses them into one — asserted by
+    tests/test_streaming.py::test_session_late_event_merges_sessions);
+    events older than the watermark are dropped and the state store
+    evicts sessions that closed before it.  Without one, state is
+    unbounded — only acceptable for bounded replays.
     """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
     return (
         events.groupBy(
             F.session_window("ts", f"{gap_minutes} minutes").alias("sw"), "user_id"
