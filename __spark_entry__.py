@@ -32,6 +32,8 @@ _CHANGED_FIRST = (
     "q32_rank_dense_rank",         # two-pass range-bucketed rank (r2)
     "q37_ntile",                   # two-pass range-bucketed rank (r2)
     "q57_sliding_window",          # de-globalized bucket LAG (r3)
+    "q75_cosine_nearest_neighbor", # Arrow/numpy partial-argmax scan (r3)
+    "q93_embedding_neardup_pairs", # new operator (r3)
 )
 
 

@@ -28,7 +28,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+# best-of-3: this host shows ±40% run-to-run noise (shared-VM
+# neighbors); the minimum of three warm runs is the stable statistic
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def sf_label(sf_dir: str) -> float:
@@ -45,8 +47,11 @@ def main() -> None:
 
     spark = get_spark("tidb-gateway-spark-bench")
 
-    # Warm-up: JIT/codegen caches, parquet footer reads.
-    for warm_qid in ("q22_tpch_q1_agg", "q10_inner_equijoin", "q31_row_number"):
+    # Warm-up: JIT/codegen caches, parquet footer reads, Arrow Python
+    # workers (q75's mapInPandas pool would otherwise charge its cold
+    # start to the first Python-stage query).
+    for warm_qid in ("q22_tpch_q1_agg", "q10_inner_equijoin",
+                     "q31_row_number", "q75_cosine_nearest_neighbor"):
         REGISTRY[warm_qid].spark(spark, SF_DIR).toArrow()
 
     per_query: dict[str, float] = {}

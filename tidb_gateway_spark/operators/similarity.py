@@ -122,6 +122,58 @@ def cosine_nn_arrow(corpus: DataFrame, probes: list[tuple[int, list[float]]],
     )
 
 
+def embedding_neardup_pairs(vectors: DataFrame, tau: float = 0.35,
+                            n_planes: int = 6, dim: int = 64,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (a < b, cosine ≥ tau),
+    restricted to LSH buckets — the embedding-space analog of
+    MinHash-LSH candidate generation in dedup.py.
+
+    Scale shape: bucket id = sign pattern over ``n_planes`` fixed
+    hyperplanes partitions the corpus; all-pairs scoring happens only
+    WITHIN a bucket (``applyInPandas`` per bucket, one numpy matmul), so
+    total work is Σ bucket² ≈ n²/2^p instead of n² — and bucket size is
+    tunable with more planes.  Pairs split across buckets are missed:
+    ANN recall semantics, same contract as lsh_bucket_topk.  The
+    deterministic md5-seeded planes make an external oracle reproduce
+    the identical bucketing.
+    """
+    import numpy as np
+
+    bucketed = with_lsh_bucket(
+        vectors.select(id_col, vec_col), n_planes, dim, col=vec_col)
+
+    def bucket_pairs(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame({
+            "a": pd.Series(dtype="int64"),
+            "b": pd.Series(dtype="int64"),
+            "cs": pd.Series(dtype="float64"),
+        })
+        if len(pdf) < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        norm = np.sqrt((M * M).sum(axis=1))
+        S = (M @ M.T) / np.outer(norm, norm)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = S[iu, ju] >= tau
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            "a": ids[iu[keep]].astype("int64"),
+            "b": ids[ju[keep]].astype("int64"),
+            "cs": S[iu[keep], ju[keep]],
+        })
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        bucket_pairs, schema="a long, b long, cs double")
+
+
 def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 hyperplanes seeded from md5(plane, coord).
 

@@ -1,4 +1,4 @@
-"""Q72–Q80: extended LLM-data-pipeline operators (driver-mandated
+"""Q72–Q93: extended LLM-data-pipeline operators (driver-mandated
 families beyond the declared Q60–Q66; SURVEY.md §2B-ext).
 
 Each query is the declared check for an ``operators/`` transform; the
@@ -606,3 +606,51 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, pat in _PII_PATTERNS.items()
     ]
     return d.agg(*aggs, F.count("*").alias("total"))
+
+
+# ---------------------------------------------------------------- Q93
+_ND_PLANES, _ND_TAU = 6, 0.35
+
+
+def _q93_oracle() -> str:
+    planes = hyperplanes(_ND_PLANES, _DIM)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {_ddb_plane_literal(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    cs = (
+        "list_dot_product(x.e, y.e) / "
+        "(sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))"
+    )
+    return (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+        f"b AS (SELECT vec_id, e, {bucket} AS bucket FROM v) "
+        f"SELECT x.vec_id AS a, y.vec_id AS b, "
+        f"FLOOR(({cs})*10000 + 0.5)/10000 AS cs "
+        "FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id "
+        f"WHERE {cs} >= {_ND_TAU} ORDER BY a, b"
+    )
+
+
+@register(
+    "q93_embedding_neardup_pairs",
+    _q93_oracle(),
+    doc="Embedding-cosine near-duplicate pairs (cos >= 0.35) via "
+        "hyperplane-LSH buckets: all-pairs scoring only within a "
+        "bucket (one numpy matmul per bucket via applyInPandas), so "
+        "work is sum(bucket^2) ~ n^2/2^p, never corpus-wide O(n^2) — "
+        "operators/similarity.py:embedding_neardup_pairs.  Completes "
+        "the dedup family: exact (q60), MinHash+LSH (q72), SimHash "
+        "(q73), n-gram Jaccard (q74), embedding-cosine (this).",
+    tags=("dedup", "similarity", "llm", "ann"),
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.similarity import embedding_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(e, tau=_ND_TAU, n_planes=_ND_PLANES, dim=_DIM)
+    return (
+        pairs.select("a", "b", stable_round(F.col("cs"), 4).alias("cs"))
+        .orderBy("a", "b")
+    )
