@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import asyncio
 import datetime as dt_mod
+import re
 
 import pytest
 
@@ -756,6 +757,15 @@ def test_analyze_table_feeds_cbo_stats(gateway):
             "EXPLAIN COST SELECT o_custkey FROM orders"))[0]
         text = "\n".join(str(v) for row in cost_rows for v in row)
         assert "rowCount=" in text, text[:800]
+        # plan evidence 2: column stats drive filter SELECTIVITY — the
+        # CBO estimates ~100 of 1500 rows pass o_custkey < 10 instead
+        # of defaulting to the full table rowCount
+        _, sel_rows = (await c.query(
+            "EXPLAIN COST SELECT o_orderkey FROM orders WHERE o_custkey < 10"
+        ))[0]
+        sel = "\n".join(str(v) for row in sel_rows for v in row)
+        m = re.search(r"Filter[^\n]*Statistics\([^)]*rowCount=(\d+)", sel)
+        assert m and int(m.group(1)) < 1500, sel[:800]
         # the promoted table still answers queries correctly
         _, rows = (await c.query("SELECT COUNT(*) AS n FROM orders"))[0]
         assert int(rows[0][0]) == 1500, rows

@@ -192,6 +192,30 @@ def test_csv_json_roundtrip_and_ctas(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == load_table(spark, sf_dir, "orders").count()
 
 
+def test_shred_json_column_matches_per_query_parse(spark, sf_dir, tmp_path):
+    """Ingest-time JSON shredding: parse props ONCE into a typed column,
+    materialize to parquet, and the stored values equal what per-query
+    get_json_object would extract — while later scans read a pruned INT
+    column instead of re-parsing text (the 100 TB answer to q53's
+    per-query JSON cost, BASELINE.md)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "props")
+    shredded = sources_io.shred_json_column(e, "props", "k INT")
+    out = str(tmp_path / "events_shredded")
+    sources_io.write_parquet_table(shredded, out)
+
+    back = spark.read.parquet(out).select("event_id", "k")
+    expected = e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+    assert back.subtract(expected).count() == 0
+    assert expected.subtract(back).count() == 0
+    # the shredded table no longer carries the raw JSON text
+    assert "props" not in spark.read.parquet(out).columns
+    # and the typed read prunes to exactly the two requested columns
+    from tidb_gateway_spark.plans.inspect import read_schema_columns
+    assert read_schema_columns(back) == [{"event_id", "k"}]
+
+
 def test_load_data_infile_analog(spark, tmp_path):
     p = tmp_path / "infile.csv"
     p.write_text("1,alpha\n2,beta\n3,gamma\n")

@@ -87,6 +87,43 @@ def test_stream_static_join(spark, sf_dir, stream_dir):
     assert_matches_batch(res, batch, ["c_mktsegment", "n"])
 
 
+def test_stateful_running_totals_converges(spark, sf_dir, stream_dir):
+    """applyInPandasWithState custom operator: after draining the
+    bounded replay, each user's LAST emitted (n, total) must equal the
+    batch groupBy answer — explicit keyed state accumulated across
+    micro-batches matches a one-shot aggregation."""
+    s = jobs.read_events_stream(spark, stream_dir)
+    job = jobs.stateful_running_totals(s)
+    emissions: list = []
+
+    def sink(batch_df, _bid):
+        emissions.append(batch_df.collect())
+
+    q = (
+        job.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    last = {}  # update mode: the final emission per user wins
+    for batch in emissions:
+        for r in batch:
+            last[r["user_id"]] = (r["n"], r["total"])
+    batch_ans = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(last) == set(batch_ans)
+    for u, (n, total) in batch_ans.items():
+        assert last[u][0] == n, u
+        assert abs(last[u][1] - total) < 1e-6, u
+
+
 def test_session_late_event_merges_sessions(spark, tmp_path):
     """Session-window late-merge (SURVEY §5.2): an out-of-order event
     arriving WITHIN the watermark, landing in the gap between two

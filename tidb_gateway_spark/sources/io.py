@@ -48,6 +48,35 @@ def write_parquet_table(df: DataFrame, path: str, mode: str = "overwrite",
     writer.parquet(path)
 
 
+def shred_json_column(df: DataFrame, json_col: str, schema: str | T.StructType,
+                      keep: list[str] | None = None,
+                      drop_source: bool = True) -> DataFrame:
+    """Shred a JSON string column into typed top-level columns — the
+    ingest-time answer to per-query JSON parsing.
+
+    Parsing JSON per query costs ~2.2 s per million rows in Spark
+    (measured: get_json_object / json_tuple / from_json all within 10%,
+    BASELINE.md) and is pure waste when the same paths are re-extracted
+    every query.  At 100 TB the pattern is: parse ONCE at ingest with
+    ``from_json`` against an explicit schema, store typed columns in
+    parquet, and every later query reads a pruned, pushdown-friendly
+    column instead of re-parsing text.  Pair with
+    :func:`write_parquet_table` for the materialization.
+
+    ``schema``: DDL string ("k INT, tags ARRAY<STRING>") or StructType.
+    ``keep``: subset of parsed fields to surface (default: all).
+    """
+    from pyspark.sql import functions as F
+
+    parsed = df.withColumn("_j", F.from_json(F.col(json_col), schema))
+    names = (keep if keep is not None
+             else parsed.schema["_j"].dataType.fieldNames())
+    out = parsed.select(
+        "*", *[F.col(f"_j.{n}").alias(n) for n in names]
+    ).drop("_j")
+    return out.drop(json_col) if drop_source else out
+
+
 def load_data_infile(spark: SparkSession, local_path: str, view_name: str,
                      schema: T.StructType | None = None,
                      delimiter: str = ",", header: bool = False) -> DataFrame:

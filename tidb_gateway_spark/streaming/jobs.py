@@ -139,6 +139,45 @@ def windowed_counts_with_watermark(events: DataFrame, minutes: int = 5,
     )
 
 
+def stateful_running_totals(events: DataFrame,
+                            watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, value total), updated each micro-batch from
+    explicit keyed state.
+
+    This is the escape hatch for stateful semantics the built-in
+    window/dedup operators cannot express (running ML feature state,
+    custom sessionization, CDC merge).  State shards by group key across
+    executors exactly like the built-in operators; the watermark bounds
+    how long idle keys could be retained if a timeout were configured.
+    Arrow moves each group's batch rows into pandas; state is a typed
+    tuple, O(1) per key.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n long, total double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Stream–static enrichment join: events ⋈ customer dimension.
 
