@@ -128,6 +128,54 @@ def test_lsh_ann_is_exact_within_bucket(spark, sf_dir):
     assert all(r["dp"] <= global_best for r in got)
 
 
+def test_arrow_bucketing_matches_hof_bucketing(spark, sf_dir):
+    """The vectorized (numpy matmul) bucketing must assign every vector
+    the same bucket as the left-to-right JVM HOF form — the numeric
+    margin is ~10^9x the summation-reorder error (similarity.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    hof = {r["vec_id"]: r["bucket"]
+           for r in similarity.with_lsh_bucket(e, 6, 64).collect()}
+    arrow = {r["vec_id"]: r["bucket"]
+             for r in similarity.with_lsh_bucket_arrow(e, 6, 64).collect()}
+    assert hof == arrow
+
+
+def test_ann_index_query_matches_inline_lsh(spark, sf_dir, tmp_path):
+    """A query against the materialized bucketed index returns exactly
+    what the index-less inline bucketing path returns, and the index is
+    reused (not rebuilt) on the second call."""
+    import os
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
+    query = e.filter(F.col("vec_id") == 0)
+    inline = similarity.lsh_bucket_topk(corpus, query, k=10, n_planes=4).collect()
+
+    os.environ["SPARK_GRAFT_INDEX_DIR"] = str(tmp_path)
+    try:
+        idx = similarity.ann_index(spark, f"{sf_dir}/embeddings.parquet",
+                                   n_planes=4, dim=64)
+        qrow = (idx.filter(F.col("vec_id") == 0)
+                .select("embedding", "bucket").head())
+        got = similarity.ann_query(
+            idx, qrow["bucket"], list(qrow["embedding"]), k=10, exclude_id=0
+        ).collect()
+        assert [(r["vec_id"], r["dp"]) for r in got] == [
+            (r["vec_id"], r["dp"]) for r in inline
+        ]
+        # second call must reuse, not rebuild: _SUCCESS mtime unchanged
+        marker = next(
+            os.path.join(r, f) for r, _, fs in os.walk(tmp_path)
+            for f in fs if f == "_SUCCESS"
+        )
+        mt = os.path.getmtime(marker)
+        similarity.ann_index(spark, f"{sf_dir}/embeddings.parquet",
+                             n_planes=4, dim=64)
+        assert os.path.getmtime(marker) == mt
+    finally:
+        del os.environ["SPARK_GRAFT_INDEX_DIR"]
+
+
 def test_simhash_identical_docs_collide(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     sh = dedup.simhash(dedup.doc_words(d))

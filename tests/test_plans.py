@@ -87,6 +87,20 @@ def test_q75_argmax_is_partial_aggregate_not_window(spark, sf_dir):
     assert n_aggs >= 2, text
 
 
+def test_q76_ann_index_partition_prunes(spark, sf_dir):
+    """q76 must serve from the materialized bucketed index with the
+    query's bucket id as a PartitionFilter — the scan touches one
+    partition (corpus/2^p rows), never the whole corpus.  This is the
+    100 TB contract: bucket id = index table partition key."""
+    df = REGISTRY["q76_ann_lsh_bucket"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    assert "ann_index" in text, "q76 does not read the materialized index"
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert m and "bucket" in m.group(1) and "=" in m.group(1), text
+
+
 def test_no_rowudf_in_declared_plans(spark, sf_dir):
     """Declared queries must stay JVM-side: no row-at-a-time Python
     UDFs in any plan (q81's ArrowEvalPython/mapInPandas is the only
