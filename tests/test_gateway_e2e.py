@@ -774,6 +774,49 @@ def test_analyze_table_feeds_cbo_stats(gateway):
         assert isinstance(err, dict) and err.get("error"), err
         pong = await c.ping()
         assert pong[0] == 0x00
+        # db-qualified form: this cluster's catalog db resolves...
+        ok = (await c.query(
+            "ANALYZE TABLE sf001.orders COMPUTE STATISTICS"))[0]
+        assert isinstance(ok, dict) and "error" not in ok, ok
+        # ...a foreign qualifier is rejected deterministically (clean
+        # ERR naming the database, not a temp-view resolution error)
+        err = (await c.query(
+            "ANALYZE TABLE otherdb.orders COMPUTE STATISTICS"))[0]
+        assert isinstance(err, dict) and err.get("error"), err
+        assert "otherdb" in err.get("message", ""), err
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_json_extract_served_from_shredded_view(gateway):
+    """Constant-path JSON extraction through the gateway is routed onto
+    the materialized shredded companion view (ingest-time shredding,
+    sources/io.py + catalog.SHREDDED_JSON): every MySQL spelling —
+    including the ->> operator Spark itself cannot parse — answers with
+    values identical to re-parsing the JSON text per query."""
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        # ground truth: force a non-rewritten parse (unknown-path form
+        # stays on the query path; '$.k' via a no-op concat dodges the
+        # rewrite pattern while computing the same path)
+        _, truth = (await c.query(
+            "SELECT event_id, get_json_object(props, concat('$.', 'k')) AS k "
+            "FROM events ORDER BY event_id LIMIT 20"))[0]
+        for spelling in (
+            "get_json_object(props, '$.k')",
+            "JSON_EXTRACT(props, '$.k')",
+            "props->>'$.k'",
+        ):
+            _, rows = (await c.query(
+                f"SELECT event_id, {spelling} AS k FROM events "
+                "ORDER BY event_id LIMIT 20"))[0]
+            assert rows == truth, (spelling, rows[:3], truth[:3])
+        # aggregation over the typed column round-trips too
+        _, rows = (await c.query(
+            "SELECT COUNT(DISTINCT props->>'$.k') AS n FROM events"))[0]
+        assert int(rows[0][0]) > 0
         await c.quit()
 
     run_with_gateway(gateway, scenario)

@@ -260,6 +260,36 @@ def test_date_format_rewrite():
     assert out == "SELECT date_format(d, 'yyyy-MM-dd HH:mm:ss') FROM t"
 
 
+def test_json_shred_rewrite():
+    """Constant-path extraction on events.props must be routed onto the
+    materialized typed column and the table onto events_shredded, for
+    every MySQL extraction spelling; the wire type stays STRING."""
+    want = ("SELECT event_id, CAST(props_k AS STRING) AS k "
+            "FROM events_shredded ORDER BY event_id")
+    for expr in (
+        "get_json_object(props, '$.k')",
+        "GET_JSON_OBJECT(props,'$.k')",
+        "JSON_EXTRACT(props, '$.k')",
+        "JSON_UNQUOTE(JSON_EXTRACT(props, '$.k'))",
+        "props->>'$.k'",
+        "props -> '$.k'",
+        "e.props ->> '$.k'",
+    ):
+        out = dialect.to_spark_sql(
+            f"SELECT event_id, {expr} AS k FROM events ORDER BY event_id")
+        assert out == want, (expr, out)
+    # join spelling redirects too
+    out = dialect.to_spark_sql(
+        "SELECT t.x FROM t JOIN events ON t.id = events.event_id "
+        "WHERE get_json_object(props, '$.k') = '1'")
+    assert "JOIN events_shredded ON" in out and "props_k" in out
+    # unknown path / other tables / no extraction: untouched
+    sql = "SELECT get_json_object(props, '$.other') FROM events"
+    assert dialect.to_spark_sql(sql) == sql
+    sql = "SELECT event_id FROM events ORDER BY event_id"
+    assert dialect.to_spark_sql(sql) == sql
+
+
 def test_classify():
     assert dialect.classify("SET autocommit=1")[0] == "set"
     assert dialect.classify("USE mydb") == ("use", "mydb")

@@ -16,6 +16,7 @@ the coarse filtering before row-group pushdown.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +40,23 @@ TABLES = (
 # (region=5 rows, nation=25 rows regardless of sf; supplier/part grow
 # slowly). Queries join these with an explicit broadcast hint.
 BROADCAST_TABLES = ("region", "nation", "supplier")
+
+# Ingest-time JSON shredding (sources/io.py:shred_json_column): JSON
+# string columns whose paths are parsed ONCE into typed columns and
+# served as a companion "<table>_shredded" view.  The gateway dialect
+# (gateway/dialect.py) rewrites constant-path extractions onto the
+# typed column so repeated JSON queries never re-parse text — the
+# 100 TB answer to get_json_object-per-query (~2.2 s/M rows wasted,
+# BASELINE.md).  path → shredded column name per table.
+SHREDDED_JSON: dict[str, dict] = {
+    "events": {
+        "json_col": "props",
+        "schema": "k INT",
+        "prefix": "props_",
+        "paths": {"$.k": "props_k"},
+    },
+}
+SHREDDED_SUFFIX = "_shredded"
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -105,13 +123,58 @@ def promote_to_catalog_table(spark: SparkSession, sf_dir: str,
     return qualified
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
+def register_views(spark: SparkSession, sf_dir: str) -> bool:
     """Register all fixture tables as temp views named as in FIXTURES.md.
 
     Idempotent per (session, sf_dir); re-registers when sf_dir changes.
+    Returns True when registration actually ran (callers that maintain
+    promoted catalog tables must re-drop the shadowing temp views then
+    — see gateway/server.py:_Session.ensure_views).
     """
     if _views_registered.get(id(spark)) == sf_dir:
-        return
+        return False
     for name in TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        spec = SHREDDED_JSON.get(name)
+        if spec:
+            shredded_table(spark, sf_dir, name).createOrReplaceTempView(
+                name + SHREDDED_SUFFIX)
     _views_registered[id(spark)] = sf_dir
+    return True
+
+
+_shred_lock = threading.Lock()
+
+
+def shredded_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """MATERIALIZED shredded companion of a JSON-bearing table.
+
+    A lazy from_json view would re-parse per query — the entire point is
+    to parse once.  So the shredded projection is written to parquet
+    (typed, pruned columns) the first time a (source, spec) pair is
+    seen and read back from disk afterwards; mtime staleness triggers a
+    rebuild, exactly like the ANN index (operators/similarity.py).
+    """
+    import hashlib
+
+    from tidb_gateway_spark.sources.io import shred_json_column
+
+    spec = SHREDDED_JSON[name]
+    src = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    key = hashlib.md5(
+        f"{src}|{spec['schema']}|{spec['prefix']}".encode()
+    ).hexdigest()[:16]
+    root = os.environ.get("SPARK_GRAFT_DERIVED_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".benchdata", "shredded")
+    path = os.path.join(root, key)
+    marker = os.path.join(path, "_SUCCESS")
+    with _shred_lock:
+        if (not os.path.exists(marker)
+                or os.path.getmtime(marker) < os.path.getmtime(src)):
+            shred_json_column(
+                load_table(spark, sf_dir, name), spec["json_col"],
+                spec["schema"], prefix=spec["prefix"], drop_source=False,
+            ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

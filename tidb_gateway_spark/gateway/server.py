@@ -515,6 +515,11 @@ class _Session:
         self.spark = gw.spark  # replaced by attach_spark
         self.stmts: dict[int, object] = {}
         self._stmt_counter = 0
+        # catalog tables promoted by ANALYZE (stats holders); any temp-
+        # view re-registration must re-drop their shadowing views or the
+        # CBO stats silently stop applying (ensure_views).
+        self.promoted: set[str] = set()
+        self.promoted_db: str | None = None
 
     def next_stmt_id(self) -> int:
         self._stmt_counter += 1
@@ -541,7 +546,17 @@ class _Session:
     def ensure_views(self) -> None:
         from tidb_gateway_spark.catalog import register_views
 
-        register_views(self.spark, self.route.sf_dir)
+        if register_views(self.spark, self.route.sf_dir) and self.promoted:
+            # re-registration re-created temp views that shadow the
+            # ANALYZEd catalog tables — re-drop them so unqualified
+            # references keep resolving to the stats-bearing tables
+            for t in self.promoted:
+                try:
+                    self.spark.catalog.dropTempView(t)
+                except Exception:
+                    pass
+            if self.promoted_db:
+                self.spark.catalog.setCurrentDatabase(self.promoted_db)
 
     def ingest_csv(self, data: bytes, detail: dict) -> int:
         """LOAD DATA payload → session-local view; returns row count."""
@@ -592,6 +607,10 @@ class _Session:
 
         self.ensure_views()
         db = _re.sub(r"\W", "_", self.route.cluster_id)
+        if detail.get("db") and detail["db"] != db:
+            raise ValueError(
+                f"ANALYZE TABLE: unknown database '{detail['db']}' "
+                f"(this cluster's catalog database is '{db}')")
         qualified = promote_to_catalog_table(
             self.spark, self.route.sf_dir, detail["table"], db)
         self.spark.sql(
@@ -600,6 +619,8 @@ class _Session:
         )
         self.spark.catalog.dropTempView(detail["table"])
         self.spark.catalog.setCurrentDatabase(db)
+        self.promoted.add(detail["table"])
+        self.promoted_db = db
 
     def record_set(self, stmt: str) -> None:
         import re

@@ -100,6 +100,12 @@ def _order_surrogate(name: str, dtype: str) -> Column | None:
 # so serving week-old quantiles can skew buckets but never ranks.  Saves
 # one full job per repeat build (bench re-runs, repeated gateway
 # queries); a real deployment would hydrate this from ANALYZE stats.
+# Bounded: a long-running gateway serving many distinct plans (LOAD
+# DATA views, varying filters) must not grow it without limit — evict
+# oldest-inserted past the cap (dict preserves insertion order).
+# NOTE for bench readers: best-of-N ranked-query timings measure the
+# warm path, i.e. exclude the one-off boundary job (BASELINE.md).
+_BOUNDARY_CACHE_MAX = 64
 _boundary_cache: dict[tuple, list] = {}
 
 
@@ -131,6 +137,8 @@ def _bucket_expr(df: DataFrame, leading: tuple[str, bool],
         ).collect()[0]
         qs = [v for v in (row["q"] or []) if v is not None]
         if ck is not None:
+            while len(_boundary_cache) >= _BOUNDARY_CACHE_MAX:
+                _boundary_cache.pop(next(iter(_boundary_cache)))
             _boundary_cache[ck] = qs
     bounds = sorted(set(qs), reverse=desc)
     if not bounds:

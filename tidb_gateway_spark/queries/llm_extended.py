@@ -279,7 +279,9 @@ _DDB_LANG_PRED = (
     tags=("text", "llm"),
 )
 def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # parallelism guard: three char counts per document run map-side in
+    # the partial aggregate — spread them (operators/partitioning.py)
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     return (
         d.groupBy(F.col("lang"), text_ops.lang_id(F.col("text")).alias("pred"))
         .agg(F.count("*").alias("n"))
@@ -305,7 +307,8 @@ _DDB_QSCORE = (
     tags=("text", "llm"),
 )
 def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # parallelism guard: see q77
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     qs = text_ops.quality_score(F.col("text"), F.col("n_chars"))
     return (
         d.groupBy(F.floor(qs * 20).cast("int").alias("bucket"))
@@ -326,7 +329,8 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "llm"),
 )
 def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # parallelism guard: split + regexp_count per document, map-side
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     return (
         d.groupBy("source")
         .agg(

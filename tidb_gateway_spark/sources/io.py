@@ -50,7 +50,8 @@ def write_parquet_table(df: DataFrame, path: str, mode: str = "overwrite",
 
 def shred_json_column(df: DataFrame, json_col: str, schema: str | T.StructType,
                       keep: list[str] | None = None,
-                      drop_source: bool = True) -> DataFrame:
+                      drop_source: bool = True,
+                      prefix: str = "") -> DataFrame:
     """Shred a JSON string column into typed top-level columns — the
     ingest-time answer to per-query JSON parsing.
 
@@ -65,14 +66,24 @@ def shred_json_column(df: DataFrame, json_col: str, schema: str | T.StructType,
 
     ``schema``: DDL string ("k INT, tags ARRAY<STRING>") or StructType.
     ``keep``: subset of parsed fields to surface (default: all).
+    ``prefix``: prepended to every surfaced column name.  A surfaced
+    name colliding with an existing column (e.g. props containing an
+    ``event_id`` field) raises instead of emitting an ambiguous
+    duplicate.
     """
     from pyspark.sql import functions as F
 
     parsed = df.withColumn("_j", F.from_json(F.col(json_col), schema))
     names = (keep if keep is not None
              else parsed.schema["_j"].dataType.fieldNames())
+    existing = set(df.columns)
+    clashes = [prefix + n for n in names if prefix + n in existing]
+    if clashes:
+        raise ValueError(
+            f"shredded column name(s) {clashes} collide with existing "
+            f"columns; pass a prefix= or keep= to disambiguate")
     out = parsed.select(
-        "*", *[F.col(f"_j.{n}").alias(n) for n in names]
+        "*", *[F.col(f"_j.{n}").alias(prefix + n) for n in names]
     ).drop("_j")
     return out.drop(json_col) if drop_source else out
 
