@@ -23,23 +23,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q22_tpch_q1_agg"].spark(spark, "/root/testdata/sf0.001")
 
 
-# Queries whose implementation changed recently and therefore need the
+# Queries whose implementation changed THIS round and therefore need the
 # driver's oracle harness (which may cover only a window of the registry)
 # to re-certify them before anything already green in a prior round.
 _CHANGED_FIRST = (
-    "q72_minhash_lsh_candidates",  # oracle hash family aligned (r3)
-    "q74_jaccard_verify",          # ported to exploded-shingle API (r3)
-    "q32_rank_dense_rank",         # two-pass range-bucketed rank (r2)
-    "q37_ntile",                   # two-pass range-bucketed rank (r2)
-    "q57_sliding_window",          # de-globalized bucket LAG (r3)
-    "q75_cosine_nearest_neighbor", # Arrow/numpy partial-argmax scan (r3)
-    "q93_embedding_neardup_pairs", # new operator (r3)
+    "q76_ann_lsh_bucket",          # materialized bucketed index (r4)
+    "q77_lang_id_heuristic",       # parallelism guard (r4)
+    "q78_quality_score_histogram", # parallelism guard (r4)
+    "q79_token_count_stats",       # parallelism guard (r4)
+    "q19_range_predicate_join",    # shuffle_hash join strategy (r4)
+    "q93_embedding_neardup_pairs", # Arrow bucketing path (r4)
+    "q32_rank_dense_rank",         # boundary-cache eviction bound (r4)
+    "q37_ntile",                   # boundary-cache eviction bound (r4)
+)
+
+# Queries whose latest green certification predates the current code
+# (changed after their last driver run, or last certified in r1/r2
+# before unrelated shared-operator rewrites landed).  These rotate
+# through the window right after the changed set; the r3-certified
+# unchanged block sorts last.
+_STALE_CERT = tuple(
+    f"q{n:02d}" for n in (
+        *range(5, 10),            # q05–q09: last certified r2
+        *range(51, 57),           # q51–q56: last certified r2
+        *range(58, 68), 69, 70, 71,  # q58–q67, q69–q71: r2
+        73,                       # q73: r2
+        *range(80, 93),           # q80–q92: r2 (q80/q91/q92 changed r3)
+    )
 )
 
 
 def _ordered_qids() -> list[str]:
-    """Registry qids, changed-this-round first, then q10–q50 (certified
-    only against the pre-rewrite code in round 1), then the rest.
+    """Registry qids ordered by certification staleness: changed this
+    round, then stale-cert, then freshly-certified.
 
     The driver correctness harness may record only the first N entries it
     sees; ordering by staleness makes the certified window cover exactly
@@ -50,8 +66,9 @@ def _ordered_qids() -> list[str]:
     def sort_key(qid: str) -> tuple[int, str]:
         if qid in _CHANGED_FIRST:
             return (0, qid)
-        num = int(qid[1:3]) if qid[1:3].isdigit() else 99
-        return (1 if 10 <= num <= 50 else 2, qid)
+        if qid[:3] in _STALE_CERT:
+            return (1, qid)
+        return (2, qid)
 
     return sorted(REGISTRY, key=sort_key)
 

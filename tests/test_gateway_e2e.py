@@ -789,6 +789,38 @@ def test_analyze_table_feeds_cbo_stats(gateway):
     run_with_gateway(gateway, scenario)
 
 
+def test_ci_collation_comparison_semantics(gateway):
+    """`_ci` collations must give MySQL case-insensitive COMPARISON
+    semantics (both sides, not a display artifact), `_bin` must stay
+    case-sensitive — served by Spark's native collation engine via the
+    dialect's collation-name mapping."""
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        # fixture column is lowercase 'click'; the _ci comparison with
+        # mixed-case literal must match exactly what '=' on the exact
+        # literal matches
+        _, exact = (await c.query(
+            "SELECT COUNT(*) AS n FROM events WHERE event_type = 'click'"))[0]
+        _, ci = (await c.query(
+            "SELECT COUNT(*) AS n FROM events "
+            "WHERE event_type COLLATE utf8mb4_general_ci = 'CLICK'"))[0]
+        assert int(exact[0][0]) > 0
+        assert ci == exact, (ci, exact)
+        _, bin_ = (await c.query(
+            "SELECT COUNT(*) AS n FROM events "
+            "WHERE event_type COLLATE utf8mb4_bin = 'CLICK'"))[0]
+        assert int(bin_[0][0]) == 0, bin_
+        # mixed-case literal pair: equal under _ci, unequal under _bin
+        _, rows = (await c.query(
+            "SELECT CAST(('AbC' COLLATE utf8mb4_general_ci) = 'aBc' AS INT) AS ci_eq, "
+            "CAST(('AbC' COLLATE utf8mb4_bin) = 'aBc' AS INT) AS bin_eq"))[0]
+        assert rows[0] == ["1", "0"], rows
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
 def test_json_extract_served_from_shredded_view(gateway):
     """Constant-path JSON extraction through the gateway is routed onto
     the materialized shredded companion view (ingest-time shredding,

@@ -176,6 +176,67 @@ def test_ann_index_query_matches_inline_lsh(spark, sf_dir, tmp_path):
         del os.environ["SPARK_GRAFT_INDEX_DIR"]
 
 
+# ---- Spark Connect compatibility fallbacks ----
+#
+# A Connect session exposes no SparkContext and no .rdd; grpc is not
+# installed in this container, so the fallback paths are exercised with
+# a context-less stand-in rather than a live Connect server.
+
+class _ConnectishSession:
+    """Mimics pyspark.sql.connect's session surface: conf only."""
+
+    class _Conf:
+        def __init__(self, values):
+            self._values = values
+
+        def get(self, key, default=None):
+            if key in self._values:
+                return self._values[key]
+            if default is None:
+                raise KeyError(key)
+            return default
+
+    def __init__(self, confs):
+        self.conf = self._Conf(confs)
+
+    @property
+    def sparkContext(self):
+        raise AttributeError("sparkContext is not available in Spark Connect")
+
+
+def test_session_parallelism_connect_fallback():
+    from tidb_gateway_spark.operators.partitioning import session_parallelism
+
+    s = _ConnectishSession({"spark.sql.shuffle.partitions": "17"})
+    assert session_parallelism(s) == 17
+    assert session_parallelism(_ConnectishSession({}), default=99) == 99
+
+
+def test_app_token_connect_fallback():
+    from tidb_gateway_spark.operators.rank import _app_token
+
+    s = _ConnectishSession({"spark.app.id": "app-via-conf"})
+    assert _app_token(s) == "app-via-conf"
+    bare = _ConnectishSession({})
+    assert _app_token(bare) == f"session-{id(bare)}"
+
+
+def test_ensure_min_partitions_connect_rebalances(spark, sf_dir):
+    """Without a SparkContext the guard must fall back to an AQE
+    REBALANCE hint (never crash, never silently skip)."""
+    from unittest import mock
+
+    from tidb_gateway_spark.operators.partitioning import ensure_min_partitions
+
+    def _raise(self):
+        raise AttributeError("sparkContext is not available in Spark Connect")
+
+    d = load_table(spark, sf_dir, "documents")
+    with mock.patch.object(type(spark), "sparkContext", property(_raise)):
+        out = ensure_min_partitions(d)
+    assert "rebalance" in out._jdf.queryExecution().logical().toString().lower()
+
+
 def test_simhash_identical_docs_collide(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     sh = dedup.simhash(dedup.doc_words(d))

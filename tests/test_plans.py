@@ -101,6 +101,44 @@ def test_q76_ann_index_partition_prunes(spark, sf_dir):
     assert m and "bucket" in m.group(1) and "=" in m.group(1), text
 
 
+def test_cbo_join_reorder_uses_analyze_stats(spark, sf_dir):
+    """End-to-end CBO evidence (TODO.md): the SAME 3-way join plans in
+    syntactic left-deep order without statistics, and is REORDERED by
+    the cost-based optimizer once ANALYZE TABLE stats exist — the
+    selective customer⋈nation pair joins first, shrinking the
+    intermediate that meets fact-sized orders."""
+    import re
+    import uuid
+
+    from tidb_gateway_spark.catalog import promote_to_catalog_table
+
+    db = f"cbodemo_{uuid.uuid4().hex[:8]}"
+    try:
+        for t in ("orders", "customer", "nation"):
+            promote_to_catalog_table(spark, sf_dir, t, db)
+        sql = (
+            f"SELECT o.o_orderkey FROM {db}.orders o "
+            f"JOIN {db}.customer c ON o.o_custkey = c.c_custkey "
+            f"JOIN {db}.nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE n.n_name = 'KENYA'"
+        )
+
+        def scan_order(df):
+            return re.findall(
+                r"Location.*/(\w+)\.parquet", inspect.explain_formatted(df))
+
+        before = scan_order(spark.sql(sql))
+        assert before == ["orders", "customer", "nation"], before
+        for t in ("orders", "customer", "nation"):
+            spark.sql(f"ANALYZE TABLE {db}.{t} COMPUTE STATISTICS")
+            spark.sql(
+                f"ANALYZE TABLE {db}.{t} COMPUTE STATISTICS FOR ALL COLUMNS")
+        after = scan_order(spark.sql(sql))
+        assert after == ["customer", "nation", "orders"], after
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
 def test_no_rowudf_in_declared_plans(spark, sf_dir):
     """Declared queries must stay JVM-side: no row-at-a-time Python
     UDFs in any plan (q81's ArrowEvalPython/mapInPandas is the only

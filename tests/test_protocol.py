@@ -290,6 +290,18 @@ def test_json_shred_rewrite():
     assert dialect.to_spark_sql(sql) == sql
 
 
+def test_collation_rewrite():
+    out = dialect.to_spark_sql("SELECT a COLLATE utf8mb4_general_ci = b FROM t")
+    assert out == "SELECT a COLLATE UTF8_LCASE = b FROM t"
+    out = dialect.to_spark_sql("SELECT a COLLATE `utf8mb4_bin` FROM t")
+    assert out == "SELECT a COLLATE UTF8_BINARY FROM t"
+    out = dialect.to_spark_sql("SELECT a COLLATE utf8mb4_0900_ai_ci FROM t")
+    assert out == "SELECT a COLLATE UNICODE_CI_AI FROM t"
+    # names outside the advertised collation map pass through
+    sql = "SELECT a COLLATE not_a_collation FROM t"
+    assert dialect.to_spark_sql(sql) == sql
+
+
 def test_classify():
     assert dialect.classify("SET autocommit=1")[0] == "set"
     assert dialect.classify("USE mydb") == ("use", "mydb")

@@ -183,6 +183,76 @@ def test_session_late_event_merges_sessions(spark, tmp_path):
     assert span_min == 50 + 30, span_min
 
 
+def test_session_event_beyond_watermark_dropped(spark, tmp_path):
+    """The drop side of the session-window watermark contract (TODO.md,
+    complement of the late-MERGE test above): an event arriving OLDER
+    than the watermark must neither create a new session nor merge into
+    an existing one.
+
+    Timing note (measured on this Spark build): the stateful operator's
+    late-record filter uses the PREVIOUS batch's planning watermark —
+    one batch behind the eviction watermark — so the drop becomes
+    observable for data arriving two batches after the watermark-
+    advancing event; an interposed batch makes the filter current.
+    Append mode — complete mode exempts late rows from watermark
+    filtering, so only append can assert the drop."""
+    import pandas as pd
+
+    d = tmp_path / "sdrop"
+    os.makedirs(d / "in", exist_ok=True)
+
+    def write_batch(name, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).to_parquet(d / "in" / name)
+
+    base_ns = 1_700_000_000 * 1_000_000_000
+    m = 60 * 1_000_000_000
+    # batch 1: user 1 at t=0 and t=100min → two provisional sessions;
+    # after the batch the watermark advances to 100min − 10min = 90min.
+    write_batch("b1.parquet", [
+        (1, base_ns + 0 * m, 1, "click", 1.0, "{}"),
+        (2, base_ns + 100 * m, 1, "click", 1.0, "{}"),
+    ])
+    # batch 2: benign current-time event (user 3) — brings the late-
+    # record filter up to the 90min watermark.
+    write_batch("b2.parquet", [
+        (4, base_ns + 101 * m, 3, "click", 1.0, "{}"),
+    ])
+    # batch 3: user 2 at t=25min — 65min older than the watermark.
+    # Accepted, it would create (and immediately finalize) a user-2
+    # session [25, 55]; dropped, user 2 never appears.
+    write_batch("b3.parquet", [
+        (3, base_ns + 25 * m, 2, "click", 1.0, "{}"),
+    ])
+
+    s = jobs.read_events_stream(spark, str(d / "in"), max_files_per_trigger=1)
+    job = jobs.session_counts(s, gap_minutes=30, watermark="10 minutes")
+    rows: list = []
+
+    def sink(batch_df, _bid):
+        rows.extend(batch_df.collect())
+
+    q = (
+        job.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(d / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # the dropped event created no session: user 2 never appears, and
+    # the only finalized session is user 1's t=0 singleton (the t=100
+    # and t=101 sessions stay open past the final watermark)
+    assert all(r["user_id"] != 2 for r in rows), rows
+    assert len(rows) == 1, rows
+    assert rows[0]["user_id"] == 1 and rows[0]["events_in_session"] == 1, rows
+    sw = rows[0]["sw"]
+    span_min = (sw["end"] - sw["start"]).total_seconds() / 60
+    assert span_min == 30, span_min
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Inject a late row in a second file; with a 10-minute watermark the
     closed window must not include it (SURVEY §2B watermark row)."""

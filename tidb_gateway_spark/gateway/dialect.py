@@ -141,8 +141,50 @@ def to_spark_sql(sql: str) -> str:
         sql = _rewrite_call(sql, _GROUP_CONCAT, _render_group_concat)
     if _DATE_FORMAT.search(sql):
         sql = _rewrite_call(sql, _DATE_FORMAT, _render_date_format)
+    sql = _rewrite_collations(sql)
     sql = _rewrite_json_shred(sql)
     return sql
+
+
+_COLLATE_RE = re.compile(r"\bCOLLATE\s+`?([A-Za-z0-9_]+)`?", re.IGNORECASE)
+
+
+def _spark_collation(mysql_name: str) -> str | None:
+    """MySQL collation name → Spark 4 native collation, None if the
+    name is not in the server's advertised collation map.
+
+    Spark's collation engine applies the comparison semantics to BOTH
+    sides of every predicate and to ordering — strictly more correct
+    than a one-sided lower() shim.  Mapping: ``*_bin`` → UTF8_BINARY
+    (codepoint order, MySQL semantics); ``*_ai_ci`` → UNICODE_CI_AI
+    (accent- and case-insensitive, the 8.0 default family);
+    other ``*_ci`` → UTF8_LCASE (case-insensitive, accent-sensitive —
+    utf8mb4_general_ci's behavior for the Latin range; legacy
+    general_ci's fold-everything-unaccented corners are approximated).
+    """
+    from tidb_gateway_spark.gateway.constants import COLLATIONS
+
+    n = mysql_name.lower()
+    if n not in COLLATIONS.values():
+        return None
+    if n.endswith("_bin"):
+        return "UTF8_BINARY"
+    if n.endswith("_ai_ci"):
+        return "UNICODE_CI_AI"
+    if n.endswith("_ci"):
+        return "UTF8_LCASE"
+    return "UTF8_BINARY"
+
+
+def _rewrite_collations(sql: str) -> str:
+    """``expr COLLATE <mysql collation>`` → Spark native collation;
+    unknown names pass through untouched (Spark then reports them)."""
+
+    def sub(m: re.Match) -> str:
+        spark_name = _spark_collation(m.group(1))
+        return f"COLLATE {spark_name}" if spark_name else m.group(0)
+
+    return _COLLATE_RE.sub(sub, sql)
 
 
 def _rewrite_json_shred(sql: str) -> str:

@@ -17,7 +17,24 @@ fixed cost in the scale path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+
+def session_parallelism(spark: SparkSession, default: int = 200) -> int:
+    """Target parallelism for the session, Connect-safe.
+
+    Classic sessions report ``sparkContext.defaultParallelism``; Spark
+    Connect exposes no SparkContext, so fall back to the session's
+    shuffle-partition count (our tuned sessions set it to the core
+    count; vanilla sessions get Spark's default).
+    """
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:
+        try:
+            return int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            return default
 
 
 def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -26,9 +43,20 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
 
     Planning only — no job runs; ``rdd.getNumPartitions`` reads the
     physical plan's partitioning.
+
+    Spark Connect fallback: the client cannot inspect planned scan
+    partitioning (no ``.rdd``), so delegate the decision to AQE with a
+    REBALANCE hint — at runtime it shuffles to advisory-sized
+    partitions, restoring parallelism for compute-heavy stages over
+    one-row-group inputs, while on already-parallel scans AQE keeps
+    partitions near advisory size (small constant re-shuffle, never a
+    collapse to one task).
     """
     try:
         sc = df.sparkSession.sparkContext
+    except Exception:
+        return df.hint("REBALANCE")
+    try:
         want = min_parts or sc.defaultParallelism
         have = df.rdd.getNumPartitions()
     except Exception:

@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from tidb_gateway_spark.operators.partitioning import session_parallelism
+
 _NUMERIC_KINDS = (
     "int", "bigint", "smallint", "tinyint", "float", "double", "decimal"
 )
@@ -109,6 +111,19 @@ _BOUNDARY_CACHE_MAX = 64
 _boundary_cache: dict[tuple, list] = {}
 
 
+def _app_token(spark) -> str:
+    """Application identity for cache keys, Connect-safe: applicationId
+    where a SparkContext exists, the server-reported app id conf under
+    Connect, else the client session object identity."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        try:
+            return spark.conf.get("spark.app.id")
+        except Exception:
+            return f"session-{id(spark)}"
+
+
 def _bucket_expr(df: DataFrame, leading: tuple[str, bool],
                  parts: int) -> Column:
     """Deterministic range-bucket id (0-based, ordered like the sort).
@@ -123,7 +138,7 @@ def _bucket_expr(df: DataFrame, leading: tuple[str, bool],
     if parts <= 1 or skey is None:
         return F.lit(0)
     try:
-        ck = (df.sparkSession.sparkContext.applicationId,
+        ck = (_app_token(df.sparkSession),
               df.semanticHash(), name, desc, parts)
     except Exception:
         ck = None
@@ -159,7 +174,7 @@ def _ranked(df: DataFrame, order_cols: list, out_col: str,
             num_partitions: int | None) -> tuple[DataFrame, int]:
     """Range-bucketed global row_number; returns (df, total_rows)."""
     keys = _norm_keys(order_cols)
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = num_partitions or session_parallelism(df.sparkSession)
     bucketed = df.withColumn("_bucket", _bucket_expr(df, keys[0], parts))
     w = Window.partitionBy("_bucket").orderBy(*_sort_exprs(keys))
     local = bucketed.withColumn("_local_rn", F.row_number().over(w))

@@ -97,7 +97,9 @@ def session_counts(events: DataFrame, gap_minutes: int = 30,
     watermark MERGE open sessions (an event landing in the gap between
     two provisional sessions fuses them into one — asserted by
     tests/test_streaming.py::test_session_late_event_merges_sessions);
-    events older than the watermark are dropped and the state store
+    events older than the watermark are dropped (the late-record filter
+    runs one batch behind the eviction watermark — see
+    test_session_event_beyond_watermark_dropped) and the state store
     evicts sessions that closed before it.  Without one, state is
     unbounded — only acceptable for bounded replays.
     """
