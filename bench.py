@@ -49,9 +49,12 @@ def main() -> None:
 
     # Warm-up: JIT/codegen caches, parquet footer reads, Arrow Python
     # workers (q75's mapInPandas pool would otherwise charge its cold
-    # start to the first Python-stage query).
+    # start to the first Python-stage query), and the two-pass rank's
+    # one-off boundary job + window JIT (q32 — ranked-query timings
+    # measure the warm path by design; BASELINE.md).
     for warm_qid in ("q22_tpch_q1_agg", "q10_inner_equijoin",
-                     "q31_row_number", "q75_cosine_nearest_neighbor"):
+                     "q31_row_number", "q75_cosine_nearest_neighbor",
+                     "q32_rank_dense_rank", "q32_rank_dense_rank"):
         REGISTRY[warm_qid].spark(spark, SF_DIR).toArrow()
 
     per_query: dict[str, float] = {}

@@ -145,9 +145,13 @@ def _bucket_expr(df: DataFrame, leading: tuple[str, bool],
     qs = _boundary_cache.get(ck) if ck is not None else None
     if qs is None:
         probs = [i / parts for i in range(1, parts)]
+        # accuracy 1000 not 10000: boundaries only set bucket BALANCE
+        # (ranks are exact either way), and QuantileSummaries cost grows
+        # with accuracy — measured 4.3 s vs 0.8 s on 1.5M rows for
+        # near-identical boundaries.
         row = df.select(
             F.percentile_approx(
-                skey, F.array(*[F.lit(p) for p in probs]), F.lit(10000)
+                skey, F.array(*[F.lit(p) for p in probs]), F.lit(1000)
             ).alias("q")
         ).collect()[0]
         qs = [v for v in (row["q"] or []) if v is not None]
