@@ -139,6 +139,18 @@ def test_cbo_join_reorder_uses_analyze_stats(spark, sf_dir):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
+def test_q94_ivf_index_partition_prunes(spark, sf_dir):
+    """q94 must serve from the materialized IVF index with the probe
+    cells as a PartitionFilter (cell IN (...)) — scan cost is
+    nprobe/n_cells of the corpus."""
+    df = REGISTRY["q94_ivf_ann"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert m and "cell" in m.group(1), text
+
+
 def test_no_rowudf_in_declared_plans(spark, sf_dir):
     """Declared queries must stay JVM-side: no row-at-a-time Python
     UDFs in any plan (q81's ArrowEvalPython/mapInPandas is the only

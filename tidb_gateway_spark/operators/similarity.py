@@ -334,6 +334,117 @@ def ann_index(spark: SparkSession, embeddings_path: str, n_planes: int = 8,
     return spark.read.parquet(path)
 
 
+# ------------------------------------------------------------------ IVF
+#
+# The second ANN family from the brief: inverted-file partitioning.
+# Coarse cells instead of hyperplane sign buckets — each vector is
+# assigned to its best-scoring centroid (argmax inner product, first
+# max wins), the corpus is stored partitioned by cell, and a query
+# probes only its top-`nprobe` cells.  Centroids here are the
+# deterministic seed set (the first k corpus vectors) so an external
+# SQL oracle reproduces the identical cell assignment; a production
+# build would k-means-refine them — the index/serving shape (and all
+# the partition-pruning math) is unchanged by better centroids.
+
+
+def with_ivf_cell_arrow(df: DataFrame, centroids: list[list[float]],
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Add a ``cell`` int column = argmax_j <v, centroid_j> (ties → the
+    lowest centroid index, matching ROW_NUMBER ORDER BY s DESC, cid).
+    One numpy matmul per Arrow batch, like the LSH bucketing."""
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.float64).T  # dim × k
+    narrow = df.select(id_col, vec_col)
+    out_schema = T.StructType(
+        list(narrow.schema.fields)
+        + [T.StructField("cell", T.IntegerType(), False)]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            pdf = pdf.copy()
+            # np.argmax returns the FIRST maximal index — the tie rule
+            # the oracle's (s DESC, cid ASC) row_number reproduces
+            pdf["cell"] = (M @ C).argmax(axis=1).astype("int32")
+            yield pdf
+
+    return narrow.mapInPandas(assign, schema=out_schema)
+
+
+def ivf_index(spark: SparkSession, embeddings_path: str,
+              n_cells: int = 8) -> DataFrame:
+    """Read (building if absent/stale) the IVF index: corpus parquet
+    partitioned by ``cell``.  Same materialization contract as
+    :func:`ann_index`; centroids are the vectors with the ``n_cells``
+    lowest ids (deterministic, metadata-sized collect)."""
+    from tidb_gateway_spark.sources.io import write_parquet_table
+
+    src = os.path.abspath(embeddings_path)
+    key = hashlib.md5(f"ivf|{src}|{n_cells}".encode()).hexdigest()[:16]
+    path = os.path.join(_index_root(), key)
+    marker = os.path.join(path, "_SUCCESS")
+    from tidb_gateway_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    if (not os.path.exists(marker)
+            or os.path.getmtime(marker) < os.path.getmtime(src)):
+        corpus = spark.read.parquet(src)
+        cents = ivf_centroids(spark, embeddings_path, n_cells)
+        write_parquet_table(with_ivf_cell_arrow(corpus, cents), path,
+                            partition_by=["cell"])
+    return spark.read.parquet(path)
+
+
+def ivf_centroids(spark: SparkSession, embeddings_path: str,
+                  n_cells: int = 8) -> list[list[float]]:
+    """Deterministic seed centroids: the ``n_cells`` lowest-id vectors
+    (metadata-sized collect, ordered)."""
+    rows = (spark.read.parquet(embeddings_path)
+            .filter(F.col("vec_id") < n_cells)
+            .select("vec_id", "embedding").collect())
+    return [list(r["embedding"]) for r in sorted(rows, key=lambda r: r["vec_id"])]
+
+
+def ivf_query(index: DataFrame, centroids: list[list[float]],
+              qvec: list[float], k: int = 5, nprobe: int = 2,
+              exclude_id: int | None = None, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Top-k over the query's ``nprobe`` best cells of an IVF index.
+
+    Cell selection is a client-side n_cells×dim matmul (metadata-sized);
+    the ``cell IN (...)`` literal filter partition-prunes the scan to
+    nprobe partitions, then exact left-to-right rerank as in
+    :func:`ann_query`."""
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.float64)
+    q = np.array(qvec, dtype=np.float64)
+    scores = C @ q
+    # top-nprobe cells, ties toward the lower cell id (stable sort on
+    # (-score, cid))
+    order = sorted(range(len(scores)), key=lambda j: (-scores[j], j))
+    probe_cells = [int(j) for j in order[:nprobe]]
+    qarr = "array(" + ",".join(f"{float(v)!r}D" for v in qvec) + ")"
+    dp = F.expr(
+        f"aggregate(zip_with({vec_col}, {qarr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    cand = index.filter(F.col("cell").isin(probe_cells))
+    if exclude_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_id)
+    return (
+        cand.select(id_col, stable_round(dp, 4).alias("dp"))
+        .orderBy(F.desc("dp"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ann_query(index: DataFrame, bucket: int, qvec: list[float], k: int = 5,
               exclude_id: int | None = None, id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:

@@ -273,6 +273,63 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_query(idx, probe[0], probe[1], k=3, exclude_id=0)
 
 
+# ---------------------------------------------------------------- Q94
+_IVF_CELLS, _IVF_NPROBE = 8, 2
+
+_Q94_ORACLE = (
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+    f"c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_IVF_CELLS}), "
+    "scored AS (SELECT v.vec_id, v.e, c.cid, list_dot_product(v.e, c.ce) AS s "
+    "FROM v CROSS JOIN c), "
+    "cells AS (SELECT vec_id, e, cid AS cell FROM ("
+    "SELECT vec_id, e, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
+    "ORDER BY s DESC, cid) AS rn FROM scored) WHERE rn = 1), "
+    "q AS (SELECT e AS qe FROM v WHERE vec_id = 0), "
+    "qcells AS (SELECT cid FROM (SELECT c.cid, ROW_NUMBER() OVER "
+    "(ORDER BY list_dot_product(q.qe, c.ce) DESC, c.cid) AS rn "
+    f"FROM c CROSS JOIN q) WHERE rn <= {_IVF_NPROBE}) "
+    "SELECT x.vec_id, FLOOR(list_dot_product(x.e, q.qe)*10000 + 0.5)/10000 AS dp "
+    "FROM cells x CROSS JOIN q "
+    "WHERE x.cell IN (SELECT cid FROM qcells) AND x.vec_id <> 0 "
+    "ORDER BY dp DESC, x.vec_id LIMIT 3"
+)
+
+
+@register(
+    "q94_ivf_ann",
+    _Q94_ORACLE,
+    doc="IVF-partitioned ANN (the second ANN family from the brief, "
+        "complementing hyperplane-LSH q76): vectors assigned to their "
+        "argmax-inner-product coarse cell (deterministic seed "
+        "centroids = the 8 lowest-id vectors, so the oracle reproduces "
+        "the assignment), corpus MATERIALIZED as parquet partitioned "
+        "by cell (operators/similarity.py:ivf_index), query probes its "
+        "top-2 cells via a client-side 8x64 matmul and a `cell IN` "
+        "literal filter -> partition pruning, exact rerank.  Recall "
+        "grows with nprobe; scan cost = nprobe/n_cells of the corpus.",
+    tags=("similarity", "llm", "ann"),
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from tidb_gateway_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_index,
+        ivf_query,
+    )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    idx = ivf_index(spark, path, n_cells=_IVF_CELLS)
+    pk = ("q94", id(spark), sf_dir, os.path.getmtime(path))
+    cents = _probe_cache.get(pk)
+    if cents is None:
+        cents = ivf_centroids(spark, path, _IVF_CELLS)
+        _probe_cache[pk] = cents
+    # the probe is vec_id 0, which IS centroid 0 — no extra fetch
+    return ivf_query(idx, cents, cents[0], k=3, nprobe=_IVF_NPROBE,
+                     exclude_id=0)
+
+
 # ---------------------------------------------------------------- Q77
 _DDB_LANG_PRED = (
     "CASE "
