@@ -28,6 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # to re-certify them before anything already green in a prior round.
 _CHANGED_FIRST = (
     "q94_ivf_ann",                 # new operator (r4)
+    "q95_int8_quantized_topk",     # new operator (r4)
     "q76_ann_lsh_bucket",          # materialized bucketed index (r4)
     "q77_lang_id_heuristic",       # parallelism guard (r4)
     "q78_quality_score_histogram", # parallelism guard (r4)

@@ -343,6 +343,24 @@ def test_csv_json_roundtrip_and_ctas(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == load_table(spark, sf_dir, "orders").count()
 
 
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/source round-trip; filters must push to the ORC scan
+    just like parquet (Spark-native columnar path)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_orc")
+    sources_io.write_orc_table(orders, out)
+    back = sources_io.read_orc(spark, out)
+    assert back.count() == orders.count()
+    filtered = back.filter(F.col("o_custkey") < 10).select("o_orderkey")
+    from tidb_gateway_spark.plans.inspect import pushed_filters
+
+    pf = pushed_filters(filtered)
+    assert any("o_custkey" in f for f in pf), pf
+    expected = orders.filter(F.col("o_custkey") < 10).select("o_orderkey")
+    assert filtered.subtract(expected).count() == 0
+    assert expected.subtract(filtered).count() == 0
+
+
 def test_shred_json_column_matches_per_query_parse(spark, sf_dir, tmp_path):
     """Ingest-time JSON shredding: parse props ONCE into a typed column,
     materialize to parquet, and the stored values equal what per-query

@@ -330,6 +330,65 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
                      exclude_id=0)
 
 
+# ---------------------------------------------------------------- Q95
+_Q95_ORACLE = (
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+    "s AS (SELECT vec_id, e, "
+    "greatest(list_max(list_transform(e, x -> abs(x))) / 127.0, 1e-30) AS sc FROM v), "
+    "qv AS (SELECT vec_id, sc, "
+    "list_transform(e, x -> floor(x / sc + 0.5)) AS q FROM s), "
+    "p AS (SELECT sc AS psc, q AS pq FROM qv WHERE vec_id = 0) "
+    "SELECT x.vec_id, "
+    "FLOOR((list_dot_product(x.q, p.pq) * x.sc * p.psc)*10000 + 0.5)/10000 AS adp "
+    "FROM qv x CROSS JOIN p WHERE x.vec_id <> 0 "
+    "ORDER BY adp DESC, x.vec_id LIMIT 5"
+)
+
+
+@register(
+    "q95_int8_quantized_topk",
+    _Q95_ORACLE,
+    doc="Symmetric per-vector int8 quantization of the embedding column "
+        "(operators/similarity.py:with_int8_quantized — 4x storage cut, "
+        "the 100 TB embedding-store path) + top-5 by the dequantized "
+        "approximate dot product against the vec_id=0 probe.  The "
+        "integer dot is EXACT in both engines (|q|<=127, 64-dim sums "
+        "<< 2^53), so only the two final scale multiplies touch float "
+        "rounding — deterministic left-associated in both.",
+    tags=("similarity", "llm", "quantization"),
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from tidb_gateway_spark.operators.similarity import (
+        quantize_vector,
+        with_int8_quantized,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pk = ("q95", id(spark), sf_dir,
+          os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
+    probe = _probe_cache.get(pk)
+    if probe is None:
+        row = e.filter(F.col("vec_id") == 0).select("embedding").head()
+        probe = quantize_vector(list(row["embedding"]))
+        _probe_cache[pk] = probe
+    psc, pq = probe
+    qdf = with_int8_quantized(e)
+    parr = "array(" + ",".join(f"CAST({int(x)} AS DOUBLE)" for x in pq) + ")"
+    idot = F.expr(
+        f"aggregate(zip_with(qvec, {parr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    adp = idot * F.col("qscale") * F.lit(float(psc))
+    return (
+        qdf.filter(F.col("vec_id") != 0)
+        .select("vec_id", stable_round(adp, 4).alias("adp"))
+        .orderBy(F.desc("adp"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
 # ---------------------------------------------------------------- Q77
 _DDB_LANG_PRED = (
     "CASE "

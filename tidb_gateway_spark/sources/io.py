@@ -38,6 +38,24 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str,
+             schema: T.StructType | None = None) -> DataFrame:
+    """ORC reader (Spark-native columnar format besides parquet;
+    pushdown/pruning work identically)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc_table(df: DataFrame, path: str, mode: str = "overwrite",
+                    partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_parquet_table(df: DataFrame, path: str, mode: str = "overwrite",
                         partition_by: list[str] | None = None,
                         max_records_per_file: int = 5_000_000) -> None:
