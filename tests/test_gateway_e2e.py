@@ -789,6 +789,35 @@ def test_analyze_table_feeds_cbo_stats(gateway):
     run_with_gateway(gateway, scenario)
 
 
+def test_information_schema_tables_and_columns(gateway):
+    """ORM/BI-tool probes of information_schema must answer: tables
+    lists every fixture table, columns reports names/types/positions
+    for a given table, and both survive WHERE/ORDER BY."""
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        _, rows = (await c.query(
+            "SELECT table_name FROM information_schema.tables "
+            "ORDER BY table_name"))[0]
+        names = [r[0] for r in rows]
+        for t in ("lineitem", "orders", "documents", "embeddings"):
+            assert t in names, names
+        cols, rows = (await c.query(
+            "SELECT column_name, data_type, is_nullable "
+            "FROM information_schema.columns "
+            "WHERE table_name = 'orders' ORDER BY ordinal_position"))[0]
+        assert cols == ["column_name", "data_type", "is_nullable"]
+        assert rows[0][0] == "o_orderkey", rows[:3]
+        assert any(r[0] == "o_orderdate" for r in rows)
+        _, cnt = (await c.query(
+            "SELECT COUNT(*) AS n FROM information_schema.columns "
+            "WHERE table_schema = 'default'"))[0]
+        assert int(cnt[0][0]) > 50
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
 def test_ci_collation_comparison_semantics(gateway):
     """`_ci` collations must give MySQL case-insensitive COMPARISON
     semantics (both sides, not a display artifact), `_bin` must stay

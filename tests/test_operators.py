@@ -218,6 +218,26 @@ def test_ivf_query_is_exact_within_probed_cells(spark, sf_dir, tmp_path):
         del os.environ["SPARK_GRAFT_INDEX_DIR"]
 
 
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """salted_join must be set-equal to the plain join (salting spreads
+    a hot key across n_salt tasks without changing semantics), and its
+    plan must join on (key, _salt) so the shuffle keys carry the salt."""
+    from tidb_gateway_spark.operators.skew import salted_join
+    from tidb_gateway_spark.plans import inspect
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    plain = e.join(c, "user_id", "inner")
+    salted = salted_join(e, c, "user_id", n_salt=4,
+                         salt_on=F.col("event_id"))
+    assert salted.columns == plain.columns
+    assert salted.subtract(plain).count() == 0
+    assert plain.subtract(salted).count() == 0
+    text = inspect.explain_formatted(salted)
+    assert "_salt" in text
+
+
 # ---- Spark Connect compatibility fallbacks ----
 #
 # A Connect session exposes no SparkContext and no .rdd; grpc is not

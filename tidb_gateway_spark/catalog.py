@@ -140,8 +140,45 @@ def register_views(spark: SparkSession, sf_dir: str) -> bool:
         if spec:
             shredded_table(spark, sf_dir, name).createOrReplaceTempView(
                 name + SHREDDED_SUFFIX)
+    _register_information_schema(spark, sf_dir)
     _views_registered[id(spark)] = sf_dir
     return True
+
+
+def _register_information_schema(spark: SparkSession, sf_dir: str) -> None:
+    """Minimal ``information_schema`` views (ORMs and BI tools probe
+    these; the reference's TiDB backends served them).  The gateway
+    dialect rewrites ``information_schema.tables``/``.columns`` onto
+    these temp views (Spark temp views cannot be schema-qualified).
+    Metadata-sized: built from the already-loaded fixture schemas.
+    """
+    from tidb_gateway_spark.gateway.result_encoder import mysql_type_name
+
+    tables_rows = [
+        ("def", "default", name, "BASE TABLE", "SparkSQL")
+        for name in TABLES
+    ]
+    spark.createDataFrame(
+        tables_rows,
+        "table_catalog string, table_schema string, table_name string, "
+        "table_type string, engine string",
+    ).createOrReplaceTempView("__is_tables")
+
+    cols_rows = []
+    for name in TABLES:
+        schema = load_table(spark, sf_dir, name).schema
+        for pos, f in enumerate(schema.fields, start=1):
+            cols_rows.append(
+                ("def", "default", name, f.name, pos,
+                 mysql_type_name(f.dataType),
+                 "YES" if f.nullable else "NO")
+            )
+    spark.createDataFrame(
+        cols_rows,
+        "table_catalog string, table_schema string, table_name string, "
+        "column_name string, ordinal_position int, data_type string, "
+        "is_nullable string",
+    ).createOrReplaceTempView("__is_columns")
 
 
 _shred_lock = threading.Lock()

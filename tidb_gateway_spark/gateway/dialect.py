@@ -143,7 +143,15 @@ def to_spark_sql(sql: str) -> str:
         sql = _rewrite_call(sql, _DATE_FORMAT, _render_date_format)
     sql = _rewrite_collations(sql)
     sql = _rewrite_json_shred(sql)
+    sql = _INFORMATION_SCHEMA_RE.sub(lambda m: f"__is_{m.group(1).lower()}", sql)
     return sql
+
+
+# information_schema.tables / .columns → the catalog's temp views
+# (catalog.py:_register_information_schema; Spark temp views cannot be
+# schema-qualified, so the qualified reference is rewritten).
+_INFORMATION_SCHEMA_RE = re.compile(
+    r"\binformation_schema\s*\.\s*(tables|columns)\b", re.IGNORECASE)
 
 
 _COLLATE_RE = re.compile(r"\bCOLLATE\s+`?([A-Za-z0-9_]+)`?", re.IGNORECASE)
