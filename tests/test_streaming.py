@@ -27,6 +27,18 @@ def stream_dir(spark, sf_dir, tmp_path_factory):
     raw.orderBy("event_id").coalesce(1).sortWithinPartitions("event_id").repartitionByRange(
         4, "event_id"
     ).write.mode("overwrite").parquet(str(d / "in"))
+    # The file source replays files in MODIFICATION-TIME order, and the
+    # writer stamps every part identically — replay order would be
+    # arbitrary, and an out-of-time-order replay legitimately drops old
+    # rows once the watermark has advanced.  Stamp ascending mtimes in
+    # range (= event-time) order so the bounded replay is deterministic
+    # and time-ordered, as a real ingest stream would be.
+    import glob
+    import time
+
+    base = time.time()
+    for i, f in enumerate(sorted(glob.glob(str(d / "in" / "part-*")))):
+        os.utime(f, (base + i, base + i))
     return str(d / "in")
 
 
@@ -85,6 +97,31 @@ def test_stream_static_join(spark, sf_dir, stream_dir):
         .agg(F.count("*").alias("n"))
     )
     assert_matches_batch(res, batch, ["c_mktsegment", "n"])
+
+
+def test_stream_stream_join_converges(spark, sf_dir, stream_dir):
+    """Stream–stream self-join (signup ⋈ purchase within 60 min, both
+    sides watermarked, event-time range condition → bounded state):
+    the drained pair set must equal the identical batch join."""
+    s = jobs.read_events_stream(spark, stream_dir)
+    res = drain(spark, jobs.stream_stream_funnel(s), "t_ssjoin",
+                mode="append")
+    e = load_table(spark, sf_dir, "events")
+    su = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"),
+        F.col("event_id").alias("s_id"))
+    pu = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"))
+    batch = su.join(
+        pu,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 60 MINUTES")),
+        "inner",
+    ).select("s_id", "p_id")
+    assert batch.count() > 0, "fixture has no signup->purchase pairs"
+    assert_matches_batch(res, batch, ["s_id", "p_id"])
 
 
 def test_stateful_running_totals_converges(spark, sf_dir, stream_dir):

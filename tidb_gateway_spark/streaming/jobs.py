@@ -180,6 +180,40 @@ def stateful_running_totals(events: DataFrame,
     )
 
 
+def stream_stream_funnel(events: DataFrame, window_minutes: int = 60,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream–stream inner join: each purchase joined to same-user
+    signups within the preceding ``window_minutes`` (funnel pairing,
+    the q21 family as a streaming join).
+
+    Both sides carry a watermark and the join has an event-time RANGE
+    condition, so the state store evicts rows once they can no longer
+    match — bounded state, the stream–stream join contract.  Inner
+    joins emit matches as they arrive (the watermark bounds state, not
+    emission).  Both sides may derive from the same source stream
+    (self-join).
+    """
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"),
+                F.col("event_id").alias("s_id"))
+        .withWatermark("s_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts")
+           + F.expr(f"INTERVAL {window_minutes} MINUTES"))
+    )
+    return s.join(p, cond, "inner").select("s_id", "p_id")
+
+
 def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Stream–static enrichment join: events ⋈ customer dimension.
 
