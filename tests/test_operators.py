@@ -613,3 +613,73 @@ def test_asof_join_matches_correlated_semantics(spark, sf_dir):
     assert got, "no purchase events?"
     for r in got:
         assert r["prev_id_asof"] == expect[r["event_id"]], r
+
+
+# ---- sequence packing / mixture resampling / repetition filter ----
+
+def test_pack_sequences_next_fit_semantics(spark):
+    """pack_id = exclusive-prefix-sum DIV budget: a doc straddling the
+    boundary lands in the pack its prefix starts in (next-fit with
+    overflow), and a doc starting exactly at a multiple opens a pack."""
+    from tidb_gateway_spark.operators.packing import pack_sequences
+
+    rows = [("a", 1, 60), ("a", 2, 60), ("a", 3, 60),   # prefixes 0,60,120
+            ("a", 4, 100),                              # prefix 180
+            ("b", 1, 100), ("b", 2, 100)]               # prefixes 0,100
+    df = spark.createDataFrame(rows, "shard string, k int, tok int")
+    got = {(r["shard"], r["k"]): r["pack_id"]
+           for r in pack_sequences(df, "k", "tok", 100, ("shard",)).collect()}
+    assert got == {("a", 1): 0, ("a", 2): 0,  # prefix 60 < 100 -> overflow pack 0
+                   ("a", 3): 1, ("a", 4): 1,
+                   ("b", 1): 0, ("b", 2): 1}  # prefix exactly 100 -> pack 1
+
+
+def test_pack_sequences_stable_under_repartition(spark, sf_dir):
+    from tidb_gateway_spark.operators.packing import pack_sequences
+    from tidb_gateway_spark.operators.text import ws_token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", ws_token_count(F.col("text")).alias("tok"))
+    a = pack_sequences(d, "doc_id", "tok", 2048).collect()
+    b = pack_sequences(d.repartition(7), "doc_id", "tok", 2048).collect()
+    assert sorted((r["doc_id"], r["pack_id"]) for r in a) == \
+           sorted((r["doc_id"], r["pack_id"]) for r in b)
+
+
+def test_mixture_resample_rates_and_default(spark, sf_dir):
+    """Kept fraction per stratum tracks its target rate; strata absent
+    from the map are kept in full; the keep set is a subset (pure row
+    filter, no resampling jitter)."""
+    from tidb_gateway_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    rates = {"en": 2_500, "fr": 7_500}
+    kept = sampling.mixture_resample(d, "doc_id", "lang", rates)
+    tot = {r["lang"]: r["n"] for r in
+           d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in
+           kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in tot.items():
+        frac = got.get(lang, 0) / n
+        target = rates.get(lang, 10_000) / 10_000
+        assert abs(frac - target) < 0.08, (lang, frac, target)
+    # determinism: same call keeps the same rows
+    ids1 = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in
+            sampling.mixture_resample(d, "doc_id", "lang", rates)
+            .select("doc_id").collect()}
+    assert ids1 == ids2
+
+
+def test_word_repetition_bucket_known_values(spark):
+    from tidb_gateway_spark.operators.text import word_repetition_bucket
+
+    rows = [("a b c d",),          # 4 words, 4 distinct -> bucket 0
+            ("a a a a",),          # 4 words, 1 distinct -> 7 (3*10 DIV 4)
+            ("a a b b",),          # 4/2 -> 5
+            ("x  y",),             # double space: empty tokens filtered
+            ("",)]                 # no words -> NULL
+    df = spark.createDataFrame(rows, "text string")
+    got = [r[0] for r in
+           df.select(word_repetition_bucket(F.col("text"))).collect()]
+    assert got == [0, 7, 5, 0, None]

@@ -32,6 +32,30 @@ def deterministic_split(df: DataFrame, key: str, train_bps: int = 9_000,
     return df.filter(bucket < train_bps), df.filter(bucket >= train_bps)
 
 
+def mixture_resample(df: DataFrame, key: str, stratum: str,
+                     rates_bps: dict[str, int],
+                     salt: str = "mix") -> DataFrame:
+    """Deterministic mixture resampling: downsample each stratum (e.g.
+    language or source domain) to its target rate in basis points —
+    the domain-mixing step of a pre-training data recipe.
+
+    Keep decision = ``hash(key) % 10000 < rates_bps[stratum]``: a pure
+    row function, so re-running on any partitioning (or any engine)
+    keeps exactly the same rows — no seed drift between pipeline runs.
+    Strata absent from ``rates_bps`` are kept in full (rate 10000).
+    The rate lookup is a literal MAP expression, fully codegen'd;
+    at 100 TB this is a single filtered scan, no shuffle, no join.
+    """
+    pairs: list = []
+    for k, v in rates_bps.items():
+        pairs.extend([F.lit(k), F.lit(int(v))])
+    rate = F.coalesce(
+        F.create_map(*pairs)[F.col(stratum)] if pairs else F.lit(None).cast("int"),
+        F.lit(10_000),
+    )
+    return df.filter(hash_bps(F.col(key), salt) < rate)
+
+
 def hash_sample(df: DataFrame, key: str, bps: int, salt: str = "sample") -> DataFrame:
     """~bps/10000 deterministic sample by hashed key — uniform within
     every stratum by construction (hash is independent of any column),

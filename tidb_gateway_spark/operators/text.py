@@ -88,6 +88,22 @@ def fingerprint(text_col: str = "text", width: int = 16, stride: int = 8) -> Col
     )
 
 
+def word_repetition_bucket(text: Column) -> Column:
+    """Gopher-style repetition signal: the duplicate-word fraction of a
+    document, bucketed to a decile by INTEGER arithmetic so the bucket
+    is bit-identical in any engine: ``((n - u) * 10) DIV n`` where n =
+    word count, u = distinct-word count.  High buckets (>=5) mark the
+    boilerplate/keyword-stuffing documents a pre-training filter drops.
+
+    Whole expression is codegen'd array ops — no explode, no shuffle;
+    the histogram over it is one partial-aggregated scan.
+    """
+    toks = F.filter(F.split(text, " "), lambda x: x != F.lit(""))
+    n = F.size(toks)
+    u = F.size(F.array_distinct(toks))
+    return F.when(n > 0, F.floor((n - u) * 10 / n).cast("int"))
+
+
 def with_text_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach lang_pred / qscore / ws_tokens / bpe_tokens / fp columns."""
     t = F.col(text_col)

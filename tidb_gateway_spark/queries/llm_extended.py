@@ -802,3 +802,129 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("a", "b", stable_round(F.col("cs"), 4).alias("cs"))
         .orderBy("a", "b")
     )
+
+
+# ---------------------------------------------------------------- Q96
+_PACK_BUDGET = 2048
+
+_Q96_ORACLE = (
+    "WITH t AS (SELECT lang, doc_id, "
+    "len(list_filter(string_split(text,' '), x -> x <> '')) AS tok "
+    "FROM documents), "
+    "c AS (SELECT lang, doc_id, tok, "
+    "COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t) "
+    f"SELECT lang, CAST(cum // {_PACK_BUDGET} AS BIGINT) AS pack_id, "
+    "COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS pack_tokens "
+    "FROM c GROUP BY 1, 2 ORDER BY lang, pack_id"
+)
+
+
+@register(
+    "q96_sequence_packing",
+    _Q96_ORACLE,
+    doc="Sequence packing for training (operators/packing.py): "
+        "contiguous next-fit assignment of documents to fixed "
+        f"{_PACK_BUDGET}-token context windows per language shard via "
+        "an exclusive prefix sum of token counts; output is the "
+        "per-pack utilization audit (doc count, token total).  One "
+        "window shuffle on the shard key, integer-exact bucketing.",
+    tags=("llm", "packing", "window"),
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.packing import pack_sequences, pack_stats
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "tok", text_ops.ws_token_count(F.col("text"))
+    )
+    packed = pack_sequences(d, "doc_id", "tok", _PACK_BUDGET, ("lang",))
+    return pack_stats(packed, "tok", ("lang",))
+
+
+# ---------------------------------------------------------------- Q97
+# Downsample the over-represented languages toward a flatter mix (the
+# documents fixture is ~39% en); zh/de kept in full via the default.
+_MIX_RATES = {"en": 4000, "fr": 8000, "es": 8000}
+
+_DDB_MIX_BPS = (
+    "(" + _ddb_hex_to_int("md5('mix|' || CAST(doc_id AS VARCHAR))", 8) + " % 10000)"
+)
+
+_Q97_ORACLE = (
+    "WITH r(rl, bps) AS (VALUES "
+    + ", ".join(f"('{k}', {v})" for k, v in sorted(_MIX_RATES.items()))
+    + "), k AS (SELECT d.lang, CASE WHEN "
+    + _DDB_MIX_BPS
+    + " < COALESCE(r.bps, 10000) THEN 1 ELSE 0 END AS keep "
+    "FROM documents d LEFT JOIN r ON d.lang = r.rl) "
+    "SELECT lang, CAST(SUM(keep) AS BIGINT) AS kept, COUNT(*) AS total "
+    "FROM k GROUP BY lang ORDER BY lang"
+)
+
+
+@register(
+    "q97_mixture_resample",
+    _Q97_ORACLE,
+    doc="Domain-mixture resampling (operators/sampling.py:"
+        "mixture_resample): deterministically downsample each language "
+        "stratum to its target rate (en 40%, fr/es 80%, rest full) by "
+        "hashed doc_id — the data-recipe mixing step.  Keep decision "
+        "is a pure row function (no seed drift across partitionings); "
+        "single filtered scan, literal-MAP rate lookup, no join.",
+    tags=("llm", "sampling"),
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = (
+        sampling.mixture_resample(d, "doc_id", "lang", _MIX_RATES)
+        .groupBy("lang")
+        .agg(F.count("*").alias("kept"))
+    )
+    total = d.groupBy("lang").agg(F.count("*").alias("total"))
+    return (
+        total.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce(F.col("kept"), F.lit(0)).cast("bigint").alias("kept"),
+            "total",
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------- Q98
+_Q98_ORACLE = (
+    "WITH t AS (SELECT "
+    "len(list_filter(string_split(text,' '), x -> x <> '')) AS n, "
+    "len(list_distinct(list_filter(string_split(text,' '), x -> x <> ''))) AS u "
+    "FROM documents) "
+    "SELECT CAST(((n - u) * 10) // n AS INT) AS bucket, COUNT(*) AS n_docs "
+    "FROM t WHERE n > 0 GROUP BY 1 ORDER BY bucket"
+)
+
+
+@register(
+    "q98_word_repetition_filter",
+    _Q98_ORACLE,
+    doc="Gopher-style repetition filter (operators/text.py:"
+        "word_repetition_bucket): duplicate-word fraction per document "
+        "bucketed to deciles by integer arithmetic (bit-identical "
+        "cross-engine), histogrammed.  High buckets are the "
+        "boilerplate/keyword-stuffing documents a pre-training quality "
+        "pass drops.  Codegen'd array ops, no explode; one "
+        "partial-aggregated scan.",
+    tags=("llm", "text", "quality"),
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parallelism guard: split + array_distinct per document, map-side
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    b = text_ops.word_repetition_bucket(F.col("text"))
+    return (
+        d.select(b.alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket")
+    )
