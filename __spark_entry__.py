@@ -32,6 +32,8 @@ _CHANGED_FIRST = (
     "q96_sequence_packing",        # new operator (r4)
     "q97_mixture_resample",        # new operator (r4)
     "q98_word_repetition_filter",  # new operator (r4)
+    "q99_tfidf_top_terms",         # new operator (r4)
+    "q100_pmi_collocations",       # new operator (r4)
     "q76_ann_lsh_bucket",          # materialized bucketed index (r4)
     "q77_lang_id_heuristic",       # parallelism guard (r4)
     "q78_quality_score_histogram", # parallelism guard (r4)
@@ -49,9 +51,9 @@ _CHANGED_FIRST = (
 # unchanged block sorts last.
 _STALE_CERT = tuple(
     f"q{n:02d}" for n in (
-        # q05 rolls to the next rotation: its r2 cert is on code
+        # q05–q07 roll to the next rotation: their r2 certs are on code
         # unchanged since r1 (scans_filters.py), lowest re-cert value.
-        *range(6, 10),            # q06–q09: last certified r2
+        *range(8, 10),            # q08–q09: last certified r2
         *range(51, 57),           # q51–q56: last certified r2
         *range(58, 68), 69, 70, 71,  # q58–q67, q69–q71: r2
         73,                       # q73: r2

@@ -683,3 +683,45 @@ def test_word_repetition_bucket_known_values(spark):
     got = [r[0] for r in
            df.select(word_repetition_bucket(F.col("text"))).collect()]
     assert got == [0, 7, 5, 0, None]
+
+
+# ---- corpus-level text statistics ----
+
+def test_tfidf_top_terms_known_values(spark):
+    """3-doc corpus with hand-computed tf*ln(N/df) scores."""
+    import math
+    from tidb_gateway_spark.operators.corpus import tfidf_top_terms
+
+    rows = [(0, "apple apple banana"),
+            (1, "banana cherry"),
+            (2, "cherry cherry cherry date")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["term"]): r["tfidf"]
+           for r in tfidf_top_terms(df, F.lit(True), k=2).collect()}
+
+    def score(tf, dfc):
+        return math.floor(tf * math.log(3 / dfc) * 10000 + 0.5) / 10000
+
+    # doc 0: apple tf=2 df=1 -> 2*ln3; banana tf=1 df=2 -> ln1.5
+    # doc 2: cherry tf=3 df=2 -> 3*ln1.5; date tf=1 df=1 -> ln3
+    assert got[(0, "apple")] == score(2, 1)
+    assert got[(0, "banana")] == score(1, 2)
+    assert got[(2, "cherry")] == score(3, 2)
+    assert got[(2, "date")] == score(1, 1)
+    assert len(got) == 6
+
+
+def test_pmi_bigrams_known_values(spark):
+    """'a b' occurs always adjacent -> strongly positive PMI; check the
+    exact ln((cxy/B)/((cx/U)(cy/U))) value at min_count=2."""
+    import math
+    from tidb_gateway_spark.operators.corpus import pmi_bigrams
+
+    rows = [("a b x",), ("a b y",), ("x y",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = {r["bigram"]: (r["n"], r["pmi"])
+           for r in pmi_bigrams(df, min_count=2, k=10).collect()}
+    # U=8 tokens, B=5 bigrams; a b: cxy=2, cx(a)=2, cy(b)=2
+    expect = math.floor(
+        math.log((2 / 5) / ((2 / 8) * (2 / 8))) * 10000 + 0.5) / 10000
+    assert got == {"a b": (2, expect)}

@@ -32,6 +32,29 @@ def deterministic_split(df: DataFrame, key: str, train_bps: int = 9_000,
     return df.filter(bucket < train_bps), df.filter(bucket >= train_bps)
 
 
+def mixture_keep(key: Column, stratum: Column, rates_bps: dict[str, int],
+                 salt: str = "mix") -> Column:
+    """Boolean keep decision for mixture resampling:
+    ``hash(key) % 10000 < rates_bps[stratum]`` — a pure row function, so
+    re-running on any partitioning (or any engine) keeps exactly the
+    same rows; no seed drift between pipeline runs.  Strata absent from
+    ``rates_bps`` are kept in full (rate 10000).  The rate lookup is a
+    literal MAP expression, fully codegen'd.
+
+    Exposed separately from :func:`mixture_resample` so audit queries
+    can aggregate the decision in the same scan that computes it
+    (kept-vs-total per stratum without a second scan or a join).
+    """
+    pairs: list = []
+    for k, v in rates_bps.items():
+        pairs.extend([F.lit(k), F.lit(int(v))])
+    rate = F.coalesce(
+        F.create_map(*pairs)[stratum] if pairs else F.lit(None).cast("int"),
+        F.lit(10_000),
+    )
+    return hash_bps(key, salt) < rate
+
+
 def mixture_resample(df: DataFrame, key: str, stratum: str,
                      rates_bps: dict[str, int],
                      salt: str = "mix") -> DataFrame:
@@ -39,21 +62,10 @@ def mixture_resample(df: DataFrame, key: str, stratum: str,
     language or source domain) to its target rate in basis points —
     the domain-mixing step of a pre-training data recipe.
 
-    Keep decision = ``hash(key) % 10000 < rates_bps[stratum]``: a pure
-    row function, so re-running on any partitioning (or any engine)
-    keeps exactly the same rows — no seed drift between pipeline runs.
-    Strata absent from ``rates_bps`` are kept in full (rate 10000).
-    The rate lookup is a literal MAP expression, fully codegen'd;
-    at 100 TB this is a single filtered scan, no shuffle, no join.
+    At 100 TB this is a single filtered scan, no shuffle, no join; see
+    :func:`mixture_keep` for the decision function.
     """
-    pairs: list = []
-    for k, v in rates_bps.items():
-        pairs.extend([F.lit(k), F.lit(int(v))])
-    rate = F.coalesce(
-        F.create_map(*pairs)[F.col(stratum)] if pairs else F.lit(None).cast("int"),
-        F.lit(10_000),
-    )
-    return df.filter(hash_bps(F.col(key), salt) < rate)
+    return df.filter(mixture_keep(F.col(key), F.col(stratum), rates_bps, salt))
 
 
 def hash_sample(df: DataFrame, key: str, bps: int, salt: str = "sample") -> DataFrame:

@@ -866,29 +866,25 @@ _Q97_ORACLE = (
     "q97_mixture_resample",
     _Q97_ORACLE,
     doc="Domain-mixture resampling (operators/sampling.py:"
-        "mixture_resample): deterministically downsample each language "
-        "stratum to its target rate (en 40%, fr/es 80%, rest full) by "
-        "hashed doc_id — the data-recipe mixing step.  Keep decision "
-        "is a pure row function (no seed drift across partitionings); "
-        "single filtered scan, literal-MAP rate lookup, no join.",
+        "mixture_keep/mixture_resample): deterministically downsample "
+        "each language stratum to its target rate (en 40%, fr/es 80%, "
+        "rest full) by hashed doc_id — the data-recipe mixing step.  "
+        "Keep decision is a pure row function (no seed drift across "
+        "partitionings); the kept-vs-total audit aggregates the "
+        "decision in ONE partial-aggregated scan — no second scan, "
+        "no join.",
     tags=("llm", "sampling"),
 )
 def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidb_gateway_spark.operators import sampling
 
     d = load_table(spark, sf_dir, "documents")
-    kept = (
-        sampling.mixture_resample(d, "doc_id", "lang", _MIX_RATES)
-        .groupBy("lang")
-        .agg(F.count("*").alias("kept"))
-    )
-    total = d.groupBy("lang").agg(F.count("*").alias("total"))
+    keep = sampling.mixture_keep(F.col("doc_id"), F.col("lang"), _MIX_RATES)
     return (
-        total.join(kept, "lang", "left")
-        .select(
-            "lang",
-            F.coalesce(F.col("kept"), F.lit(0)).cast("bigint").alias("kept"),
-            "total",
+        d.groupBy("lang")
+        .agg(
+            F.sum(keep.cast("int")).cast("bigint").alias("kept"),
+            F.count("*").alias("total"),
         )
         .orderBy("lang")
     )
@@ -928,3 +924,82 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------- Q99
+_Q99_ORACLE = (
+    "WITH tok AS (SELECT doc_id, UNNEST(list_filter("
+    "string_split(trim(text), ' '), x -> x <> '')) AS w FROM documents), "
+    "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2), "
+    "dfreq AS (SELECT w, COUNT(*) AS dfc FROM tf GROUP BY 1), "
+    "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+    "s AS (SELECT t.doc_id, t.w AS term, "
+    "FLOOR(t.tf * ln(n_docs / dfc) * 10000 + 0.5)/10000 AS tfidf "
+    "FROM tf t JOIN dfreq USING (w) CROSS JOIN n WHERE t.doc_id < 20), "
+    "r AS (SELECT doc_id, term, tfidf, ROW_NUMBER() OVER ("
+    "PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM s) "
+    "SELECT doc_id, term, tfidf FROM r WHERE rn <= 3 "
+    "ORDER BY doc_id, tfidf DESC, term"
+)
+
+
+@register(
+    "q99_tfidf_top_terms",
+    _Q99_ORACLE,
+    doc="TF-IDF keyword extraction (operators/corpus.py:"
+        "tfidf_top_terms): top-3 characteristic terms per document for "
+        "a doc_id slice, scored tf * ln(N/df) over full-corpus "
+        "document frequencies.  The TF branch filters to the slice "
+        "BEFORE counting; df/N cover the corpus; both derive from one "
+        "tokenize subtree (ReuseExchange).  Vocabulary-sized shuffles "
+        "only; corpus scalars ride a 1-row broadcast, no collect.",
+    tags=("llm", "text", "corpus"),
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.corpus import tfidf_top_terms
+
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return tfidf_top_terms(d, F.col("doc_id") < 20, k=3)
+
+
+# ---------------------------------------------------------------- Q100
+_Q100_ORACLE = (
+    "WITH wl AS (SELECT list_filter(string_split(trim(text), ' '), "
+    "x -> x <> '') AS l FROM documents), "
+    "uni AS (SELECT UNNEST(l) AS w FROM wl), "
+    "cu AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1), "
+    "cb AS (SELECT b, COUNT(*) AS cxy FROM (SELECT UNNEST("
+    "list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS b "
+    "FROM wl WHERE len(l) >= 2) GROUP BY 1 HAVING COUNT(*) >= 5), "
+    "tot AS (SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM cu) AS u_tot, "
+    "(SELECT CAST(SUM(len(l) - 1) AS DOUBLE) FROM wl WHERE len(l) >= 1) "
+    "AS b_tot), "
+    "s AS (SELECT cb.b AS bigram, cb.cxy AS n, "
+    "FLOOR(ln((cb.cxy / tot.b_tot) / "
+    "((cx.c / tot.u_tot) * (cy.c / tot.u_tot))) * 10000 + 0.5)/10000 "
+    "AS pmi FROM cb CROSS JOIN tot "
+    "JOIN cu cx ON cx.w = string_split(cb.b, ' ')[1] "
+    "JOIN cu cy ON cy.w = string_split(cb.b, ' ')[2]) "
+    "SELECT bigram, CAST(n AS BIGINT) AS n, pmi FROM s "
+    "ORDER BY pmi DESC, bigram LIMIT 20"
+)
+
+
+@register(
+    "q100_pmi_collocations",
+    _Q100_ORACLE,
+    doc="PMI collocation detection (operators/corpus.py:pmi_bigrams): "
+        "top-20 bigrams by pointwise mutual information with a "
+        "support floor of 5 — fixed-phrase/boilerplate signal for "
+        "corpus curation.  Bigrams built JVM-side from the token "
+        "array (slice + arrays_zip, codegen'd, no positional "
+        "self-join); unigram lookups join the vocabulary-sized count "
+        "table; totals ride a 1-row broadcast.  Rounded-PMI ranking "
+        "with bigram tie-break keeps the cut cross-engine stable.",
+    tags=("llm", "text", "corpus"),
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.corpus import pmi_bigrams
+
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return pmi_bigrams(d, min_count=5, k=20)
