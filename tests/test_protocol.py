@@ -348,3 +348,47 @@ def test_bidirectional_request_response():
             assert await a.read_packet() == resp
 
     run(go())
+
+
+def test_date_addsub_interval_rewrite():
+    out = dialect.to_spark_sql(
+        "SELECT DATE_ADD(o_orderdate, INTERVAL 3 DAY) FROM orders")
+    assert out == "SELECT (o_orderdate + INTERVAL 3 DAY) FROM orders"
+    out = dialect.to_spark_sql("SELECT DATE_SUB(d, INTERVAL 2 MONTH) FROM t")
+    assert out == "SELECT (d - INTERVAL 2 MONTH) FROM t"
+    # MySQL-only units fold into Spark units
+    out = dialect.to_spark_sql("SELECT DATE_ADD(d, INTERVAL 2 WEEK) FROM t")
+    assert out == "SELECT (d + INTERVAL 14 DAY) FROM t"
+    out = dialect.to_spark_sql("SELECT DATE_SUB(d, INTERVAL 1 QUARTER) FROM t")
+    assert out == "SELECT (d - INTERVAL 3 MONTH) FROM t"
+    # bare-days aliases map onto Spark date_add/date_sub
+    out = dialect.to_spark_sql("SELECT ADDDATE(d, 5), SUBDATE(d, 5) FROM t")
+    assert out == "SELECT date_add(d, 5), date_sub(d, 5) FROM t"
+    # nested call in the date argument survives paren matching
+    out = dialect.to_spark_sql(
+        "SELECT DATE_ADD(COALESCE(a, b), INTERVAL -1 DAY) FROM t")
+    assert out == "SELECT (COALESCE(a, b) + INTERVAL -1 DAY) FROM t"
+
+
+def test_str_to_date_rewrite():
+    out = dialect.to_spark_sql("SELECT STR_TO_DATE('2024-05-01', '%Y-%m-%d')")
+    assert out == "SELECT to_date('2024-05-01', 'yyyy-MM-dd')"
+    # time tokens -> to_timestamp (MySQL returns DATETIME there)
+    out = dialect.to_spark_sql(
+        "SELECT STR_TO_DATE(s, '%Y-%m-%d %H:%i:%s') FROM t")
+    assert out == "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss') FROM t"
+
+
+def test_date_rewrites_execute_in_spark(spark):
+    """The rewritten SQL must actually run on Spark and produce the
+    MySQL-semantics values."""
+    rows = spark.sql(dialect.to_spark_sql(
+        "SELECT DATE_ADD(DATE'2024-02-27', INTERVAL 1 WEEK) AS a, "
+        "DATE_SUB(DATE'2024-03-31', INTERVAL 1 MONTH) AS b, "
+        "STR_TO_DATE('2024-05-01', '%Y-%m-%d') AS c, "
+        "ADDDATE(DATE'2024-01-01', 30) AS d")).collect()
+    r = rows[0]
+    assert str(r["a"]) == "2024-03-05"
+    assert str(r["b"]) == "2024-02-29"  # month-end clamp, MySQL-equal
+    assert str(r["c"]) == "2024-05-01"
+    assert str(r["d"]) == "2024-01-31"

@@ -8,6 +8,9 @@ CASE, etc.); this shim handles the rest token-level (SURVEY.md §4.2):
 * ``LIMIT x, y``              → ``LIMIT y OFFSET x``
 * ``GROUP_CONCAT(e)``         → ``concat_ws(',', collect_list(e))``
 * ``DATE_FORMAT(e,'%Y-%m')``  → ``date_format(e,'yyyy-MM')``
+* ``DATE_ADD/SUB(e, INTERVAL n u)`` → ``(e ± INTERVAL n u)`` (WEEK →
+  DAY×7, QUARTER → MONTH×3); ``ADDDATE/SUBDATE(e, n)`` → ``date_add``
+* ``STR_TO_DATE(s,'%Y-%m-%d')`` → ``to_date``/``to_timestamp``
 * session statements (SET / USE / BEGIN / COMMIT / ROLLBACK / SHOW /
   ``SELECT @@var``) answered locally, never reaching Spark.
 
@@ -30,6 +33,15 @@ _LIMIT_COMMA = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", re.IGNORECASE)
 _GROUP_CONCAT = re.compile(r"\bGROUP_CONCAT\s*\(", re.IGNORECASE)
 _DATE_FORMAT = re.compile(r"\bDATE_FORMAT\s*\(", re.IGNORECASE)
 _MYSQL_PATTERN = re.compile("|".join(re.escape(k) for k in DATE_FORMAT_MAP))
+_DATE_ADDSUB = re.compile(r"\b(DATE_ADD|DATE_SUB|ADDDATE|SUBDATE)\s*\(",
+                          re.IGNORECASE)
+_STR_TO_DATE = re.compile(r"\bSTR_TO_DATE\s*\(", re.IGNORECASE)
+# MySQL INTERVAL units Spark lacks are folded into ones it has
+_INTERVAL_ARG = re.compile(
+    r"^(.*),\s*INTERVAL\s+(-?\d+)\s+(\w+)\s*$", re.IGNORECASE | re.DOTALL)
+_FMT_LITERAL_TAIL = re.compile(
+    r"^(.*),\s*'((?:[^'\\]|\\.)*)'\s*$", re.DOTALL)
+_TIME_TOKENS = re.compile(r"%[HkisSfTprlh]")
 
 
 def split_statements(sql: str) -> list[str]:
@@ -134,6 +146,48 @@ def _render_date_format(inner: str) -> str:
     return f"date_format({inner})"
 
 
+def _render_date_addsub(name: str):
+    """MySQL ``DATE_ADD(x, INTERVAL n unit)`` → ``(x + INTERVAL n unit)``.
+
+    Spark's ``date_add`` takes bare days, so the INTERVAL form must
+    become interval arithmetic.  WEEK/QUARTER (MySQL-only units) fold
+    to DAY*7 / MONTH*3.  ``ADDDATE(d, n)`` (bare-days alias) maps to
+    Spark ``date_add``; unparseable args are left verbatim so Spark
+    produces the error, not the shim.
+    """
+    sub = name.upper() in ("DATE_SUB", "SUBDATE")
+
+    def render(inner: str) -> str:
+        m = _INTERVAL_ARG.match(inner)
+        if not m:
+            if name.upper() in ("ADDDATE", "SUBDATE"):
+                fn = "date_sub" if sub else "date_add"
+                return f"{fn}({inner})"
+            return f"{name}({inner})"
+        expr, n, unit = m.group(1).strip(), int(m.group(2)), m.group(3).upper()
+        if unit == "WEEK":
+            n, unit = n * 7, "DAY"
+        elif unit == "QUARTER":
+            n, unit = n * 3, "MONTH"
+        op = "-" if sub else "+"
+        return f"({expr} {op} INTERVAL {n} {unit})"
+
+    return render
+
+
+def _render_str_to_date(inner: str) -> str:
+    """``STR_TO_DATE(s, '%Y-%m-%d')`` → ``to_date(s, 'yyyy-MM-dd')``
+    (``to_timestamp`` when the format has time tokens, matching
+    MySQL's DATE-vs-DATETIME result typing)."""
+    m = _FMT_LITERAL_TAIL.match(inner)
+    if not m:
+        return f"STR_TO_DATE({inner})"
+    expr, fmt = m.group(1).strip(), m.group(2)
+    fn = "to_timestamp" if _TIME_TOKENS.search(fmt) else "to_date"
+    spark_fmt = _MYSQL_PATTERN.sub(lambda t: DATE_FORMAT_MAP[t.group(0)], fmt)
+    return f"{fn}({expr}, '{spark_fmt}')"
+
+
 def to_spark_sql(sql: str) -> str:
     """Apply the MySQL→Spark rewrites to one statement."""
     sql = _rewrite_limit_comma(sql)
@@ -141,6 +195,13 @@ def to_spark_sql(sql: str) -> str:
         sql = _rewrite_call(sql, _GROUP_CONCAT, _render_group_concat)
     if _DATE_FORMAT.search(sql):
         sql = _rewrite_call(sql, _DATE_FORMAT, _render_date_format)
+    if _DATE_ADDSUB.search(sql):
+        for name in ("DATE_ADD", "DATE_SUB", "ADDDATE", "SUBDATE"):
+            pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+            if pat.search(sql):
+                sql = _rewrite_call(sql, pat, _render_date_addsub(name))
+    if _STR_TO_DATE.search(sql):
+        sql = _rewrite_call(sql, _STR_TO_DATE, _render_str_to_date)
     sql = _rewrite_collations(sql)
     sql = _rewrite_json_shred(sql)
     sql = _INFORMATION_SCHEMA_RE.sub(lambda m: f"__is_{m.group(1).lower()}", sql)
