@@ -725,3 +725,23 @@ def test_pmi_bigrams_known_values(spark):
     expect = math.floor(
         math.log((2 / 5) / ((2 / 8) * (2 / 8))) * 10000 + 0.5) / 10000
     assert got == {"a b": (2, expect)}
+
+
+def test_load_table_shredded_companion(spark, sf_dir):
+    """Library users get the parse-once typed-JSON companion by name:
+    load_table(..., 'events_shredded') — same values as a per-query
+    get_json_object parse, but served from materialized typed columns
+    (the DataFrame analog of the gateway's dialect routing)."""
+    from tidb_gateway_spark.catalog import load_table as lt
+
+    sh = lt(spark, sf_dir, "events_shredded")
+    assert "props_k" in sh.columns, sh.columns
+    raw = (
+        lt(spark, sf_dir, "events")
+        .select("event_id", F.get_json_object("props", "$.k").alias("k"))
+    )
+    a = {(r["event_id"], r["props_k"]) for r in
+         sh.select("event_id", "props_k").collect()}
+    b = {(r["event_id"], str(r["k"]) if r["k"] is not None else None)
+         for r in raw.collect()}
+    assert {(i, str(v) if v is not None else None) for i, v in a} == b

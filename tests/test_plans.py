@@ -159,3 +159,37 @@ def test_no_rowudf_in_declared_plans(spark, sf_dir):
         df = spec.spark(spark, sf_dir)
         text = inspect.explain_formatted(df)
         assert "BatchEvalPython" not in text, f"{qid} uses a row Python UDF"
+
+
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join: both sides bucketed on the join key at write
+    time -> the sort-merge join reads bucket-aligned data with NO
+    Exchange on either side (the 100 TB answer for fact-fact joins
+    repeatedly keyed the same way; sources/io.py:write_bucketed_table).
+    With per-bucket sortBy on the key, the join-side Sorts are
+    satisfied by the storage layout too."""
+    from tidb_gateway_spark.sources.io import write_bucketed_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(o, "b_orders", ["o_orderkey"], 8,
+                         path=str(tmp_path / "bo"), sort_cols=["o_orderkey"])
+    write_bucketed_table(li, "b_lineitem", ["l_orderkey"], 8,
+                         path=str(tmp_path / "bl"), sort_cols=["l_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"))
+        text = inspect.explain_formatted(j)
+        assert "SortMergeJoin" in text, text
+        assert "Exchange" not in text, text
+        # sanity: the join actually runs and matches the shuffled plan
+        n = j.count()
+        expect = o.join(li, F.col("o_orderkey") == F.col("l_orderkey")).count()
+        assert n == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

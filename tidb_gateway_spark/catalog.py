@@ -85,6 +85,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     ensure_session_confs(spark)
+    # "<table>_shredded" loads the materialized typed-JSON companion —
+    # the library-user analog of the gateway's dialect routing (the
+    # gateway rewrites get_json_object(props,...) onto these columns;
+    # a DataFrame caller asks for the companion by name).
+    if name.endswith(SHREDDED_SUFFIX):
+        base = name[: -len(SHREDDED_SUFFIX)]
+        if base in SHREDDED_JSON:
+            df = shredded_table(spark, sf_dir, base)
+            _table_cache[key] = df
+            return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = (

@@ -66,6 +66,32 @@ def write_parquet_table(df: DataFrame, path: str, mode: str = "overwrite",
     writer.parquet(path)
 
 
+def write_bucketed_table(df: DataFrame, table: str, bucket_cols: list[str],
+                         num_buckets: int, path: str | None = None,
+                         sort_cols: list[str] | None = None,
+                         mode: str = "overwrite") -> str:
+    """Write a hash-bucketed (and optionally per-bucket sorted) catalog
+    table — the co-located-join storage layout.
+
+    At 100 TB, fact tables that are repeatedly joined or aggregated on
+    the same key (orders⋈lineitem on orderkey) should be bucketed on
+    that key at ingest: both sides then read already-hash-clustered
+    data and the join planner drops the shuffle Exchange on each side
+    entirely (and with ``sort_cols`` = join key, the sort too).  One
+    shuffle paid once at write time replaces a shuffle per query.
+    Bucketing requires a catalog table (bucket metadata lives in the
+    metastore); ``path`` makes it external.  Returns the table name.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return table
+
+
 def shred_json_column(df: DataFrame, json_col: str, schema: str | T.StructType,
                       keep: list[str] | None = None,
                       drop_source: bool = True,
