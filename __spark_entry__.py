@@ -27,6 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver's oracle harness (which may cover only a window of the registry)
 # to re-certify them before anything already green in a prior round.
 _CHANGED_FIRST = (
+    "q101_dedup_clusters",         # new operator (r4)
     "q94_ivf_ann",                 # new operator (r4)
     "q95_int8_quantized_topk",     # new operator (r4)
     "q96_sequence_packing",        # new operator (r4)

@@ -745,3 +745,21 @@ def test_load_table_shredded_companion(spark, sf_dir):
     b = {(r["event_id"], str(r["k"]) if r["k"] is not None else None)
          for r in raw.collect()}
     assert {(i, str(v) if v is not None else None) for i, v in a} == b
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation + pointer jumping: a 4-chain, a 2-cycle
+    pair, and a triangle all collapse to their min-id labels; nodes
+    absent from the pair graph never appear."""
+    from tidb_gateway_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(3, 4), (4, 5), (5, 6),      # chain 3-4-5-6
+         (10, 11),                    # island pair
+         (20, 21), (21, 22), (20, 22)],  # triangle
+        "a BIGINT, b BIGINT")
+    got = {(r["doc_id"], r["cluster_id"])
+           for r in connected_components(pairs).collect()}
+    assert got == {(3, 3), (4, 3), (5, 3), (6, 3),
+                   (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20)}

@@ -220,6 +220,75 @@ def jaccard_pairs(candidates: DataFrame, words: DataFrame) -> DataFrame:
     )
 
 
+def connected_components(pairs: DataFrame, a_col: str = "a",
+                         b_col: str = "b", max_iter: int = 25) -> DataFrame:
+    """Group duplicate pairs into clusters: (doc_id, cluster_id) with
+    cluster_id = MIN doc_id reachable through the pair graph.
+
+    The last stage of the candidate→verify→cluster dedup pipeline
+    (reference relays this to backends; here it is native): q72/q74
+    emit PAIRS, but keep-one-per-group needs the transitive closure —
+    a-b and b-c must collapse to one cluster {a,b,c} with canonical a.
+
+    Spark-first iterative min-label propagation with pointer jumping:
+    each round every node takes the min label over its neighbors
+    (one shuffle join + groupBy), then labels shortcut through their
+    own labels (path halving — a second self-join), giving O(log d)
+    rounds for diameter-d components instead of O(d).  Per-round
+    lineage is cut with localCheckpoint so the plan does not grow
+    across iterations; the per-round convergence check counts changed
+    labels (a scalar action — no row data reaches the driver).
+
+    100 TB shape: state is one (node, label) table of long ids —
+    bytes per node, never document bodies; every round is two
+    key-partitioned shuffles of that table.  Duplicate clusters have
+    tiny diameters in practice (near-dup graphs are dense), so the
+    loop converges in a handful of rounds; ``max_iter`` bounds the
+    adversarial chain case.
+    """
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    labels = edges.select("u").distinct().withColumn("lab", F.col("u"))
+
+    def _pin(df: DataFrame) -> DataFrame:
+        try:
+            return df.localCheckpoint(eager=True)
+        except Exception:  # Connect or checkpoint-less session
+            df.persist()
+            df.count()
+            return df
+
+    edges = _pin(edges)
+    labels = _pin(labels)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("lab").alias("vlab")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlab").alias("nlab"))
+        )
+        stepped = labels.join(nbr, "u", "left").select(
+            "u", F.least("lab", F.coalesce("nlab", "lab")).alias("lab")
+        )
+        # pointer jump: lab := label(lab) — halves chain lengths
+        hop = stepped.select(F.col("u").alias("lab"), F.col("lab").alias("lab2"))
+        jumped = stepped.join(hop, "lab", "left").select(
+            "u", F.coalesce("lab2", "lab").alias("lab")
+        )
+        jumped = _pin(jumped)
+        changed = (
+            jumped.join(labels.select("u", F.col("lab").alias("old")), "u")
+            .filter(F.col("lab") != F.col("old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("lab").alias("cluster_id"))
+
+
 def keep_first(df: DataFrame, key, order_col: str) -> DataFrame:
     """Generic keep-first dedup: one row per key, lowest order_col wins."""
     from pyspark.sql import Window

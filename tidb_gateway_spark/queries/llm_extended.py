@@ -113,14 +113,16 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- Q74
-_Q74_ORACLE = (
-    f"WITH {_DDB_SHINGLES}, {_DDB_SIGS}, {_DDB_BANDS}, "
+_DDB_CAND_CHAIN = (
     "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y "
     "ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id), "
     "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id), "
     "inter AS (SELECT c.a, c.b, COUNT(*) AS i FROM cand c "
     "JOIN shingles wa ON wa.doc_id = c.a JOIN shingles wb ON wb.doc_id = c.b AND wb.w = wa.w "
-    "GROUP BY c.a, c.b) "
+    "GROUP BY c.a, c.b)"
+)
+_Q74_ORACLE = (
+    f"WITH {_DDB_SHINGLES}, {_DDB_SIGS}, {_DDB_BANDS}, {_DDB_CAND_CHAIN} "
     "SELECT t.a, t.b, FLOOR((CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE))*10000 + 0.5)/10000 AS jac "
     "FROM inter t JOIN sizes sa ON sa.doc_id = t.a JOIN sizes sb ON sb.doc_id = t.b "
     "WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5 ORDER BY a, b"
@@ -1003,3 +1005,43 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     return pmi_bigrams(d, min_count=5, k=20)
+
+
+# ---------------------------------------------------------------- Q101
+_Q101_ORACLE = (
+    f"WITH RECURSIVE {_DDB_SHINGLES}, {_DDB_SIGS}, {_DDB_BANDS}, "
+    f"{_DDB_CAND_CHAIN}, "
+    "ver AS (SELECT t.a, t.b FROM inter t "
+    "JOIN sizes sa ON sa.doc_id = t.a JOIN sizes sb ON sb.doc_id = t.b "
+    "WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5), "
+    "edges AS (SELECT a AS u, b AS v FROM ver UNION SELECT b, a FROM ver), "
+    "walk(n, m) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+    "UNION SELECT e.u, w.m FROM edges e JOIN walk w ON w.n = e.v) "
+    "SELECT n AS doc_id, MIN(m) AS cluster_id FROM walk "
+    "GROUP BY n ORDER BY doc_id"
+)
+
+
+@register(
+    "q101_dedup_clusters",
+    _Q101_ORACLE,
+    doc="Transitive closure of the verified near-dup pairs "
+        "(operators/dedup.py:connected_components): every doc in a "
+        "q74-verified pair labeled with the MIN doc_id of its "
+        "connected component — the cluster map keep-one-per-group "
+        "dedup consumes.  Iterative min-label propagation with "
+        "pointer jumping (O(log d) rounds), per-round state is a "
+        "(node,label) long-pair table; the DuckDB oracle recomputes "
+        "the closure with a recursive CTE.",
+    tags=("dedup", "llm", "graph"),
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shingles = dedup.doc_shingles(d)
+    cand = dedup.minhash_lsh_candidates(d, k=_K, bands=_BANDS, shingles=shingles)
+    ver = (
+        dedup.jaccard_pairs(cand, shingles)
+        .filter(F.col("jac") >= 0.5)
+        .select("a", "b")
+    )
+    return dedup.connected_components(ver).orderBy("doc_id")
