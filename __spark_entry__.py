@@ -27,38 +27,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver's oracle harness (which may cover only a window of the registry)
 # to re-certify them before anything already green in a prior round.
 _CHANGED_FIRST = (
-    "q101_dedup_clusters",         # new operator (r4)
-    "q94_ivf_ann",                 # new operator (r4)
-    "q95_int8_quantized_topk",     # new operator (r4)
-    "q96_sequence_packing",        # new operator (r4)
-    "q97_mixture_resample",        # new operator (r4)
-    "q98_word_repetition_filter",  # new operator (r4)
-    "q99_tfidf_top_terms",         # new operator (r4)
-    "q100_pmi_collocations",       # new operator (r4)
-    "q76_ann_lsh_bucket",          # materialized bucketed index (r4)
-    "q77_lang_id_heuristic",       # parallelism guard (r4)
-    "q78_quality_score_histogram", # parallelism guard (r4)
-    "q79_token_count_stats",       # parallelism guard (r4)
-    "q19_range_predicate_join",    # shuffle_hash join strategy (r4)
-    "q93_embedding_neardup_pairs", # Arrow bucketing path (r4)
-    "q32_rank_dense_rank",         # boundary-cache eviction bound (r4)
-    "q37_ntile",                   # boundary-cache eviction bound (r4)
+    # r5: the whole events family rides on catalog.normalize_events'
+    # new dtype dispatch (the r4 fixture change to timestamp[us] broke
+    # every one of these at HEAD) — the 10 CORRECTNESS_r04 reds first…
+    "q53_json_extract",
+    "q56_tumbling_window",
+    "q58_session_window",
+    "q59_stateful_dedup",
+    "q67_uncorrelated_scalar_subquery",
+    "q69_in_subquery",
+    "q70_cte",
+    "q71_values_inline",
+    "q86_latest_event_per_user",
+    "q87_funnel_conversion",
+    # …then the 11 events queries broken at HEAD but outside the r4
+    # correctness window (last green cert predates the fixture change).
+    "q20_asof_join",
+    "q21_self_join",
+    "q26_grouping_sets",
+    "q29_conditional_agg",
+    "q31_row_number",
+    "q33_lag_lead",
+    "q34_running_sum",
+    "q35_sliding_rows_frame",
+    "q36_first_value_full_frame",
+    "q40_limit_offset",
+    "q57_sliding_window",
 )
 
 # Queries whose latest green certification predates the current code
 # (changed after their last driver run, or last certified in r1/r2
 # before unrelated shared-operator rewrites landed).  These rotate
-# through the window right after the changed set; the r3-certified
-# unchanged block sorts last.
+# through the window right after the changed set; the freshly-certified
+# (r4) block sorts last.
 _STALE_CERT = tuple(
     f"q{n:02d}" for n in (
-        # q05–q07 roll to the next rotation: their r2 certs are on code
-        # unchanged since r1 (scans_filters.py), lowest re-cert value.
-        *range(8, 10),            # q08–q09: last certified r2
-        *range(51, 57),           # q51–q56: last certified r2
-        *range(58, 68), 69, 70, 71,  # q58–q67, q69–q71: r2
-        73,                       # q73: r2
-        *range(80, 93),           # q80–q92: r2 (q80/q91/q92 changed r3)
+        # oldest remaining certs: q01–q07 (r2/r3 on unchanged code),
+        # the r3-certified operator families, and anything the r5
+        # loader/shared-code changes could plausibly touch.
+        *range(1, 8),             # q01–q07
+        *range(10, 19),           # q10–q18 joins: r3
+        *range(22, 26), 27, 28, 30,  # aggs: r3
+        38, 39, *range(41, 51),   # sorts/sets/scalars: r3
+        72, 74, 75, 92,           # dedup/similarity r3 certs
     )
 )
 

@@ -769,9 +769,18 @@ def test_analyze_table_feeds_cbo_stats(gateway):
         # the promoted table still answers queries correctly
         _, rows = (await c.query("SELECT COUNT(*) AS n FROM orders"))[0]
         assert int(rows[0][0]) == 1500, rows
-        # non-promotable table → clean ERR, connection lives
-        err = (await c.query("ANALYZE TABLE events COMPUTE STATISTICS"))[0]
-        assert isinstance(err, dict) and err.get("error"), err
+        # events promotes as stats-table + normalized persistent view:
+        # ANALYZE succeeds, the engine (ts, ts_us) schema survives, and
+        # EXPLAIN COST sees base-table stats through the view
+        ok = (await c.query("ANALYZE TABLE events COMPUTE STATISTICS"))[0]
+        assert isinstance(ok, dict) and "error" not in ok, ok
+        cols, rows = (await c.query(
+            "SELECT COUNT(*) AS n, COUNT(ts_us) AS n_us FROM events"))[0]
+        assert int(rows[0][0]) == int(rows[0][1]) > 0, rows
+        _, ev_cost = (await c.query(
+            "EXPLAIN COST SELECT user_id FROM events"))[0]
+        ev_text = "\n".join(str(v) for row in ev_cost for v in row)
+        assert "rowCount=" in ev_text, ev_text[:800]
         pong = await c.ping()
         assert pong[0] == 0x00
         # db-qualified form: this cluster's catalog db resolves...

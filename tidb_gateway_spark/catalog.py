@@ -71,12 +71,19 @@ _views_registered: dict[int, str] = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing types to engine conventions.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it (under
-    ``nanosAsLong``) as a raw epoch-nanos LongType.  We expose:
+    ``events.ts`` storage has changed shape across fixture generations
+    (parquet TIMESTAMP(NANOS) read as raw longs under ``nanosAsLong``;
+    now parquet timestamp[us] read as TIMESTAMP_NTZ), so the loader
+    dispatches on the *actual* column dtype instead of assuming one —
+    the engine must serve the events data opaquely-correctly regardless
+    of storage micro-format, the way the reference serves any backend
+    bytes (/root/reference/gateway/relay.go:68-99).  Either way we expose:
 
-    * ``ts``    — TIMESTAMP at microsecond precision (``ns DIV 1000``,
-      truncation — bit-identical to how DuckDB's parquet reader reads the
-      same column, which keeps strict ts comparisons cross-engine safe);
+    * ``ts``    — TIMESTAMP at microsecond precision (truncation on the
+      nanos path — bit-identical to how DuckDB's parquet reader reads
+      the same column, which keeps strict ts comparisons cross-engine
+      safe; session tz is pinned UTC so the NTZ→TIMESTAMP cast is
+      wall-clock-identity);
     * ``ts_us`` — epoch microseconds as a long, for exact-integer window
       frames (RANGE BETWEEN) and gap arithmetic.
     """
@@ -97,13 +104,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
+        df = normalize_events(df)
+    _table_cache[key] = df
+    return df
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize an events frame (batch or streaming) to the engine's
+    (ts TIMESTAMP µs, ts_us LONG) convention, dispatching on the actual
+    stored dtype of ``ts`` (see load_table docstring).  Column order is
+    kept identical across dispatch branches so downstream schema checks
+    are storage-format-independent.
+    """
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # Legacy fixture: TIMESTAMP(NANOS) surfaced as raw epoch nanos
+        # via spark.sql.legacy.parquet.nanosAsLong.
         df = (
             df.withColumnRenamed("ts", "ts_ns")
             .withColumn("ts_us", F.expr("ts_ns DIV 1000"))
             .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
             .drop("ts_ns")
         )
-    _table_cache[key] = df
+    elif isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        # Current fixture: parquet timestamp[us].  Session tz is pinned
+        # UTC (session.py RUNTIME_CONFS) so casting NTZ→TIMESTAMP keeps
+        # the wall-clock value and unix_micros matches DuckDB epoch_us.
+        df = (
+            df.withColumnRenamed("ts", "ts_raw")
+            .withColumn("ts_us",
+                        F.unix_micros(F.col("ts_raw").cast("timestamp")))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            .drop("ts_raw")
+        )
+    else:  # pragma: no cover - future fixture drift trips loudly
+        raise TypeError(
+            f"events.ts has unsupported storage type {ts_type}; "
+            "extend catalog.normalize_events")
     return df
 
 
@@ -116,15 +155,39 @@ def promote_to_catalog_table(spark: SparkSession, sf_dir: str,
     At 100 TB this is the normal state of the world — tables live in a
     metastore and ANALYZE feeds the cost-based optimizer's join
     reordering / broadcast decisions; the temp-view path is the
-    stats-less fallback.  ``events`` is not promotable: its catalog
-    schema would expose the raw TIMESTAMP(NANOS) column instead of the
-    engine's (ts, ts_us) projection.
+    stats-less fallback.
+
+    ``events`` promotes as a *pair*: the raw parquet becomes the
+    stats-holding catalog table ``events_base`` (ANALYZE target — stats
+    must live on a table, not a view) and a persistent SQL view
+    ``events`` re-derives the engine's (ts TIMESTAMP µs, ts_us LONG)
+    projection over it, so post-ANALYZE unqualified references keep the
+    engine schema while the CBO sees the base table's rowCount/size.
     """
-    if name == "events":
-        raise ValueError("table 'events' does not support ANALYZE "
-                         "(non-promotable nanosecond-timestamp schema)")
     ensure_session_confs(spark)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+    if name == "events":
+        base = f"`{db}`.`events_base`"
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {base} USING parquet "
+            f"LOCATION '{sf_dir}/events.parquet'"
+        )
+        from pyspark.sql import types as T
+
+        ts_type = spark.table(base).schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            us_expr = "ts DIV 1000"
+        elif isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+            us_expr = "unix_micros(CAST(ts AS TIMESTAMP))"
+        else:  # pragma: no cover - same guard as normalize_events
+            raise TypeError(f"events.ts unsupported storage type {ts_type}")
+        spark.sql(
+            f"CREATE OR REPLACE VIEW `{db}`.`events` AS "
+            f"SELECT event_id, user_id, event_type, value, props, "
+            f"{us_expr} AS ts_us, timestamp_micros({us_expr}) AS ts "
+            f"FROM {base}"
+        )
+        return base
     qualified = f"`{db}`.`{name}`"
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {qualified} USING parquet "

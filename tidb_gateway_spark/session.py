@@ -24,9 +24,12 @@ import os
 from pyspark.sql import SparkSession
 
 # Confs that are runtime-settable (plain SQLConf) — safe to apply to a
-# session we did not build.  The nanosAsLong conf is required because the
-# driver fixtures store events.ts as parquet TIMESTAMP(NANOS) which the
-# Spark vectorized reader otherwise rejects (PARQUET_TYPE_ILLEGAL).
+# session we did not build.  nanosAsLong is retained for *legacy* fixture
+# generations that stored events.ts as parquet TIMESTAMP(NANOS) (which
+# the vectorized reader otherwise rejects, PARQUET_TYPE_ILLEGAL); current
+# fixtures store timestamp[us] and are unaffected by it.  Either shape is
+# handled by catalog.normalize_events' dtype dispatch — nothing may
+# assume one storage format.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",

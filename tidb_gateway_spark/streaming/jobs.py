@@ -22,36 +22,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw parquet nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def events_file_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Declared schema for the events file stream, taken from the actual
+    parquet footers (one driver-side metadata read).  The fixture's ts
+    storage has changed shape across generations (nanos-as-long →
+    timestamp[us]); hard-coding either breaks on the other, and a
+    readStream with a wrong declared schema returns garbage rather than
+    erroring — so the schema is always derived, never assumed.
+    """
+    from tidb_gateway_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    return spark.read.parquet(path).schema
 
 
 def read_events_stream(spark: SparkSession, path: str,
                        max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over event parquet files, normalized like
-    catalog.load_table('events')."""
-    from tidb_gateway_spark.session import ensure_session_confs
+    catalog.load_table('events') (shared dtype-dispatch)."""
+    from tidb_gateway_spark.catalog import normalize_events
 
-    ensure_session_confs(spark)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_file_schema(spark, path))
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(path)
     )
-    return (
-        raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts_us", F.expr("ts_ns DIV 1000"))
-        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-        .drop("ts_ns")
-    )
+    return normalize_events(raw)
 
 
 def tumbling_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
