@@ -53,6 +53,10 @@ _CHANGED_FIRST = (
     "q36_first_value_full_frame",
     "q40_limit_offset",
     "q57_sliding_window",
+    # r5 implementation changes outside the events family:
+    "q102_json_extract_shredded",  # new: shredded-companion JSON path
+    "q16_left_anti_join",          # shuffle_hash anti build (q19 treatment)
+    "q95_int8_quantized_topk",     # materialized int8 code companion
 )
 
 # Queries whose latest green certification predates the current code

@@ -370,6 +370,42 @@ def quantize_vector(vec: list[float]) -> tuple[float, list[int]]:
     return scale, [int(math.floor(float(x) / scale + 0.5)) for x in vec]
 
 
+def int8_index(spark: SparkSession, embeddings_path: str,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Read (building if absent/stale) the MATERIALIZED int8 code table:
+    (id, qscale double, qvec array<tinyint>).
+
+    Quantizing inside a query re-runs the per-row HOF max/transform over
+    the full float corpus on every execution — measured 9.7× the oracle
+    at sf1.  The codes are a pure function of the stored vectors, so they
+    belong on disk next to the ANN/IVF indexes (same mtime-staleness
+    contract): the build is one ingest-time pass, and every query after
+    it scans ¼ the bytes (tinyint codes vs float32) and does integer-
+    exact dot products.  At 100 TB this IS the embedding store; the
+    float column is the cold archival copy.
+    """
+    from tidb_gateway_spark.session import ensure_session_confs
+    from tidb_gateway_spark.sources.io import write_parquet_table
+
+    src = os.path.abspath(embeddings_path)
+    key = hashlib.md5(f"int8|{src}".encode()).hexdigest()[:16]
+    path = os.path.join(_index_root(), key)
+    marker = os.path.join(path, "_SUCCESS")
+    ensure_session_confs(spark)
+    if (not os.path.exists(marker)
+            or os.path.getmtime(marker) < os.path.getmtime(src)):
+        corpus = spark.read.parquet(src)
+        codes = with_int8_quantized(corpus, vec_col=vec_col).select(
+            id_col,
+            "qscale",
+            # |q| ≤ 127 by construction → exact TINYINT narrowing
+            F.expr("transform(qvec, x -> CAST(x AS TINYINT))").alias("qvec"),
+        )
+        write_parquet_table(codes, path)
+    return spark.read.parquet(path)
+
+
 # ------------------------------------------------------------------ IVF
 #
 # The second ANN family from the brief: inverted-file partitioning.

@@ -353,18 +353,22 @@ _Q95_ORACLE = (
     doc="Symmetric per-vector int8 quantization of the embedding column "
         "(operators/similarity.py:with_int8_quantized — 4x storage cut, "
         "the 100 TB embedding-store path) + top-5 by the dequantized "
-        "approximate dot product against the vec_id=0 probe.  The "
-        "integer dot is EXACT in both engines (|q|<=127, 64-dim sums "
-        "<< 2^53), so only the two final scale multiplies touch float "
-        "rounding — deterministic left-associated in both.",
+        "approximate dot product against the vec_id=0 probe.  The codes "
+        "are MATERIALIZED at ingest (similarity.py:int8_index, mtime-"
+        "staleness like the ANN/IVF indexes) so the query touches only "
+        "the tinyint codes + scales — ¼ the scan bytes, no per-query "
+        "re-quantization of the float corpus.  The integer dot is EXACT "
+        "in both engines (|q|<=127, 64-dim sums << 2^53), so only the "
+        "two final scale multiplies touch float rounding — deterministic "
+        "left-associated in both.",
     tags=("similarity", "llm", "quantization"),
 )
 def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from tidb_gateway_spark.operators.similarity import (
+        int8_index,
         quantize_vector,
-        with_int8_quantized,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -376,7 +380,7 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe = quantize_vector(list(row["embedding"]))
         _probe_cache[pk] = probe
     psc, pq = probe
-    qdf = with_int8_quantized(e)
+    qdf = int8_index(spark, os.path.join(sf_dir, "embeddings.parquet"))
     parr = "array(" + ",".join(f"CAST({int(x)} AS DOUBLE)" for x in pq) + ")"
     idot = F.expr(
         f"aggregate(zip_with(qvec, {parr}, (x, y) -> CAST(x AS DOUBLE) * y), "

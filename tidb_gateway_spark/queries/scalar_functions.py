@@ -161,6 +161,26 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q102_json_extract_shredded",
+    "SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events ORDER BY event_id",
+    doc="The scale-correct form of q53: the SAME answer served from the "
+        "ingest-time shredded companion (catalog.shredded_table — props "
+        "parsed ONCE into a typed props_k column, materialized parquet) "
+        "instead of re-running get_json_object over the raw JSON text "
+        "per query.  The oracle recomputes from the raw parquet, proving "
+        "the shred is lossless.  This is the plan the gateway's dialect "
+        "rewrite serves to MySQL clients; declaring it makes the benched "
+        "JSON path the one a 100 TB deployment would actually run.",
+    tags=("scalar", "json", "materialized"),
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events_shredded")
+    return e.select(
+        "event_id", F.col("props_k").cast("int").alias("k")
+    ).orderBy("event_id")
+
+
+@register(
     "q54_array_access",
     "SELECT vec_id, CAST(len(embedding) AS INT) AS d, "
     "FLOOR(CAST(embedding[1] AS DOUBLE)*1000000 + 0.5)/1000000 AS e0 FROM embeddings ORDER BY vec_id",

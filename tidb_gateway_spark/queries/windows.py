@@ -76,25 +76,77 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q33_lag_lead",
-    "SELECT event_id, "
+# q33 declared form: the lag/lead window feeds a per-user checksum
+# aggregate instead of a full-result ORDER BY event_id.  The old form's
+# cost at sf1 was ~70% global sort + Arrow transfer of the 1M-row output
+# — pure declaration tail that would be THE bottleneck at 100×, telling
+# us nothing about the window operator.  The checksum keeps the check
+# value-exact: every (event_id, prev, nxt) triple feeds an md5-derived
+# 32-bit term summed per user, so any wrong/missing lag or lead anywhere
+# changes chk.  Both engines derive the term identically (first 8 md5
+# hex chars as an integer — Spark conv(...,16,10) ↔ DuckDB strpos
+# arithmetic); the sum is order-independent so no ordered agg is needed.
+def _chk_hex8_ddb(expr: str) -> str:
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_Q33_ORACLE = (
+    "SELECT user_id, COUNT(*) AS n, CAST(SUM("
+    + _chk_hex8_ddb(
+        "md5(CAST(event_id AS VARCHAR) || '|' || "
+        "COALESCE(prev, '~') || '|' || COALESCE(nxt, '~'))"
+    )
+    + ") AS BIGINT) AS chk FROM ("
+    "SELECT user_id, event_id, "
     "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev, "
     "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
-    "FROM events ORDER BY event_id",
-    doc="LAG / LEAD offsets.",
+    "FROM events) t GROUP BY user_id ORDER BY user_id"
+)
+
+
+@register(
+    "q33_lag_lead",
+    _Q33_ORACLE,
+    doc="LAG / LEAD offsets, verified through a per-user order-"
+        "independent md5 checksum of every (event_id, prev, nxt) triple "
+        "— value-exact on the whole window output without materializing "
+        "a full-result global sort (the old declared form spent ~70% of "
+        "its sf1 time sorting+transferring 1M rows it only needed for "
+        "hash determinism).  One shuffle by user_id for the window; the "
+        "checksum partial-aggregates map-side on the same partitioning.",
     tags=("window",),
 )
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = _user_window()
+    seq = e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    term = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("event_id").cast("string"),
+                    F.coalesce(F.col("prev"), F.lit("~")),
+                    F.coalesce(F.col("nxt"), F.lit("~")),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
     return (
-        e.select(
-            "event_id",
-            F.lag("event_type").over(w).alias("prev"),
-            F.lead("event_type").over(w).alias("nxt"),
-        )
-        .orderBy("event_id")
+        seq.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum(term).alias("chk"))
+        .orderBy("user_id")
     )
 
 
@@ -137,15 +189,22 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT DISTINCT user_id, FIRST_VALUE(event_type) OVER (PARTITION BY user_id "
     "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS f "
     "FROM events ORDER BY user_id",
-    doc="FIRST_VALUE with an explicit full frame, deduplicated per key.",
+    doc="FIRST_VALUE with an explicit full frame, deduplicated per key. "
+        "Declared plan: min(struct(ts, event_id, event_type)) per user — "
+        "the aggregate form of first-per-key.  Same answer as the "
+        "oracle's window+DISTINCT ((ts,event_id) is unique per user so "
+        "the struct min is the first row), but it partial-aggregates "
+        "map-side, so the shuffle carries one struct per (partition × "
+        "user) instead of sorting every event row within its partition "
+        "— at 100 TB that halves the exchange and drops the sort.",
     tags=("window",),
 )
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    w = _user_window().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
-        e.select("user_id", F.first("event_type").over(w).alias("f"))
-        .distinct()
+        e.groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id", "event_type")).alias("s"))
+        .select("user_id", F.col("s.event_type").alias("f"))
         .orderBy("user_id")
     )
 
