@@ -42,6 +42,7 @@ class MiniClient:
         greeting = Handshake.read(await self.pio.read_packet())
         assert greeting.server_version == C.SERVER_VERSION
         self.server_capability = greeting.capability
+        self.nonce = greeting.auth_plugin_data  # reused by change_user
         caps = self.capability | (C.CLIENT_COMPRESS if compress else 0)
         auth = native_scramble(password, greeting.auth_plugin_data) if password else b""
         res = HandshakeResponse(
@@ -172,7 +173,10 @@ class MiniClient:
         return stmt_id, num_params
 
     def _encode_execute_body(self, stmt_id: int, params: list,
-                             cursor: bool = False, send_types: bool = True):
+                             cursor: bool = False, send_types: bool = True,
+                             omit: tuple = ()):
+        """``omit``: indices whose value was streamed ahead via
+        COM_STMT_SEND_LONG_DATA — typed but carrying no value bytes."""
         import struct
 
         body = Buffer()
@@ -182,13 +186,16 @@ class MiniClient:
         if params:
             nulls = bytearray((len(params) + 7) // 8)
             for i, v in enumerate(params):
-                if v is None:
+                if v is None and i not in omit:
                     nulls[i // 8] |= 1 << (i % 8)
             body.write_bytes(bytes(nulls))
             body.write_byte(1 if send_types else 0)
             if send_types:
-                for v in params:
-                    if v is None:
+                for i, v in enumerate(params):
+                    if i in omit:
+                        body.write_byte(C.MYSQL_TYPE_BLOB)
+                        body.write_byte(0)
+                    elif v is None:
                         body.write_byte(C.MYSQL_TYPE_NULL)
                         body.write_byte(0)
                     elif isinstance(v, dt_mod.timedelta):
@@ -203,8 +210,8 @@ class MiniClient:
                     else:
                         body.write_byte(C.MYSQL_TYPE_VAR_STRING)
                         body.write_byte(0)
-            for v in params:
-                if v is None:
+            for i, v in enumerate(params):
+                if i in omit or v is None:
                     continue
                 if isinstance(v, dt_mod.timedelta):
                     total_us = int(v / dt_mod.timedelta(microseconds=1))
@@ -237,11 +244,40 @@ class MiniClient:
         first = await self.pio.read_packet()
         return await self._read_binary_rows_with_first(first, cols)
 
+    async def send_long_data(self, stmt_id: int, param_id: int, data: bytes):
+        """COM_STMT_SEND_LONG_DATA — fire-and-forget, no server reply."""
+        body = stmt_id.to_bytes(4, "little") + param_id.to_bytes(2, "little") + data
+        await self.command(C.COM_STMT_SEND_LONG_DATA, body)
+
+    async def change_user(self, username: str, password: str = "",
+                          database: str = ""):
+        """COM_CHANGE_USER with the auth proof computed against the
+        ORIGINAL handshake nonce (no new scramble is issued)."""
+        auth = native_scramble(password, self.nonce) if password else b""
+        body = Buffer()
+        body.write_bytes(username.encode() + b"\x00")
+        body.write_byte(len(auth))
+        body.write_bytes(auth)
+        body.write_bytes(database.encode() + b"\x00")
+        body.write_uint(C.DEFAULT_COLLATION_ID, 2)
+        body.write_bytes(b"mysql_native_password\x00")
+        await self.command(C.COM_CHANGE_USER, body.getvalue())
+        return await self.pio.read_packet()
+
+    async def reset_connection(self):
+        await self.command(C.COM_RESET_CONNECTION)
+        return await self.pio.read_packet()
+
+    async def set_option(self, opt: int):
+        await self.command(C.COM_SET_OPTION, opt.to_bytes(2, "little"))
+        return await self.pio.read_packet()
+
     async def stmt_execute(self, stmt_id: int, params: list,
-                           send_types: bool = True):
+                           send_types: bool = True, omit: tuple = ()):
         await self.command(
             C.COM_STMT_EXECUTE,
-            self._encode_execute_body(stmt_id, params, send_types=send_types),
+            self._encode_execute_body(stmt_id, params, send_types=send_types,
+                                      omit=omit),
         )
         first = await self.pio.read_packet()
         if first[0] == 0xFF:
@@ -1122,6 +1158,117 @@ def test_prepared_param_quoting(gateway):
         cols, rows = await c.stmt_execute(sid, [tricky, tricky])
         assert rows[0][0] == tricky
         assert rows[0][1] == len(tricky)
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_change_user_resets_session(gateway):
+    """COM_CHANGE_USER (pooled-client checkout): re-auth mid-connection
+    switches identity/db and resets session state — variables gone,
+    prepared statements deallocated, queries keep working."""
+
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        await c.query("SET @marker = 7")
+        _, rows = (await c.query("SELECT @@marker AS m"))[0]
+        assert rows == [["7"]], rows
+        sid, _ = await c.stmt_prepare("SELECT 1 AS one")
+        ok = await c.change_user("sf001.bob", database="newdb")
+        assert ok[0] == 0x00, ok
+        # old session variable is gone
+        _, rows = (await c.query("SELECT @@marker AS m"))[0]
+        assert rows != [["7"]], rows
+        # old prepared statement is deallocated
+        res = await c.stmt_execute(sid, [])
+        assert res == {"error": 1243}, res
+        # the new identity queries normally
+        _, rows = (await c.query("SELECT COUNT(*) AS n FROM region"))[0]
+        assert rows == [["5"]], rows
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_change_user_auth_verification(spark, sf_dir):
+    """COM_CHANGE_USER proofs verify against the ORIGINAL handshake
+    scramble; a wrong password is a clean 1045 that leaves the old
+    session usable."""
+
+    def factory():
+        return Gateway(spark, clusters={"sf001": sf_dir}, default_cluster=sf_dir,
+                       users={"alice": "s3cret", "bob": "hunter2"}, port=0)
+
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        assert (await c.connect("sf001.alice", password="s3cret"))[0] == 0x00
+        bad = await c.change_user("sf001.bob", password="wrong")
+        assert bad[0] == 0xFF and int.from_bytes(bad[1:3], "little") == 1045
+        # failed change keeps the original session alive
+        _, rows = (await c.query("SELECT 1 AS ok"))[0]
+        assert rows == [["1"]]
+        good = await c.change_user("sf001.bob", password="hunter2")
+        assert good[0] == 0x00, good
+        _, rows = (await c.query("SELECT COUNT(*) AS n FROM nation"))[0]
+        assert rows == [["25"]]
+        await c.quit()
+
+    run_with_gateway(factory, scenario)
+
+
+def test_stmt_send_long_data(gateway):
+    """COM_STMT_SEND_LONG_DATA: a param streamed in chunks ahead of
+    EXECUTE binds as the concatenated value, is consumed by the
+    execution, and COM_STMT_RESET discards staged chunks."""
+
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        sid, _ = await c.stmt_prepare("SELECT ? AS v, length(?) AS l")
+        await c.send_long_data(sid, 0, b"hello ")
+        await c.send_long_data(sid, 0, b"wide world")
+        cols, rows = await c.stmt_execute(sid, [None, "x"], omit=(0,))
+        assert rows[0][0] == "hello wide world", rows
+        # consumed: the next execute binds normal params again
+        cols, rows = await c.stmt_execute(sid, ["plain", "y"])
+        assert rows[0][0] == "plain", rows
+        # staged-then-RESET chunks are discarded (1 KiB that must NOT
+        # leak into the post-reset execution)
+        await c.send_long_data(sid, 0, b"Z" * 1024)
+        await c.command(C.COM_STMT_RESET, sid.to_bytes(4, "little"))
+        assert (await c.pio.read_packet())[0] == 0x00
+        cols, rows = await c.stmt_execute(sid, ["after", "z"])
+        assert rows[0][0] == "after", rows
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_reset_connection_and_set_option(gateway):
+    """COM_RESET_CONNECTION clears session state cheaply; COM_SET_OPTION
+    toggles multi-statement splitting."""
+
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        await c.query("SET @rc = 1")
+        sid, _ = await c.stmt_prepare("SELECT 2 AS two")
+        ok = await c.reset_connection()
+        assert ok[0] == 0x00
+        _, rows = (await c.query("SELECT @@rc AS m"))[0]
+        assert rows != [["1"]], rows
+        assert (await c.stmt_execute(sid, [])) == {"error": 1243}
+        # multi-statements off: the compound text is ONE (bad) statement
+        eof = await c.set_option(C.MYSQL_OPTION_MULTI_STATEMENTS_OFF)
+        assert eof[0] in (0xFE, 0x00)
+        res = await c.query("SELECT 1 AS a; SELECT 2 AS b")
+        assert isinstance(res[0], dict) and res[0].get("error"), res
+        # back on: two result sets
+        eof = await c.set_option(C.MYSQL_OPTION_MULTI_STATEMENTS_ON)
+        assert eof[0] in (0xFE, 0x00)
+        res = await c.query("SELECT 1 AS a; SELECT 2 AS b")
+        assert len(res) == 2 and res[0][1] == [["1"]] and res[1][1] == [["2"]]
         await c.quit()
 
     run_with_gateway(gateway, scenario)

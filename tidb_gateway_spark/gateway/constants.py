@@ -73,11 +73,19 @@ COM_INIT_DB = 0x02
 COM_QUERY = 0x03
 COM_FIELD_LIST = 0x04
 COM_PING = 0x0E
+COM_CHANGE_USER = 0x11        # pooled-client re-auth on checkout
 COM_STMT_PREPARE = 0x16
 COM_STMT_EXECUTE = 0x17
+COM_STMT_SEND_LONG_DATA = 0x18  # chunked BLOB params, no response
 COM_STMT_CLOSE = 0x19
 COM_STMT_RESET = 0x1A
+COM_SET_OPTION = 0x1B
 COM_STMT_FETCH = 0x1C
+COM_RESET_CONNECTION = 0x1F   # cheap session-state reset (pools)
+
+# COM_SET_OPTION option values
+MYSQL_OPTION_MULTI_STATEMENTS_ON = 0
+MYSQL_OPTION_MULTI_STATEMENTS_OFF = 1
 
 # COM_STMT_EXECUTE flags
 CURSOR_TYPE_READ_ONLY = 0x01

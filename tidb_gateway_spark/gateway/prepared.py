@@ -40,6 +40,16 @@ class PreparedStatement:
     # (name, type_code, charset, display_length); None when the
     # statement's schema could not be resolved ahead of EXECUTE.
     columns: list[tuple[str, int, int, int]] | None = None
+    # COM_STMT_SEND_LONG_DATA accumulator: param index → chunks.  The
+    # client streams large values ahead of EXECUTE and omits them from
+    # the EXECUTE payload; consumed (and cleared) by the next EXECUTE,
+    # also cleared by COM_STMT_RESET.
+    long_data: dict[int, bytearray] | None = None
+
+    def append_long_data(self, param_id: int, data: bytes) -> None:
+        if self.long_data is None:
+            self.long_data = {}
+        self.long_data.setdefault(param_id, bytearray()).extend(data)
 
 
 def count_placeholders(sql: str) -> int:
@@ -127,13 +137,16 @@ def _read_binary_duration(b: Buffer) -> dt.timedelta:
 def decode_execute_params(
     payload: Buffer, num_params: int,
     cached_types: list[tuple[int, int]] | None = None,
+    long_data: dict[int, bytearray] | None = None,
 ) -> tuple[list, list[tuple[int, int]]]:
     """Decode the COM_STMT_EXECUTE tail after stmt_id/flags/iteration.
 
     Returns (values, types).  Caller passes a Buffer positioned at the
     NULL bitmap.  When new_params_bound_flag is 0 the client expects the
     types bound at the first EXECUTE to be reused (Connector/J caches
-    them); ``cached_types`` supplies those.
+    them); ``cached_types`` supplies those.  Params streamed ahead via
+    COM_STMT_SEND_LONG_DATA are absent from the EXECUTE payload; their
+    accumulated bytes arrive through ``long_data``.
     """
     if num_params == 0:
         return [], []
@@ -151,6 +164,9 @@ def decode_execute_params(
     for i, (tcode, flags) in enumerate(types):
         if bitmap[i // 8] & (1 << (i % 8)):
             values.append(None)
+            continue
+        if long_data is not None and i in long_data:
+            values.append(bytes(long_data[i]).decode("utf-8", "replace"))
             continue
         unsigned = bool(flags & 0x80)
         if tcode == C.MYSQL_TYPE_TINY:

@@ -167,6 +167,7 @@ class Gateway:
                 pass
 
         session = _Session(self, route, res)
+        session.nonce = nonce
         session.attach_spark(self.spark.newSession())
         await self._command_loop(pio, drain, reset_extra, session)
 
@@ -204,7 +205,30 @@ class Gateway:
                     stmt = session.stmts.get(int.from_bytes(payload[:4], "little"))
                     if stmt is not None:
                         stmt.cursor = None
+                        stmt.long_data = None
                 pio.write_packet(packets.ok_packet(cap, status=session.status))
+            elif cmd == C.COM_STMT_SEND_LONG_DATA:
+                # chunked BLOB parameter ahead of EXECUTE; NO response
+                # (mysql protocol: errors surface at EXECUTE time)
+                if len(payload) >= 6:
+                    stmt = session.stmts.get(int.from_bytes(payload[:4], "little"))
+                    if stmt is not None:
+                        stmt.append_long_data(
+                            int.from_bytes(payload[4:6], "little"), payload[6:])
+            elif cmd == C.COM_CHANGE_USER:
+                await self._change_user(pio, session, payload)
+            elif cmd == C.COM_RESET_CONNECTION:
+                session.reset_state()
+                pio.write_packet(packets.ok_packet(cap, status=session.status))
+            elif cmd == C.COM_SET_OPTION:
+                if len(payload) >= 2:
+                    opt = int.from_bytes(payload[:2], "little")
+                    session.multi_statements = (
+                        opt == C.MYSQL_OPTION_MULTI_STATEMENTS_ON)
+                    pio.write_packet(packets.eof_packet(cap, session.status))
+                else:
+                    pio.write_packet(packets.err_packet(
+                        cap, message="malformed COM_SET_OPTION"))
             elif cmd == C.COM_QUERY:
                 await self._run_query(pio, session, payload.decode())
             else:
@@ -213,9 +237,53 @@ class Gateway:
                 )
             await drain()  # flush at result boundary (relay.go:85-93)
 
+    async def _change_user(self, pio, session, payload: bytes) -> None:
+        """COM_CHANGE_USER: mid-connection re-authentication (connection
+        pools send it on checkout).  The reference relays it opaquely to
+        its backend (/root/reference/gateway/relay.go:47-66); as the auth
+        terminus we verify the proof against the ORIGINAL handshake
+        scramble (per protocol, no new nonce is issued), re-route
+        ``{cluster}.{user}``, and reset all session state — the new
+        identity gets a fresh Spark sub-session so it inherits no temp
+        views or variables from the old one."""
+        from tidb_gateway_spark.gateway.wire import Buffer
+
+        cap = session.capability
+        b = Buffer(payload)
+        username = b.read_string_null().decode()
+        if cap & C.CLIENT_SECURE_CONNECTION:
+            auth_response = b.read_bytes(b.read_byte())
+        else:
+            auth_response = b.read_string_null()
+        database = b.read_string_null().decode() if b.remaining() else ""
+        # optional tail: charset (2) + auth plugin name + connect attrs —
+        # accepted but not needed (we serve utf8mb4 / native password)
+        try:
+            route = self.router.route(username)
+        except UnknownClusterError as e:
+            pio.write_packet(packets.err_packet(cap, message=str(e)))
+            return
+        if not self.auth.check(route.username, session.nonce, auth_response):
+            pio.write_packet(packets.err_packet(
+                cap, code=1045, message="Access denied", sqlstate="28000"))
+            return
+        session.route = route
+        session.database = database or "default"
+        session.reset_state()
+        session.promoted = set()
+        session.promoted_db = None
+        session.attach_spark(self.spark.newSession())
+        pio.write_packet(packets.ok_packet(cap, status=session.status))
+
     async def _run_query(self, pio, session, sql: str) -> None:
         cap = session.capability
-        stmts = dialect.split_statements(sql)
+        if session.multi_statements:
+            stmts = dialect.split_statements(sql)
+        else:
+            # COM_SET_OPTION disabled splitting: the text is ONE
+            # statement; embedded semicolons become Spark parse errors,
+            # matching MySQL's syntax-error behavior.
+            stmts = [sql.strip().rstrip(";")] if sql.strip().rstrip(";") else []
         if not stmts:
             pio.write_packet(packets.ok_packet(cap, status=session.status))
             return
@@ -376,8 +444,10 @@ class Gateway:
         stmt.cursor = None
         try:
             values, types = prepared.decode_execute_params(
-                b, stmt.num_params, cached_types=stmt.param_types
+                b, stmt.num_params, cached_types=stmt.param_types,
+                long_data=stmt.long_data,
             )
+            stmt.long_data = None  # consumed by this execution
             if types:
                 stmt.param_types = types
             sql = prepared.bind(stmt.sql, values)
@@ -512,14 +582,31 @@ class _Session:
         self.variables: dict[str, str] = {}
         self.autocommit = True
         self.in_trans = False
+        self.multi_statements = bool(res.capability & C.CLIENT_MULTI_STATEMENTS)
         self.spark = gw.spark  # replaced by attach_spark
         self.stmts: dict[int, object] = {}
         self._stmt_counter = 0
+        # handshake scramble, kept for COM_CHANGE_USER: the protocol
+        # reuses the greeting nonce for mid-connection re-auth proofs
+        self.nonce: bytes = b""
         # catalog tables promoted by ANALYZE (stats holders); any temp-
         # view re-registration must re-drop their shadowing views or the
         # CBO stats silently stop applying (ensure_views).
         self.promoted: set[str] = set()
         self.promoted_db: str | None = None
+
+    def reset_state(self) -> None:
+        """Session-state reset shared by COM_RESET_CONNECTION and
+        COM_CHANGE_USER: prepared statements, user variables, txn bits
+        — the cheap between-checkouts hygiene connection pools rely on
+        (the reference got this for free by relaying the command to its
+        backend, gateway/relay.go:47-66)."""
+        self.stmts.clear()
+        self.variables.clear()
+        self.autocommit = True
+        self.in_trans = False
+        self.multi_statements = bool(
+            self.capability & C.CLIENT_MULTI_STATEMENTS)
 
     def next_stmt_id(self) -> int:
         self._stmt_counter += 1
