@@ -18,5 +18,6 @@ from tidb_gateway_spark.queries import (  # noqa: F401, E402
 try:  # extended ops (Q72+) — registered when present
     from tidb_gateway_spark.queries import llm_extended  # noqa: F401
     from tidb_gateway_spark.queries import analytics_extended  # noqa: F401
+    from tidb_gateway_spark.queries import corpus_shaping  # noqa: F401
 except ImportError:
     pass

@@ -170,3 +170,68 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.stddev_samp("l_quantity"), 4).alias("sd"),
         stable_round(F.var_samp("l_discount"), 6).alias("vr"),
     )
+
+
+# ---------------------------------------------------------------- Q106
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q106_pivot_event_matrix",
+    "SELECT CAST(user_id % 10 AS BIGINT) AS bucket, "
+    + ", ".join(
+        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY 1 ORDER BY bucket",
+    doc="PIVOT: events cross-tabulated as one row per user bucket with "
+        "one count column per event type (df.groupBy().pivot() with an "
+        "explicit value list — required for a deterministic schema; "
+        "without it Spark runs an extra distinct scan AND the column "
+        "set drifts with the data). Compiles to a single partial-"
+        "aggregated groupBy; the pivot is a projection, not a join.",
+    tags=("agg", "pivot"),
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .fillna(0, list(_EVENT_TYPES))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------- Q107
+@register(
+    "q107_unpivot_long_form",
+    "WITH wide AS (SELECT lang, COUNT(*) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+    "COUNT(DISTINCT source) AS n_sources FROM documents GROUP BY lang) "
+    "SELECT lang, metric, value FROM ("
+    "SELECT lang, 'n_docs' AS metric, n_docs AS value FROM wide "
+    "UNION ALL SELECT lang, 'total_chars', total_chars FROM wide "
+    "UNION ALL SELECT lang, 'n_sources', n_sources FROM wide) "
+    "ORDER BY lang, metric",
+    doc="UNPIVOT: per-language aggregate melted to (lang, metric, value) "
+        "long form via DataFrame.unpivot (Spark's melt/stack) — the "
+        "shape BI tools and metric stores ingest. Unpivot is a "
+        "projection (each input row expands to k output rows in the "
+        "same task); no shuffle beyond the source aggregate.",
+    tags=("agg", "pivot"),
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wide = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return (
+        wide.unpivot(
+            ["lang"], ["n_docs", "total_chars", "n_sources"],
+            "metric", "value",
+        )
+        .orderBy("lang", "metric")
+    )

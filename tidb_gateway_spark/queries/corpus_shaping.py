@@ -1,0 +1,197 @@
+"""Q103–Q105: corpus-shaping operators for a pre-training data pipeline
+— n-gram decontamination, repetition filtering, deterministic shuffling.
+
+The reference carries these workloads only as opaque SQL relayed to its
+backends (/root/reference/gateway/relay.go:47-66); this module is
+driver-mandated LLM-pipeline capability (SURVEY.md §2B-ext), built as
+pure DataFrame transforms so Catalyst/AQE own the physical plan.
+
+Scale design notes (100 TB):
+
+* q103 carries 16-hex-char gram *hashes* through every join and shuffle,
+  never gram strings (13 words ≈ 100 B vs 16 B — a 6× shuffle cut), and
+  the benchmark side of the semi-join is broadcast (benchmark suites are
+  MBs; corpora are TBs).  Spark's runtime row-level bloom filtering
+  (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on by default in
+  the engine session) injects a ``bloom_filter_agg``/``might_contain``
+  prefilter into exactly this join shape when the build side is
+  selective, so the scan discards non-candidate grams before the
+  exchange — the manual "bloom prefilter then exact join" pattern, owned
+  by the optimizer instead of hand-rolled.
+* q104 is explode → two partial-aggregated groupBys keyed by doc_id;
+  both aggregations combine map-side, so the exchanges carry one row per
+  (doc, distinct bigram) and one per doc respectively — never raw text.
+* q105's shard assignment is a pure hash of the row key (stable across
+  partitionings, engines, and reruns — no seed drift, see
+  operators/sampling.py); the only shuffle is the per-shard window, and
+  shards are explicitly sized (corpus/n_shards) so no window partition
+  exceeds an executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tidb_gateway_spark.catalog import load_table
+from tidb_gateway_spark.operators import dedup
+from tidb_gateway_spark.queries.llm_extended import _ddb_hex_to_int
+from tidb_gateway_spark.queries.registry import register
+
+# ---------------------------------------------------------------- Q103
+_NGRAM_N = 13          # industry-standard decontamination gram width
+_BENCH_MAX_ID = 10     # fixture stand-in for the benchmark set
+
+# DuckDB word-13-gram construction mirroring operators/dedup.py
+# doc_shingles(n=13): docs shorter than n contribute their whole text.
+_DDB_WL = (
+    "wl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wl "
+    "FROM documents)"
+)
+_DDB_G13 = (
+    "grams AS (SELECT DISTINCT doc_id, w FROM ("
+    "SELECT doc_id, UNNEST(CASE WHEN len(wl) >= 13 THEN "
+    "list_transform(range(1, len(wl) - 11), i -> array_to_string(wl[i:i+12], ' ')) "
+    "ELSE [array_to_string(wl, ' ')] END) AS w FROM wl))"
+)
+_Q103_ORACLE = (
+    f"WITH {_DDB_WL}, {_DDB_G13}, "
+    "gh AS (SELECT doc_id, substr(md5(w), 1, 16) AS gh FROM grams), "
+    f"bench AS (SELECT DISTINCT gh FROM gh WHERE doc_id < {_BENCH_MAX_ID}), "
+    f"corpus AS (SELECT doc_id, gh FROM gh WHERE doc_id >= {_BENCH_MAX_ID}), "
+    "per AS (SELECT c.doc_id, COUNT(*) AS t, "
+    "COUNT(*) FILTER (WHERE b.gh IS NOT NULL) AS m "
+    "FROM corpus c LEFT JOIN bench b USING (gh) GROUP BY c.doc_id) "
+    "SELECT CAST((m * 10) // t AS INT) AS bucket, COUNT(*) AS nd, "
+    "CAST(SUM(m) AS BIGINT) AS hits FROM per GROUP BY 1 ORDER BY bucket"
+)
+
+
+@register(
+    "q103_ngram_decontamination",
+    _Q103_ORACLE,
+    doc="13-gram eval-set decontamination: per-document fraction of "
+        "word 13-grams shared with a benchmark set (doc_id < 10), "
+        "bucketed to deciles by integer arithmetic. Joins carry 16-hex "
+        "md5 gram hashes, never gram text; the benchmark side is "
+        "broadcast and Spark's runtime bloom-filter injection prefilters "
+        "the probe scan. The per-doc fraction (not q91's boolean "
+        "any-overlap) is what real decontamination thresholds on.",
+    tags=("dedup", "llm", "text"),
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams = dedup.doc_shingles(d, n=_NGRAM_N).select(
+        "doc_id", F.substring(F.md5("w"), 1, 16).alias("gh")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") < _BENCH_MAX_ID).select("gh").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") >= _BENCH_MAX_ID)
+    hits = (
+        corpus.join(F.broadcast(bench), "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("m"))
+    )
+    per = (
+        corpus.groupBy("doc_id")
+        .agg(F.count("*").alias("t"))
+        .join(hits, "doc_id", "left")
+        .fillna(0, ["m"])
+    )
+    return (
+        per.groupBy(F.expr("CAST((m * 10) DIV t AS INT)").alias("bucket"))
+        .agg(F.count("*").alias("nd"), F.sum("m").alias("hits"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------- Q104
+_DDB_BG = (
+    "bg AS (SELECT doc_id, UNNEST(CASE WHEN len(wl) >= 2 THEN "
+    "list_transform(range(1, len(wl)), i -> wl[i] || ' ' || wl[i+1]) "
+    "ELSE [array_to_string(wl, ' ')] END) AS w FROM wl)"
+)
+_Q104_ORACLE = (
+    f"WITH {_DDB_WL}, {_DDB_BG}, "
+    "cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM bg GROUP BY 1, 2), "
+    "per AS (SELECT doc_id, MAX(c) AS m, SUM(c) AS t FROM cnt GROUP BY 1) "
+    "SELECT CAST((m * 10) // t AS INT) AS bucket, COUNT(*) AS nd "
+    "FROM per GROUP BY 1 ORDER BY bucket"
+)
+
+
+@register(
+    "q104_top_ngram_fraction",
+    _Q104_ORACLE,
+    doc="Gopher-style repetition filter signal: the occurrence fraction "
+        "of each document's most frequent word bigram, bucketed to a "
+        "decile by integer arithmetic (the char-coverage variant of the "
+        "published filter needs only a length weight on the same plan). "
+        "High buckets mark boilerplate/keyword-stuffing documents.",
+    tags=("text", "llm"),
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = dedup.doc_shingles(d, n=2, distinct=False)
+    per = (
+        bigrams.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("m"), F.sum("c").alias("t"))
+    )
+    return (
+        per.groupBy(F.expr("CAST((m * 10) DIV t AS INT)").alias("bucket"))
+        .agg(F.count("*").alias("nd"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------- Q105
+_N_SHARDS = 8
+_DDB_SHUF_KEY = "md5('shuf|' || CAST(doc_id AS VARCHAR))"
+_Q105_ORACLE = (
+    f"WITH s AS (SELECT doc_id, n_chars, {_DDB_SHUF_KEY} AS k, "
+    f"CAST({_ddb_hex_to_int(_DDB_SHUF_KEY, 8)} % {_N_SHARDS} AS INT) AS shard "
+    "FROM documents), "
+    "p AS (SELECT shard, doc_id, n_chars, "
+    "ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos FROM s) "
+    "SELECT shard, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars, "
+    "CAST(SUM(pos * doc_id) AS BIGINT) AS ordsum "
+    "FROM p GROUP BY shard ORDER BY shard"
+)
+
+
+@register(
+    "q105_training_shuffle_shards",
+    _Q105_ORACLE,
+    doc="Deterministic global shuffle for training-data ordering: every "
+        "document gets a hash shard and an exact position within it "
+        "(row_number over md5 order), verified by an order-sensitive "
+        "checksum sum(pos*doc_id) per shard. Hash-keyed ordering is "
+        "stable across partitionings and engines — df.orderBy(rand()) "
+        "is not reproducible; this is. One window shuffle keyed by "
+        "shard; shard count is chosen so a shard fits an executor.",
+    tags=("llm", "sampling"),
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(k, 1, 8), 16, 10).cast("bigint") % _N_SHARDS
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    p = (
+        d.select("doc_id", "n_chars", k.alias("k"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+    )
+    return (
+        p.groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.sum(F.col("pos") * F.col("doc_id")).alias("ordsum"),
+        )
+        .orderBy("shard")
+    )
