@@ -43,6 +43,7 @@ class MiniClient:
         assert greeting.server_version == C.SERVER_VERSION
         self.server_capability = greeting.capability
         self.nonce = greeting.auth_plugin_data  # reused by change_user
+        self.conn_id = greeting.connection_id   # KILL / processlist target
         caps = self.capability | (C.CLIENT_COMPRESS if compress else 0)
         auth = native_scramble(password, greeting.auth_plugin_data) if password else b""
         res = HandshakeResponse(
@@ -1269,6 +1270,116 @@ def test_reset_connection_and_set_option(gateway):
         assert eof[0] in (0xFE, 0x00)
         res = await c.query("SELECT 1 AS a; SELECT 2 AS b")
         assert len(res) == 2 and res[0][1] == [["1"]] and res[1][1] == [["2"]]
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_processlist_statistics_and_kill_unknown(gateway):
+    """SHOW PROCESSLIST lists live connections with MySQL's 8 columns;
+    COM_STATISTICS answers a bare status string; COM_PROCESS_INFO
+    answers a resultset; KILL on an unknown id is ER 1094."""
+
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        c2 = MiniClient("127.0.0.1", gw.bound_port)
+        await c2.connect("sf001.bob")
+        cols, rows = (await c.query("SHOW PROCESSLIST"))[0]
+        assert cols == ["Id", "User", "Host", "db", "Command", "Time",
+                        "State", "Info"]
+        ids = {int(r[0]) for r in rows}
+        assert {c.conn_id, c2.conn_id} <= ids, (ids, c.conn_id, c2.conn_id)
+        # the inquiring connection shows as Query (it is running the SHOW)
+        me = next(r for r in rows if int(r[0]) == c.conn_id)
+        assert me[4] == "Query" and "PROCESSLIST" in (me[7] or "")
+        other = next(r for r in rows if int(r[0]) == c2.conn_id)
+        assert other[4] == "Sleep" and other[7] is None
+        # COM_STATISTICS: raw string payload, no OK/resultset framing
+        await c.command(C.COM_STATISTICS)
+        stats = await c.pio.read_packet()
+        assert stats.startswith(b"Uptime:") and b"Questions:" in stats
+        # COM_PROCESS_INFO: a resultset (first packet = lenenc col count)
+        await c.command(0x0A)
+        first = await c.pio.read_packet()
+        assert first[0] == 8, first
+        # drain col defs + eof + rows + eof
+        while True:
+            p = await c.pio.read_packet()
+            if p and p[0] == 0xFE and len(p) < 9:
+                break
+        while True:
+            p = await c.pio.read_packet()
+            if p and p[0] == 0xFE and len(p) < 9:
+                break
+        res = await c.query("KILL 999999")
+        assert res[0].get("error") == 1094, res
+        await c.quit()
+        await c2.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_kill_query_cancels_running_statement(gateway):
+    """KILL QUERY <id> cancels the victim's in-flight Spark jobs via
+    job-group cancellation: the victim receives ER 1317 (query
+    interrupted) and the connection stays usable — the runaway-scan
+    story a gateway over a 100 TB warehouse must have.  The reference
+    relayed KILL to its backends (gateway/relay.go:47-66); as the
+    engine we own the cancellation."""
+
+    async def scenario(gw):
+        victim = MiniClient("127.0.0.1", gw.bound_port)
+        await victim.connect("sf001.alice")
+        killer = MiniClient("127.0.0.1", gw.bound_port)
+        await killer.connect("sf001.bob")
+        # ~1e12-row codegen count: minutes uncancelled, interruptible at
+        # Range's per-batch kill checks
+        long_sql = "SELECT count(*) AS n FROM range(1000000000000)"
+        vtask = asyncio.ensure_future(victim.query(long_sql))
+        # wait until the victim's statement is visible in processlist
+        for _ in range(100):
+            await asyncio.sleep(0.1)
+            _, rows = (await killer.query("SHOW PROCESSLIST"))[0]
+            vrow = next((r for r in rows if int(r[0]) == victim.conn_id), None)
+            if vrow is not None and vrow[7] and "range(" in vrow[7]:
+                break
+        else:
+            raise AssertionError("victim query never appeared in processlist")
+        res = await killer.query(f"KILL QUERY {victim.conn_id}")
+        assert res[0].get("ok"), res
+        vres = await asyncio.wait_for(vtask, timeout=60)
+        assert vres[0].get("error") == 1317, vres
+        # the victim connection survives the kill
+        _, rows = (await victim.query("SELECT 1 AS one"))[0]
+        assert rows == [["1"]]
+        await victim.quit()
+        await killer.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_kill_connection_drops_victim(gateway):
+    """KILL <id> (CONNECTION form) closes the victim's socket; the
+    victim's next read fails, and the id disappears from processlist."""
+
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        v = MiniClient("127.0.0.1", gw.bound_port)
+        await v.connect("sf001.bob")
+        res = await c.query(f"KILL {v.conn_id}")
+        assert res[0].get("ok"), res
+        with pytest.raises((ConnectionError, asyncio.IncompleteReadError,
+                            EOFError)):
+            await asyncio.wait_for(v.query("SELECT 1 AS one"), timeout=10)
+        for _ in range(50):
+            _, rows = (await c.query("SHOW PROCESSLIST"))[0]
+            if all(int(r[0]) != v.conn_id for r in rows):
+                break
+            await asyncio.sleep(0.1)
+        else:
+            raise AssertionError("killed connection still in processlist")
         await c.quit()
 
     run_with_gateway(gateway, scenario)

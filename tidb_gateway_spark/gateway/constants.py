@@ -72,6 +72,9 @@ COM_QUIT = 0x01
 COM_INIT_DB = 0x02
 COM_QUERY = 0x03
 COM_FIELD_LIST = 0x04
+COM_STATISTICS = 0x09         # mysqladmin status: raw-string response
+COM_PROCESS_INFO = 0x0A       # processlist as a resultset (deprecated)
+COM_PROCESS_KILL = 0x0C       # 4-byte LE connection id (deprecated)
 COM_PING = 0x0E
 COM_CHANGE_USER = 0x11        # pooled-client re-auth on checkout
 COM_STMT_PREPARE = 0x16
@@ -110,6 +113,8 @@ MYSQL_TYPE_STRING = 0xFE
 # Gateway error synthesis (gateway.go:242-251, constants.go:525-526)
 ER_UNKNOWN = 1105
 SQLSTATE_UNKNOWN = "08S01"
+ER_NO_SUCH_THREAD = 1094      # "Unknown thread id: %d"
+ER_QUERY_INTERRUPTED = 1317   # KILL QUERY landed mid-statement
 
 AUTH_NATIVE = "mysql_native_password"
 

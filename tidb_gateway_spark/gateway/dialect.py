@@ -319,6 +319,11 @@ _ANALYZE_RE = re.compile(
 )
 _TXN_RE = re.compile(r"^\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)\b", re.IGNORECASE)
 _SHOW_RE = re.compile(r"^\s*SHOW\s+(\S+)", re.IGNORECASE)
+_SHOW_PROCESSLIST_RE = re.compile(r"^\s*SHOW\s+(?:FULL\s+)?PROCESSLIST\s*$",
+                                  re.IGNORECASE)
+# KILL [QUERY|CONNECTION] <id> — bare KILL means CONNECTION (MySQL).
+_KILL_RE = re.compile(r"^\s*KILL\s+(?:(QUERY|CONNECTION)\s+)?(\d+)\s*$",
+                      re.IGNORECASE)
 _DESCRIBE_RE = re.compile(r"^\s*(?:DESCRIBE|DESC)\s+`?(\w+)`?\s*$", re.IGNORECASE)
 _SHOW_COLUMNS_RE = re.compile(r"^\s*SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+`?(\w+)`?", re.IGNORECASE)
 _SHOW_CREATE_RE = re.compile(r"^\s*SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?", re.IGNORECASE)
@@ -353,7 +358,7 @@ def _unescape_sql_string(s: str) -> str:
 
 def classify(stmt: str) -> tuple[str, object]:
     """→ (kind, detail): kind ∈ {set, use, txn, show, sysvar, load_data,
-    query}."""
+    kill, query}."""
     m = _LOAD_DATA_RE.match(stmt)
     if m:
         # MySQL default FIELDS TERMINATED BY is '\t' when the clause is
@@ -389,6 +394,19 @@ def classify(stmt: str) -> tuple[str, object]:
     m = _SHOW_CREATE_RE.match(stmt)
     if m:
         return "show_create", m.group(1)
+    if _SHOW_PROCESSLIST_RE.match(stmt):
+        return "show", "processlist"
+    m = _KILL_RE.match(stmt)
+    if m:
+        # KILL QUERY cancels the target connection's running statement
+        # (Spark job-group cancellation); KILL [CONNECTION] also drops
+        # the connection.  The reference relayed KILL opaquely to its
+        # backend (gateway/relay.go:47-66) — as the execution engine we
+        # must implement the cancellation ourselves.
+        return "kill", {
+            "what": (m.group(1) or "CONNECTION").lower(),
+            "id": int(m.group(2)),
+        }
     m = _SHOW_RE.match(stmt)
     if m:
         return "show", m.group(1).lower()

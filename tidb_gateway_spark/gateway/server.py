@@ -23,6 +23,7 @@ from __future__ import annotations
 import asyncio
 import itertools
 import logging
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import SparkSession
@@ -59,6 +60,12 @@ class Gateway:
         self.executor = ThreadPoolExecutor(max_workers=max_workers)
         self._server: asyncio.AbstractServer | None = None
         self._conn_tasks: set[asyncio.Task] = set()
+        # live-connection registry: conn_id → _Session, for
+        # SHOW PROCESSLIST / KILL / COM_PROCESS_* (server-side process
+        # management the reference delegated to its TiDB backends).
+        self._procs: dict[int, "_Session"] = {}
+        self.started_at = time.time()
+        self.questions = 0  # COM_QUERY counter (COM_STATISTICS)
 
     # ---- lifecycle ----
     async def start(self) -> None:
@@ -168,8 +175,14 @@ class Gateway:
 
         session = _Session(self, route, res)
         session.nonce = nonce
+        session.conn_id = conn_id
+        session.client_writer = writer
         session.attach_spark(self.spark.newSession())
-        await self._command_loop(pio, drain, reset_extra, session)
+        self._procs[conn_id] = session
+        try:
+            await self._command_loop(pio, drain, reset_extra, session)
+        finally:
+            self._procs.pop(conn_id, None)
 
     async def _command_loop(self, pio, drain, reset_extra, session) -> None:
         cap = session.capability
@@ -229,7 +242,25 @@ class Gateway:
                 else:
                     pio.write_packet(packets.err_packet(
                         cap, message="malformed COM_SET_OPTION"))
+            elif cmd == C.COM_STATISTICS:
+                # response is a bare human-readable string payload (no
+                # OK/resultset framing) — mysqladmin status parses it
+                pio.write_packet(self._statistics_line().encode())
+            elif cmd == C.COM_PROCESS_INFO:
+                cols, rows = self._processlist()
+                result_encoder.write_simple_resultset(
+                    pio, cols, rows, cap, status=session.status)
+            elif cmd == C.COM_PROCESS_KILL:
+                kid = int.from_bytes(payload[:4], "little")
+                if self._kill(kid, "connection"):
+                    pio.write_packet(packets.ok_packet(cap, status=session.status))
+                else:
+                    pio.write_packet(packets.err_packet(
+                        cap, code=C.ER_NO_SUCH_THREAD,
+                        message=f"Unknown thread id: {kid}",
+                        sqlstate="HY000"))
             elif cmd == C.COM_QUERY:
+                self.questions += 1
                 await self._run_query(pio, session, payload.decode())
             else:
                 pio.write_packet(
@@ -289,6 +320,11 @@ class Gateway:
             return
         for i, stmt in enumerate(stmts):
             more = i + 1 < len(stmts)
+            session.current_query = stmt
+            session.query_since = time.time()
+            # a KILL QUERY aimed at an earlier (finished) statement must
+            # not fell this one (MySQL: KILL QUERY on idle is a no-op)
+            session.kill_requested = False
             try:
                 await self._run_statement(pio, session, stmt, more)
             except Exception as e:  # Spark analysis/execution errors → ERR
@@ -297,6 +333,9 @@ class Gateway:
                 pio.write_packet(packets.err_packet(cap, code=code, message=msg,
                                                     sqlstate=state))
                 return
+            finally:
+                session.current_query = None
+                session.query_since = None
 
     async def _run_statement(self, pio, session, stmt: str, more: bool) -> None:
         cap = session.capability
@@ -337,6 +376,14 @@ class Gateway:
             pio.write_packet(packets.ok_packet(cap, status=status))
         elif kind == "load_data":
             await self._load_data_local(pio, session, detail, more)
+        elif kind == "kill":
+            if self._kill(detail["id"], detail["what"]):
+                pio.write_packet(packets.ok_packet(cap, status=status))
+            else:
+                pio.write_packet(packets.err_packet(
+                    cap, code=C.ER_NO_SUCH_THREAD,
+                    message=f"Unknown thread id: {detail['id']}",
+                    sqlstate="HY000"))
         else:
             df = await self._sql_async(session, dialect.to_spark_sql(stmt))
             if df is None:
@@ -348,9 +395,12 @@ class Gateway:
             loop = asyncio.get_running_loop()
             while True:
                 # advance the generator (and Spark's toLocalIterator) off
-                # the event loop; write from the loop thread
+                # the event loop; write from the loop thread — tagged so
+                # the jobs the iterator triggers are KILL QUERY-able
                 chunk = await loop.run_in_executor(
-                    self.executor, lambda: list(itertools.islice(gen, 512))
+                    self.executor,
+                    self._tagged(session,
+                                 lambda: list(itertools.islice(gen, 512))),
                 )
                 if not chunk:
                     break
@@ -466,7 +516,9 @@ class Gateway:
         try:
             while True:
                 chunk = await loop.run_in_executor(
-                    self.executor, lambda: list(itertools.islice(gen, 512))
+                    self.executor,
+                    self._tagged(session,
+                                 lambda: list(itertools.islice(gen, 512))),
                 )
                 if not chunk:
                     break
@@ -492,7 +544,8 @@ class Gateway:
                       for f in schema.fields]
         loop = asyncio.get_running_loop()
         # toLocalIterator() triggers planning; keep it off the event loop.
-        row_iter = await loop.run_in_executor(self.executor, df.toLocalIterator)
+        row_iter = await loop.run_in_executor(
+            self.executor, self._tagged(session, df.toLocalIterator))
         stmt.cursor = {"iter": row_iter, "type_codes": type_codes}
         status = session.status | C.SERVER_STATUS_CURSOR_EXISTS
         b = packets.Buffer()
@@ -527,7 +580,9 @@ class Gateway:
         try:
             rows = await loop.run_in_executor(
                 self.executor,
-                lambda: list(itertools.islice(cur["iter"], max(1, want)))
+                self._tagged(session,
+                             lambda: list(itertools.islice(cur["iter"],
+                                                           max(1, want)))),
             )
             for row in rows:
                 pio.write_packet(
@@ -554,12 +609,114 @@ class Gateway:
             session.ensure_views()
             return session.spark.sql(sql)
 
-        return await loop.run_in_executor(self.executor, run)
+        return await loop.run_in_executor(self.executor, self._tagged(session, run))
+
+    # ---- process management (SHOW PROCESSLIST / KILL / COM_PROCESS_*) ----
+    def _tagged(self, session, fn):
+        """Wrap a Spark-touching executor callable so every job it
+        launches belongs to the connection's job group ``conn-<id>`` —
+        the cancellation handle KILL QUERY uses.  Job groups are
+        thread-local on the shared SparkContext and the executor pool is
+        shared across connections, so the group must be (re)set inside
+        the worker thread per call, then cleared (a pooled thread must
+        not leak the previous connection's group onto the next).
+        Connect-safe: without a local SparkContext the group tag is a
+        no-op (cancellation then needs server-side tags; same fallback
+        posture as operators/rank.py) — the kill_requested flag check
+        still applies.
+
+        ``cancelJobGroup`` only aborts jobs RUNNING at cancel time; a
+        KILL that lands while the victim is still analyzing/registering
+        views (no job yet) would otherwise be lost and the query would
+        run to completion.  The ``kill_requested`` flag closes that gap:
+        consumed at the next tagged call boundary → ER 1317."""
+        def run():
+            if session.kill_requested:
+                session.kill_requested = False
+                raise _QueryKilled()
+            try:
+                sc = session.spark.sparkContext
+            except Exception:
+                return fn()
+            sc.setJobGroup(f"conn-{session.conn_id}",
+                           (session.current_query or "")[:200],
+                           interruptOnCancel=True)
+            try:
+                return fn()
+            finally:
+                try:
+                    sc.setLocalProperty("spark.jobGroup.id", None)
+                except Exception:
+                    pass
+        return run
+
+    def _kill(self, conn_id: int, what: str) -> bool:
+        """Cancel the target connection's running Spark jobs (job-group
+        cancel — a runaway 100 TB scan stops within a task boundary);
+        ``what == "connection"`` additionally drops the client socket.
+        Returns False for unknown ids (→ ER 1094)."""
+        target = self._procs.get(conn_id)
+        if target is None:
+            return False
+        if target.current_query is not None:
+            # consumed at the victim's next tagged call (covers the
+            # pre-execution window cancelJobGroup cannot reach)
+            target.kill_requested = True
+        try:
+            self.spark.sparkContext.cancelJobGroup(f"conn-{conn_id}")
+        except Exception:
+            log.debug("cancelJobGroup unavailable", exc_info=True)
+        if what == "connection":
+            w = getattr(target, "client_writer", None)
+            if w is not None:
+                try:
+                    w.close()  # victim's read loop exits on ConnectionError
+                except Exception:
+                    pass
+        return True
+
+    def _processlist(self) -> tuple[list[str], list[list[object]]]:
+        """MySQL SHOW PROCESSLIST columns over the live-connection
+        registry (the reference's backends answered this; as the
+        terminus we are the server that owns the thread list)."""
+        now = time.time()
+        cols = ["Id", "User", "Host", "db", "Command", "Time", "State", "Info"]
+        rows: list[list[object]] = []
+        for cid in sorted(self._procs):
+            s = self._procs[cid]
+            q = s.current_query
+            rows.append([
+                cid, s.route.username, "localhost", s.database,
+                "Query" if q else "Sleep",
+                int(now - (s.query_since or s.connected_at)),
+                "executing" if q else "", q,
+            ])
+        return cols, rows
+
+    def _statistics_line(self) -> str:
+        up = int(time.time() - self.started_at)
+        qps = self.questions / up if up > 0 else float(self.questions)
+        return (
+            f"Uptime: {up}  Threads: {len(self._procs)}  "
+            f"Questions: {self.questions}  Slow queries: 0  Opens: 0  "
+            f"Flush tables: 0  Open tables: {len(TABLES)}  "
+            f"Queries per second avg: {qps:.3f}"
+        )
+
+
+class _QueryKilled(Exception):
+    """Raised at a tagged call boundary when KILL QUERY arrived before
+    (or between) the statement's Spark jobs."""
+
+    def __str__(self) -> str:
+        return "Query execution was interrupted"
 
 
 def _map_error(e: Exception) -> tuple[int, str]:
     """Spark exception → MySQL (code, sqlstate) (SURVEY.md §4.2; the
     reference emits only 1105/08S01, constants.go:525-526)."""
+    if isinstance(e, _QueryKilled):
+        return C.ER_QUERY_INTERRUPTED, "70100"
     name = type(e).__name__
     text = str(e)
     if "TABLE_OR_VIEW_NOT_FOUND" in text:
@@ -568,6 +725,9 @@ def _map_error(e: Exception) -> tuple[int, str]:
         return 1054, "42S22"
     if "PARSE_SYNTAX_ERROR" in text or "ParseException" in name:
         return 1064, "42000"
+    if "cancelled" in text.lower() or "SparkJobCancelled" in name:
+        # job-group cancellation from KILL QUERY (MySQL 1317/70100)
+        return C.ER_QUERY_INTERRUPTED, "70100"
     return C.ER_UNKNOWN, C.SQLSTATE_UNKNOWN
 
 
@@ -594,6 +754,13 @@ class _Session:
         # CBO stats silently stop applying (ensure_views).
         self.promoted: set[str] = set()
         self.promoted_db: str | None = None
+        # process-management state (SHOW PROCESSLIST / KILL)
+        self.conn_id: int = 0
+        self.client_writer = None
+        self.connected_at = time.time()
+        self.current_query: str | None = None
+        self.query_since: float | None = None
+        self.kill_requested = False
 
     def reset_state(self) -> None:
         """Session-state reset shared by COM_RESET_CONNECTION and
@@ -785,6 +952,8 @@ class _Session:
             )
         if what == "variables":
             return ["Variable_name", "Value"], [[k, v] for k, v in sorted(self.variables.items())]
+        if what == "processlist":
+            return self.gw._processlist()
         return ["result"], []
 
 
