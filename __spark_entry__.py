@@ -57,12 +57,15 @@ _CHANGED_FIRST = (
     "q102_json_extract_shredded",  # new: shredded-companion JSON path
     "q16_left_anti_join",          # shuffle_hash anti build (q19 treatment)
     "q95_int8_quantized_topk",     # materialized int8 code companion
-    # r5 new operators (queries/corpus_shaping.py, queries/aggregates.py):
+    # r5 new operators (queries/corpus_shaping.py, queries/aggregates.py,
+    # queries/multimodal_pipeline.py):
     "q103_ngram_decontamination",
     "q104_top_ngram_fraction",
     "q105_training_shuffle_shards",
     "q106_pivot_event_matrix",
     "q107_unpivot_long_form",
+    "q108_multimodal_feature_extract",
+    "q109_video_frame_sampling",
 )
 
 # Queries whose latest green certification predates the current code

@@ -153,8 +153,9 @@ def test_q94_ivf_index_partition_prunes(spark, sf_dir):
 
 def test_no_rowudf_in_declared_plans(spark, sf_dir):
     """Declared queries must stay JVM-side: no row-at-a-time Python
-    UDFs in any plan (q81's ArrowEvalPython/mapInPandas is the only
-    sanctioned Python stage)."""
+    UDFs in any plan (the multimodal stages' Arrow-batched mapInPandas
+    — q81 decode, q108 feature extract, q109 frame sample — are the
+    only sanctioned Python stages)."""
     for qid, spec in REGISTRY.items():
         df = spec.spark(spark, sf_dir)
         text = inspect.explain_formatted(df)

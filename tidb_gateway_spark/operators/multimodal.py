@@ -102,6 +102,102 @@ def decode_metadata(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(decode, DECODED_SCHEMA)
 
 
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("feat", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FEATURE_DIM = 4
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """(doc_id, payload) → (doc_id, fmt, feat array<float>) via
+    Arrow-batched mapInPandas — the feature-extraction stage of a
+    multimodal ingest pipeline (CLIP-style embedding per image).
+
+    STUB extractor (no vision model in this container): dim d of the
+    feature is payload byte d / 256 — deterministic AND exact in both
+    float32 and float64 (a byte over 2^8 needs ≤ 8 mantissa bits), so
+    the DuckDB oracle recomputes it bit-identically from md5 hex
+    arithmetic and the whole Arrow path (array<float> output column,
+    batch shape, per-partition parallelism) is value-checked.  Swapping in a real encoder changes
+    only the closure body; at 100 TB this stage is the GPU-bound one
+    and runs with `spark.task.resource.gpu.amount` on the same plan.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        fmts = ("jpeg", "png", "webp")
+        dim = 4
+
+        for pdf in batches:
+            payloads = list(pdf["payload"])
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": [fmts[p[2] % 3] for p in payloads],
+                    "feat": [
+                        [float(p[d]) / 256.0 for d in range(dim)]
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_key", T.StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, stride: int = 5) -> DataFrame:
+    """(doc_id, payload) video stand-in → one row per SAMPLED frame
+    (every ``stride``-th of the clip's frames) via mapInPandas — the
+    1→k row expansion shape of real video frame sampling, where the
+    decode emits a frame tensor per sampled index.
+
+    STUB: frame count = payload byte 3 mod 30 + 1; the sampled frame's
+    payload stand-in is ``md5(hex(payload) || '|' || idx)`` (a string
+    key the oracle recomputes; a real decoder would emit the frame
+    bytes here).  Batch-shape note: output batches are larger than
+    input batches (k rows per input row) — Arrow handles the expansion
+    without driver involvement, and downstream repartitioning rebalances
+    the skew a long video introduces.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out_doc, out_idx, out_key = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = payload[3] % 30 + 1
+                hexp = payload.hex()
+                for idx in range(0, n_frames, stride):
+                    out_doc.append(doc_id)
+                    out_idx.append(idx)
+                    out_key.append(
+                        hashlib.md5(f"{hexp}|{idx}".encode()).hexdigest()
+                    )
+            yield _pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx,
+                 "frame_key": out_key}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
+
+
 def resize_stub(df: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFrame:
     """Resize step: requires a real codec — explicit NotImplementedError
     when no codec is present (the Spark-side contract is documented by
