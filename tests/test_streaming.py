@@ -86,6 +86,22 @@ def test_stateful_dedup_converges(spark, sf_dir, stream_dir):
     assert n_stream == n_batch
 
 
+def test_stateful_dedup_bounded_converges(spark, sf_dir, stream_dir):
+    """dropDuplicatesWithinWatermark (state bounded by the watermark
+    even though ts is not a dedup key): with a watermark wider than the
+    fixture's 30-day event-time span, no state evicts during the replay
+    and the emitted set equals the batch distinct — the same
+    convergence target as the unbounded form, on the operator whose
+    state is evictable in production (duplicates beyond the watermark
+    legitimately re-emit; see jobs.stateful_dedup_bounded)."""
+    s = jobs.read_events_stream(spark, stream_dir)
+    res = drain(spark, jobs.stateful_dedup_bounded(s, watermark="60 days"),
+                "t_dedup_wm", mode="append")
+    n_stream = res.count()
+    n_batch = REGISTRY["q59_stateful_dedup"].spark(spark, sf_dir).collect()[0]["n"]
+    assert n_stream == n_batch
+
+
 def test_stream_static_join(spark, sf_dir, stream_dir):
     s = jobs.read_events_stream(spark, stream_dir)
     cust = load_table(spark, sf_dir, "customer")

@@ -111,10 +111,35 @@ def session_counts(events: DataFrame, gap_minutes: int = 30,
 
 def stateful_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """q59 twin: exactly-once (user_id, event_type) pairs via the
-    dropDuplicates state store, bounded by the watermark."""
+    dropDuplicates state store.
+
+    State-size caveat (the reason :func:`stateful_dedup_bounded`
+    exists): ``dropDuplicates`` only evicts state by watermark when the
+    event-time column is AMONG the dedup keys; with keys
+    (user_id, event_type) the store here grows with key cardinality
+    forever.  Acceptable for bounded replays and naturally-bounded key
+    domains; wrong for 100 TB/day ingest."""
     return (
         events.withWatermark("ts", watermark)
         .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+def stateful_dedup_bounded(events: DataFrame,
+                           watermark: str = "10 minutes") -> DataFrame:
+    """State-BOUNDED streaming dedup via ``dropDuplicatesWithinWatermark``
+    (Spark 3.5+): dedups on (user_id, event_type) while the state store
+    evicts entries once the watermark passes their first-seen event
+    time — even though ``ts`` is not a dedup key.  This is the 100 TB
+    form: state size ∝ keys active within one watermark interval, not
+    the all-time key domain.  Semantics trade-off: a duplicate arriving
+    later than the watermark after its first occurrence re-emits (by
+    then the guarantee window has closed) — exactly-once within the
+    watermark, at-least-once beyond it."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
 
