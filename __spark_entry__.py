@@ -66,6 +66,8 @@ _CHANGED_FIRST = (
     "q107_unpivot_long_form",
     "q108_multimodal_feature_extract",
     "q109_video_frame_sampling",
+    "q110_balanced_sample_per_stratum",
+    "q111_curriculum_quartiles",
 )
 
 # Queries whose latest green certification predates the current code

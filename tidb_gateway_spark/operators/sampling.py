@@ -73,3 +73,27 @@ def hash_sample(df: DataFrame, key: str, bps: int, salt: str = "sample") -> Data
     every stratum by construction (hash is independent of any column),
     one pass, no sampleBy seed drift."""
     return df.filter(hash_bps(F.col(key), salt) < bps)
+
+
+def k_per_stratum(df: DataFrame, key: str, stratum: str, k: int,
+                  salt: str = "kps") -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by hashed-key
+    order — the deterministic replacement for per-group reservoir
+    sampling in a balanced-subsample step (equal docs per language /
+    source domain regardless of their corpus frequencies).
+
+    One window shuffle keyed by the stratum; hash order makes the
+    selection a pure function of (key, salt) — stable across
+    partitionings, engines, and reruns, and each stratum's sample is
+    uniform because the hash is independent of every column.  Adds
+    ``_rn`` (1-based rank within stratum) for callers that want the
+    selection order.
+    """
+    from pyspark.sql.window import Window
+
+    hk = F.md5(F.concat(F.lit(salt + "|"), F.col(key).cast("string")))
+    w = Window.partitionBy(stratum).orderBy(hk, F.col(key))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+    )

@@ -1,5 +1,7 @@
-"""Q103–Q105: corpus-shaping operators for a pre-training data pipeline
-— n-gram decontamination, repetition filtering, deterministic shuffling.
+"""Q103–Q105, Q110–Q111: corpus-shaping operators for a pre-training
+data pipeline — n-gram decontamination, repetition filtering,
+deterministic shuffling/sharding, balanced subsampling, curriculum
+phase assignment.
 
 The reference carries these workloads only as opaque SQL relayed to its
 backends (/root/reference/gateway/relay.go:47-66); this module is
@@ -195,3 +197,88 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------- Q110
+_KPS = 40
+_DDB_KPS_KEY = "md5('kps|' || CAST(doc_id AS VARCHAR))"
+_Q110_ORACLE = (
+    "WITH r AS (SELECT lang, doc_id, "
+    f"ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {_DDB_KPS_KEY}, doc_id) AS rn "
+    "FROM documents) "
+    f"SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS ids "
+    f"FROM r WHERE rn <= {_KPS} GROUP BY lang ORDER BY lang"
+)
+
+
+@register(
+    "q110_balanced_sample_per_stratum",
+    _Q110_ORACLE,
+    doc="Balanced subsample: exactly min(k, n) documents per language by "
+        "hashed-doc_id order (operators/sampling.py:k_per_stratum) — the "
+        "deterministic per-group reservoir replacement a data recipe "
+        "uses to equalize stratum sizes. Verified by the selected-id "
+        "checksum, so the exact selection (not just the count) is "
+        "cross-engine identical.",
+    tags=("llm", "sampling"),
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    picked = sampling.k_per_stratum(d, "doc_id", "lang", _KPS)
+    return (
+        picked.groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("ids"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------- Q111
+@register(
+    "q111_curriculum_quartiles",
+    None,  # oracle set below (needs the shared quality-score expression)
+    doc="Curriculum phase assignment: per-language quality quartiles via "
+        "ntile(4) over (qscore, doc_id) — the ordering step of quality-"
+        "staged training (feed phase 4 last). Partitioned window, no "
+        "global sort; ntile agreement with DuckDB is the q37 contract "
+        "applied per stratum.",
+    tags=("llm", "text", "window"),
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from tidb_gateway_spark.functions import stable_round
+    from tidb_gateway_spark.operators import text as text_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    qs = text_ops.quality_score(F.col("text"), F.col("n_chars"))
+    w = Window.partitionBy("lang").orderBy(qs.asc(), F.col("doc_id"))
+    return (
+        d.withColumn("phase", F.ntile(4).over(w))
+        .groupBy("lang", "phase")
+        .agg(
+            F.count("*").alias("n"),
+            stable_round(F.avg(qs), 4).alias("aq"),
+        )
+        .orderBy("lang", "phase")
+    )
+
+
+# q111 oracle: reuses q78's exact quality-score SQL so the two share one
+# definition of "quality" (a drifting pair would silently diverge).
+from tidb_gateway_spark.queries.llm_extended import _DDB_QSCORE  # noqa: E402
+from tidb_gateway_spark.queries.registry import REGISTRY as _REG  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_REG["q111_curriculum_quartiles"] = _dc.replace(
+    _REG["q111_curriculum_quartiles"],
+    oracle=(
+        f"WITH q AS (SELECT lang, doc_id, ({_DDB_QSCORE}) AS qs FROM documents), "
+        "p AS (SELECT lang, qs, CAST(NTILE(4) OVER (PARTITION BY lang "
+        "ORDER BY qs, doc_id) AS INT) AS phase FROM q) "
+        "SELECT lang, phase, COUNT(*) AS n, "
+        "FLOOR(AVG(qs) * 10000 + 0.5) / 10000 AS aq "
+        "FROM p GROUP BY lang, phase ORDER BY lang, phase"
+    ),
+)
