@@ -68,6 +68,8 @@ _CHANGED_FIRST = (
     "q109_video_frame_sampling",
     "q110_balanced_sample_per_stratum",
     "q111_curriculum_quartiles",
+    "q112_hypertable_rollup",
+    "q113_kmv_distinct_sketch",
 )
 
 # Queries whose latest green certification predates the current code

@@ -221,3 +221,17 @@ def test_partitioned_sink_prunes_on_read(spark, sf_dir, tmp_path):
     # and the data-level filter list must NOT re-scan partition columns
     # (they are pruned at the directory level, not per-row)
     assert back.count() > 0  # the partition actually exists
+
+
+def test_q112_rollup_day_partition_prunes(spark, sf_dir):
+    """q112 must serve from the materialized hourly rollup with the
+    5-day range as PartitionFilters on day — the continuous-aggregate
+    contract: query cost ∝ rollup rows in range, never raw events."""
+    import re
+
+    df = REGISTRY["q112_hypertable_rollup"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    assert "rollup" in text, "q112 does not read the materialized rollup"
+    assert "events.parquet" not in text, "q112 scans raw events"
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert m and "day" in m.group(1), text

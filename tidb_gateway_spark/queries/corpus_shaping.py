@@ -282,3 +282,83 @@ _REG["q111_curriculum_quartiles"] = _dc.replace(
         "FROM p GROUP BY lang, phase ORDER BY lang, phase"
     ),
 )
+
+
+# ---------------------------------------------------------------- Q112
+_RU_LO, _RU_HI = "2024-01-05", "2024-01-09"
+_Q112_ORACLE = (
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sv_cents "
+    "FROM events "
+    f"WHERE CAST(ts AS DATE) BETWEEN DATE '{_RU_LO}' AND DATE '{_RU_HI}' "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+
+@register(
+    "q112_hypertable_rollup",
+    _Q112_ORACLE,
+    doc="Hypertable continuous aggregate: a 5-day per-type stats query "
+        "served from the materialized HOURLY rollup "
+        "(operators/rollup.py, day-partitioned, mtime-keyed) instead of "
+        "raw events — re-aggregation is bit-exact because the rollup "
+        "stores counts and integer-cents sums. The oracle computes from "
+        "raw events, proving the rollup lossless; the plan prunes to "
+        "the queried day partitions (tests/test_plans.py).",
+    tags=("agg", "rollup", "timeseries"),
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.rollup import hourly_rollup
+
+    r = hourly_rollup(spark, sf_dir)
+    return (
+        r.filter(F.col("day").between(_RU_LO, _RU_HI))
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum("sv_cents").alias("sv_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------- Q113
+_KMV_K = 256
+_Q113_ORACLE = (
+    "WITH h AS (SELECT DISTINCT md5(w) AS h FROM "
+    "(SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) "
+    "WHERE w <> ''), "
+    f"kmin AS (SELECT h FROM h ORDER BY h LIMIT {_KMV_K}), "
+    "agg AS (SELECT COUNT(*) AS k_used, MAX(h) AS kth, "
+    "(COUNT(*) - 1) * 1.0 / ("
+    + _ddb_hex_to_int("MAX(h)", 8)
+    + " / 4294967296.0) AS est_raw FROM kmin) "
+    "SELECT k_used, kth, CAST(FLOOR(est_raw + 0.5) AS BIGINT) AS est, "
+    "(SELECT COUNT(DISTINCT w) FROM "
+    "(SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) "
+    "WHERE w <> '') AS exact FROM agg"
+)
+
+
+@register(
+    "q113_kmv_distinct_sketch",
+    _Q113_ORACLE,
+    doc="Deterministic KMV distinct-count sketch over the corpus "
+        "vocabulary (operators/sketch.py): the k smallest md5(token) "
+        "values estimate |vocab| as (k-1)/U — chosen over HLL because "
+        "engine-specific HLL registers would cap the check at rows-only, "
+        "while KMV's sketch AND estimate hash-match at value level; the "
+        "exact count sits in the same row so the estimator error is "
+        "auditable. Per-partition TopK + k-hash merge = sketch union.",
+    tags=("llm", "sketch", "agg"),
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.sketch import kmv_sketch
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    sk = kmv_sketch(words, "w", _KMV_K)
+    exact = words.agg(F.countDistinct("w").alias("exact"))
+    return sk.crossJoin(exact)
