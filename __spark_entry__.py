@@ -70,6 +70,7 @@ _CHANGED_FIRST = (
     "q111_curriculum_quartiles",
     "q112_hypertable_rollup",
     "q113_kmv_distinct_sketch",
+    "q114_simhash_multiprobe_pairs",
 )
 
 # Queries whose latest green certification predates the current code

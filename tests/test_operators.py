@@ -763,3 +763,32 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {(3, 3), (4, 3), (5, 3), (6, 3),
                    (10, 10), (11, 10),
                    (20, 20), (21, 20), (22, 20)}
+
+
+def test_kmv_sketch_merge_equals_whole(spark, sf_dir):
+    """KMV mergeability (the property that makes it a distributed
+    sketch): union the two halves' k-min candidate sets, keep the k
+    smallest — identical (k_used, kth, est) to sketching the whole
+    corpus in one pass.  This is what Spark's TakeOrdered does
+    per-partition, asserted here at the operator level."""
+    from pyspark.sql import functions as F
+
+    from tidb_gateway_spark.catalog import load_table
+    from tidb_gateway_spark.operators.sketch import kmv_sketch
+
+    k = 64
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")) \
+        .filter(F.col("w") != "")
+    whole = kmv_sketch(words.select("w"), "w", k).collect()[0]
+
+    halves = [words.filter(F.col("doc_id") % 2 == i).select("w")
+              for i in (0, 1)]
+    kmins = [
+        h.select(F.md5(F.col("w")).alias("h")).distinct().orderBy("h").limit(k)
+        for h in halves
+    ]
+    merged = kmins[0].union(kmins[1]).distinct().orderBy("h").limit(k)
+    m = merged.agg(F.count("*").alias("k_used"), F.max("h").alias("kth")) \
+        .collect()[0]
+    assert (m["k_used"], m["kth"]) == (whole["k_used"], whole["kth"])

@@ -299,3 +299,39 @@ def keep_first(df: DataFrame, key, order_col: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def simhash_multiprobe_pairs(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """Near-dup pairs within Hamming distance ≤ 1 of their SimHash
+    signatures, via multi-probe LSH: each document emits its signature
+    plus every 1-bit flip (bits+1 probes), and ``probe(a) == sig(b)``
+    holds exactly when hamming(a, b) ≤ 1 — so the equi-join IS the
+    distance predicate, with zero false positives and no verify pass.
+
+    This closes the gap q73 documents (equal signatures ⇒ near-identical
+    token multisets): exact-equality SimHash misses pairs that differ in
+    one noisy bit; multi-probe recovers them for a (bits+1)× probe-side
+    blowup while staying a plain shuffle join — the standard trade, and
+    still never O(n²).  Distance-1 pairs are found from both endpoints'
+    probe sets; the a<b filter + distinct collapses the two sightings.
+    """
+    sigs = simhash(doc_words(documents), bits=bits)
+    flips = [
+        F.concat(
+            F.substring("sh", 1, j),
+            F.translate(F.substring("sh", j + 1, 1), "01", "10"),
+            F.substring("sh", j + 2, bits - j - 1),
+        )
+        for j in range(bits)
+    ]
+    probes = sigs.select(
+        F.col("doc_id").alias("a"),
+        F.explode(F.array(F.col("sh"), *flips)).alias("p"),
+    )
+    right = sigs.select(F.col("doc_id").alias("b"), F.col("sh").alias("p"))
+    return (
+        probes.join(right, "p")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )

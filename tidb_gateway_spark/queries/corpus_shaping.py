@@ -362,3 +362,48 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = kmv_sketch(words, "w", _KMV_K)
     exact = words.agg(F.countDistinct("w").alias("exact"))
     return sk.crossJoin(exact)
+
+
+# ---------------------------------------------------------------- Q114
+_SH_BITS = 16
+_DDB_SH_WORDS = (
+    "words AS (SELECT DISTINCT doc_id, w FROM "
+    "(SELECT doc_id, UNNEST(string_split(text,' ')) AS w FROM documents) "
+    "WHERE w <> '')"
+)
+_DDB_SH_BITS = ", ".join(
+    f"SUM(CASE WHEN substr(md5(w), {j + 1}, 1) IN "
+    f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(_SH_BITS)
+)
+_DDB_SH_CONCAT = " || ".join(
+    f"(CASE WHEN b{j} > 0 THEN '1' ELSE '0' END)" for j in range(_SH_BITS)
+)
+_DDB_HAMMING = " + ".join(
+    f"(CASE WHEN substr(x.sh, {j + 1}, 1) <> substr(y.sh, {j + 1}, 1) "
+    "THEN 1 ELSE 0 END)"
+    for j in range(_SH_BITS)
+)
+_Q114_ORACLE = (
+    f"WITH {_DDB_SH_WORDS}, "
+    f"perdoc AS (SELECT doc_id, {_DDB_SH_BITS} FROM words GROUP BY doc_id), "
+    f"sh AS (SELECT doc_id, {_DDB_SH_CONCAT} AS sh FROM perdoc) "
+    "SELECT x.doc_id AS a, y.doc_id AS b FROM sh x JOIN sh y "
+    f"ON x.doc_id < y.doc_id WHERE ({_DDB_HAMMING}) <= 1 ORDER BY a, b"
+)
+
+
+@register(
+    "q114_simhash_multiprobe_pairs",
+    _Q114_ORACLE,
+    doc="SimHash multi-probe near-dup pairs (Hamming ≤ 1): each doc "
+        "probes with its signature plus all 1-bit flips, so the "
+        "equi-join IS the distance predicate — no verify pass, no "
+        "false positives (operators/dedup.py:simhash_multiprobe_pairs). "
+        "The oracle brute-forces all pairs with a 16-term bit-diff sum "
+        "(fine at sf0.01; the engine plan is the one that scales).",
+    tags=("dedup", "llm", "simhash"),
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_multiprobe_pairs(d, bits=_SH_BITS).orderBy("a", "b")
