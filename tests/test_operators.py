@@ -748,9 +748,11 @@ def test_load_table_shredded_companion(spark, sf_dir):
 
 
 def test_connected_components_chain_and_islands(spark):
-    """Min-label propagation + pointer jumping: a 4-chain, a 2-cycle
-    pair, and a triangle all collapse to their min-id labels; nodes
-    absent from the pair graph never appear."""
+    """Both CC paths — driver union-find (small graphs) and iterative
+    min-label propagation + pointer jumping (driver_max_pairs=0 forces
+    the distributed path) — produce identical min-id cluster labels on
+    a 4-chain, an island pair, and a triangle; nodes absent from the
+    pair graph never appear."""
     from tidb_gateway_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
@@ -758,11 +760,14 @@ def test_connected_components_chain_and_islands(spark):
          (10, 11),                    # island pair
          (20, 21), (21, 22), (20, 22)],  # triangle
         "a BIGINT, b BIGINT")
-    got = {(r["doc_id"], r["cluster_id"])
-           for r in connected_components(pairs).collect()}
-    assert got == {(3, 3), (4, 3), (5, 3), (6, 3),
-                   (10, 10), (11, 10),
-                   (20, 20), (21, 20), (22, 20)}
+    want = {(3, 3), (4, 3), (5, 3), (6, 3),
+            (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20)}
+    for max_pairs in (1_000_000, 0):
+        got = {(r["doc_id"], r["cluster_id"])
+               for r in connected_components(
+                   pairs, driver_max_pairs=max_pairs).collect()}
+        assert got == want, f"driver_max_pairs={max_pairs}"
 
 
 def test_kmv_sketch_merge_equals_whole(spark, sf_dir):

@@ -221,7 +221,8 @@ def jaccard_pairs(candidates: DataFrame, words: DataFrame) -> DataFrame:
 
 
 def connected_components(pairs: DataFrame, a_col: str = "a",
-                         b_col: str = "b", max_iter: int = 25) -> DataFrame:
+                         b_col: str = "b", max_iter: int = 25,
+                         driver_max_pairs: int = 1_000_000) -> DataFrame:
     """Group duplicate pairs into clusters: (doc_id, cluster_id) with
     cluster_id = MIN doc_id reachable through the pair graph.
 
@@ -230,21 +231,30 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     emit PAIRS, but keep-one-per-group needs the transitive closure —
     a-b and b-c must collapse to one cluster {a,b,c} with canonical a.
 
-    Spark-first iterative min-label propagation with pointer jumping:
-    each round every node takes the min label over its neighbors
-    (one shuffle join + groupBy), then labels shortcut through their
-    own labels (path halving — a second self-join), giving O(log d)
-    rounds for diameter-d components instead of O(d).  Per-round
-    lineage is cut with localCheckpoint so the plan does not grow
-    across iterations; the per-round convergence check counts changed
-    labels (a scalar action — no row data reaches the driver).
+    Two paths, dispatched on the VERIFIED pair count (known after one
+    cheap count on the pinned edge frame):
 
-    100 TB shape: state is one (node, label) table of long ids —
-    bytes per node, never document bodies; every round is two
-    key-partitioned shuffles of that table.  Duplicate clusters have
-    tiny diameters in practice (near-dup graphs are dense), so the
-    loop converges in a handful of rounds; ``max_iter`` bounds the
-    adversarial chain case.
+    * ``≤ driver_max_pairs`` — driver-side union-find.  A verified
+      near-dup pair list is metadata-sized relative to the corpus (two
+      longs per confirmed duplicate pair, after LSH candidate pruning
+      AND exact-Jaccard verification); 1M pairs is 16 MB.  Same class
+      of sanctioned collect as the rank boundary sets (operators/
+      rank.py): the driver never sees row data, only the tiny graph.
+      Union-find is O(pairs α(n)) with zero extra Spark jobs — at
+      sf1 this replaces ~6 s of per-round join/checkpoint overhead
+      with milliseconds.
+    * above the threshold — Spark-first iterative min-label
+      propagation with pointer jumping: each round every node takes
+      the min label over its neighbors (one shuffle join + groupBy),
+      then labels shortcut through their own labels (path halving — a
+      second self-join), giving O(log d) rounds for diameter-d
+      components.  Per-round lineage is cut with localCheckpoint; the
+      convergence check counts changed labels (a scalar action).
+
+    100 TB shape: the big-graph path's state is one (node, label)
+    table of long ids — bytes per node, never document bodies; every
+    round is two key-partitioned shuffles of that table.  Both paths
+    produce identical output (min reachable id is order-free).
     """
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
@@ -259,6 +269,30 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
             return df
 
     edges = _pin(edges)
+    if edges.count() <= 2 * driver_max_pairs:  # edges are directed both ways
+        spark = pairs.sparkSession
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        edge_rows = edges.collect()
+        for row in edge_rows:
+            ru, rv = find(row.u), find(row.v)
+            if ru != rv:
+                # union by value: larger root points at smaller, so the
+                # final root of every node IS its min reachable id
+                parent[max(ru, rv)] = min(ru, rv)
+        out = [(u, find(u))
+               for u in {x for row in edge_rows for x in (row.u, row.v)}]
+        return spark.createDataFrame(
+            sorted(out), "doc_id bigint, cluster_id bigint")
+
     labels = _pin(labels)
     for _ in range(max_iter):
         nbr = (
