@@ -71,6 +71,7 @@ _CHANGED_FIRST = (
     "q112_hypertable_rollup",
     "q113_kmv_distinct_sketch",
     "q114_simhash_multiprobe_pairs",
+    "q115_distribution_drift_psi",
 )
 
 # Queries whose latest green certification predates the current code

@@ -425,3 +425,76 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("a").alias("nda"),
         (F.sum("a") + F.sum("b")).alias("ck"),
     )
+
+
+# ---------------------------------------------------------------- Q115
+# Snapshot split: hash_bps(doc_id, "snap") < 5000 = snapshot A, else B
+# (stands in for two ingest snapshots of the same pipeline).
+_DDB_SNAP = (
+    "(" + _ddb_hex_to_int("md5('snap|' || CAST(doc_id AS VARCHAR))", 8)
+    + " % 10000)"
+)
+
+
+@register(
+    "q115_distribution_drift_psi",
+    None,  # assembled below — shares q78's quality-score SQL
+    doc="Data-quality drift check: Population Stability Index of the "
+        "quality-score distribution between two deterministic snapshot "
+        "halves, per decile bucket with Laplace(+1) smoothing. The "
+        "monitoring gate a production pipeline runs between ingest "
+        "snapshots (PSI > 0.2 = investigate). Two partial-aggregated "
+        "scans folded into one via conditional aggregation — one scan, "
+        "one 10-row shuffle; ln() agreement is protected by 6-dp "
+        "stable rounding.",
+    tags=("llm", "text", "quality"),
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.functions import stable_round
+    from tidb_gateway_spark.operators import sampling
+    from tidb_gateway_spark.operators import text as text_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    qs = text_ops.quality_score(F.col("text"), F.col("n_chars"))
+    bucket = F.least(F.lit(9), F.floor(qs * 10)).cast("int")
+    in_a = sampling.hash_bps(F.col("doc_id"), "snap") < 5000
+    per = (
+        d.select(bucket.alias("bucket"), in_a.alias("in_a"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("cb"),
+        )
+    )
+    tot = per.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+        F.count("*").alias("k"))
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("k"))
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("k"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket", "ca", "cb",
+            stable_round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_REG["q115_distribution_drift_psi"] = _dc.replace(
+    _REG["q115_distribution_drift_psi"],
+    oracle=(
+        "WITH q AS (SELECT doc_id, "
+        f"LEAST(9, CAST(FLOOR(({_DDB_QSCORE}) * 10) AS INT)) AS bucket, "
+        f"(CASE WHEN {_DDB_SNAP} < 5000 THEN 1 ELSE 0 END) AS in_a "
+        "FROM documents), "
+        "per AS (SELECT bucket, SUM(in_a) AS ca, SUM(1 - in_a) AS cb "
+        "FROM q GROUP BY bucket), "
+        "tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS k FROM per) "
+        "SELECT bucket, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb, "
+        "FLOOR((((ca + 1) * 1.0 / (na + k)) - ((cb + 1) * 1.0 / (nb + k))) "
+        "* ln(((ca + 1) * 1.0 / (na + k)) / ((cb + 1) * 1.0 / (nb + k))) "
+        "* 1000000 + 0.5) / 1000000 AS psi_term "
+        "FROM per CROSS JOIN tot ORDER BY bucket"
+    ),
+)
