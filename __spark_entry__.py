@@ -72,6 +72,7 @@ _CHANGED_FIRST = (
     "q113_kmv_distinct_sketch",
     "q114_simhash_multiprobe_pairs",
     "q115_distribution_drift_psi",
+    "q116_full_data_recipe",
 )
 
 # Queries whose latest green certification predates the current code

@@ -498,3 +498,88 @@ _REG["q115_distribution_drift_psi"] = _dc.replace(
         "FROM per CROSS JOIN tot ORDER BY bucket"
     ),
 )
+
+
+# ---------------------------------------------------------------- Q116
+# The full pre-training data recipe as ONE declared query, composed
+# from the operator library: quality filter → exact dedup (keep lowest
+# doc_id per content hash) → 3-word-shingle decontamination against the
+# benchmark set → per-language mixture resampling.  Demonstrates that
+# the stages compose as lazy DataFrame transforms — Catalyst plans the
+# whole recipe as one job graph (shared scans, pushed filters), which
+# is how a real pipeline runs it: one pass over the corpus per shuffle
+# stage, not one pass per tool.
+_RECIPE_RATES = {"en": 5000}  # en halved; other languages kept in full
+_DDB_RECIPE_SH = (
+    "rsh AS (SELECT DISTINCT doc_id, w FROM ("
+    "SELECT doc_id, UNNEST(CASE WHEN len(wl) >= 3 THEN "
+    "list_transform(range(1, len(wl) - 1), i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) "
+    "ELSE [array_to_string(wl, ' ')] END) AS w FROM ("
+    "SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS wl "
+    "FROM documents)))"
+)
+_Q116_ORACLE = (
+    "WITH "
+    f"q AS (SELECT *, ({_DDB_QSCORE}) AS qs FROM documents), "
+    "kept AS (SELECT * FROM q WHERE qs >= 0.5), "
+    "uniq AS (SELECT * FROM kept WHERE doc_id IN ("
+    "SELECT MIN(doc_id) FROM kept GROUP BY md5(text))), "
+    f"{_DDB_RECIPE_SH}, "
+    "bench AS (SELECT DISTINCT w FROM rsh WHERE doc_id < 10), "
+    "contaminated AS (SELECT DISTINCT s.doc_id FROM rsh s "
+    "JOIN bench b ON s.w = b.w WHERE s.doc_id >= 10), "
+    "clean AS (SELECT * FROM uniq WHERE doc_id >= 10 AND doc_id NOT IN "
+    "(SELECT doc_id FROM contaminated)), "
+    "mixed AS (SELECT * FROM clean WHERE "
+    "(" + _ddb_hex_to_int("md5('mix|' || CAST(doc_id AS VARCHAR))", 8)
+    + " % 10000) < (CASE lang WHEN 'en' THEN 5000 ELSE 10000 END)) "
+    "SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars, "
+    "CAST(SUM(doc_id) AS BIGINT) AS ck FROM mixed GROUP BY lang ORDER BY lang"
+)
+
+
+@register(
+    "q116_full_data_recipe",
+    _Q116_ORACLE,
+    doc="The complete pre-training data recipe as one declared query: "
+        "quality filter (qscore >= 0.5) → exact dedup (min doc_id per "
+        "content hash) → shingle decontamination vs the benchmark set → "
+        "per-language mixture resampling — each stage an operator this "
+        "library already certifies alone (q78/q61/q91/q97), composed "
+        "lazily so Catalyst plans the whole recipe as one job graph. "
+        "The selected-id checksum pins the exact surviving set.",
+    tags=("llm", "pipeline", "dedup", "sampling"),
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators import sampling
+    from tidb_gateway_spark.operators import text as text_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    qs = text_ops.quality_score(F.col("text"), F.col("n_chars"))
+    kept = d.filter(qs >= 0.5)
+    uniq = dedup.keep_first(kept, F.md5("text"), "doc_id")
+    # decontamination shingles come from ALL documents (benchmark sets
+    # are not quality-filtered; extra contaminated ids outside `uniq`
+    # are no-ops in the anti join)
+    shingles = dedup.doc_shingles(d.select("doc_id", "text"))
+    bench = shingles.filter(F.col("doc_id") < 10).select("w").distinct()
+    contaminated = (
+        shingles.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "w", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        uniq.filter(F.col("doc_id") >= 10)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    mixed = sampling.mixture_resample(clean, "doc_id", "lang", _RECIPE_RATES)
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.sum("doc_id").alias("ck"),
+        )
+        .orderBy("lang")
+    )
