@@ -73,6 +73,8 @@ _CHANGED_FIRST = (
     "q114_simhash_multiprobe_pairs",
     "q115_distribution_drift_psi",
     "q116_full_data_recipe",
+    "q117_recursive_cte_month_series",
+    "q118_percent_rank_cume_dist",
 )
 
 # Queries whose latest green certification predates the current code

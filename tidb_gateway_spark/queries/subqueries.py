@@ -43,3 +43,32 @@ sql_query(
     doc="VALUES inline table (LocalRelation — no scan).",
     tags=("subquery",),
 )
+
+_MONTH_IDX = (
+    "CAST(EXTRACT(YEAR FROM o_orderdate) * 12 "
+    "+ EXTRACT(MONTH FROM o_orderdate) AS INT)"
+)
+
+sql_query(
+    "q117_recursive_cte_month_series",
+    "WITH RECURSIVE "
+    f"b AS (SELECT MIN({_MONTH_IDX}) AS mi, MAX({_MONTH_IDX}) AS ma FROM orders), "
+    "series(v) AS (SELECT mi FROM b UNION ALL "
+    "SELECT v + 1 FROM series JOIN b ON v < ma), "
+    f"per AS (SELECT {_MONTH_IDX} AS v, COUNT(*) AS c FROM orders GROUP BY 1) "
+    # CAST(double AS INT) truncates in Spark but ROUNDS in DuckDB —
+    # FLOOR before the cast is the portable integer division.
+    "SELECT v, CAST(FLOOR((v - 1) / 12.0) AS INT) AS yr, "
+    "CAST(v - FLOOR((v - 1) / 12.0) * 12 AS INT) AS mo, "
+    "COALESCE(c, 0) AS n "
+    "FROM series LEFT JOIN per USING (v) ORDER BY v",
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): a gap-free month "
+        "series from the order-date range, left-joined to per-month "
+        "counts — the reporting shape ('months with zero orders "
+        "included') that needed a generator table before recursion "
+        "landed. Dialect-shared: the identical SQL text runs on both "
+        "engines. Recursion depth = month span (~80), under Spark's "
+        "cteRecursionLevelLimit; each step is one row, so the "
+        "recursion is driver-trivial while the joins stay distributed.",
+    tags=("subquery", "recursive"),
+)

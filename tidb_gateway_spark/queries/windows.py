@@ -231,3 +231,26 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="q",
     )
     return tiled.groupBy("q").agg(F.count("*").alias("n")).orderBy("q")
+
+
+# ---------------------------------------------------------------- Q118
+from tidb_gateway_spark.queries.registry import sql_query  # noqa: E402
+
+sql_query(
+    "q118_percent_rank_cume_dist",
+    "SELECT c_nationkey, c_custkey, "
+    "FLOOR(PERCENT_RANK() OVER "
+    "(PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) "
+    "* 1000000 + 0.5) / 1000000 AS pr, "
+    "FLOOR(CUME_DIST() OVER "
+    "(PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) "
+    "* 1000000 + 0.5) / 1000000 AS cd "
+    "FROM customer WHERE c_nationkey < 3 "
+    "ORDER BY c_nationkey, c_custkey",
+    doc="Relative-rank window functions: percent_rank ((rank-1)/(n-1)) "
+        "and cume_dist (rows<=current / n) per nation partition — both "
+        "integer-ratio doubles, so cross-engine bit agreement needs "
+        "only the shared FLOOR rounding. Dialect-shared SQL; "
+        "partitioned window, no global sort.",
+    tags=("window",),
+)
