@@ -75,6 +75,7 @@ _CHANGED_FIRST = (
     "q116_full_data_recipe",
     "q117_recursive_cte_month_series",
     "q118_percent_rank_cume_dist",
+    "q119_lateral_topn_per_key",
 )
 
 # Queries whose latest green certification predates the current code

@@ -1383,3 +1383,35 @@ def test_kill_connection_drops_victim(gateway):
         await c.quit()
 
     run_with_gateway(gateway, scenario)
+
+
+def test_concurrent_clients_interleave(gateway):
+    """Concurrency smoke: four clients fire queries concurrently over
+    one gateway (shared SparkContext, per-connection sub-sessions,
+    shared executor pool); every result is correct and attributable to
+    its own connection — the goroutine-per-connection concurrency story
+    (gateway.go:63) under the asyncio + thread-pool analog."""
+
+    async def scenario(gw):
+        clients = []
+        for i in range(4):
+            c = MiniClient("127.0.0.1", gw.bound_port)
+            await c.connect(f"sf001.user{i}")
+            clients.append(c)
+
+        async def work(i, c):
+            out = []
+            for n in range(3):
+                res = await c.query(
+                    f"SELECT {i} AS who, COUNT(*) + {n} AS n FROM region")
+                out.append(res[0][1])
+            return out
+
+        results = await asyncio.gather(
+            *[work(i, c) for i, c in enumerate(clients)])
+        for i, out in enumerate(results):
+            assert out == [[[str(i), str(5 + n)]] for n in range(3)], (i, out)
+        for c in clients:
+            await c.quit()
+
+    run_with_gateway(gateway, scenario)

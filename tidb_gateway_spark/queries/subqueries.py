@@ -72,3 +72,22 @@ sql_query(
         "recursion is driver-trivial while the joins stay distributed.",
     tags=("subquery", "recursive"),
 )
+
+sql_query(
+    "q119_lateral_topn_per_key",
+    # comma-LATERAL is the form BOTH parsers accept (DuckDB's JOIN
+    # LATERAL requires an ON clause; Spark's does not)
+    "SELECT c.c_custkey, o.o_orderkey, o.o_totalprice "
+    "FROM customer c, LATERAL ("
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_custkey = c.c_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o "
+    "WHERE c.c_custkey < 50 ORDER BY c_custkey, o_orderkey",
+    doc="LATERAL join (correlated table subquery with per-row ORDER BY "
+        "LIMIT): each customer's two priciest orders — the top-N-per-"
+        "key idiom in its SQL-standard form. Dialect-shared text; "
+        "Catalyst decorrelates the lateral into a ranked window join "
+        "rather than executing per-row (the q88 DataFrame form is the "
+        "same physical plan, written by hand).",
+    tags=("subquery", "lateral", "join"),
+)
