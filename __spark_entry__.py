@@ -76,6 +76,7 @@ _CHANGED_FIRST = (
     "q117_recursive_cte_month_series",
     "q118_percent_rank_cume_dist",
     "q119_lateral_topn_per_key",
+    "q120_range_interval_frame",
 )
 
 # Queries whose latest green certification predates the current code

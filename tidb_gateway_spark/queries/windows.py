@@ -254,3 +254,38 @@ sql_query(
         "partitioned window, no global sort.",
     tags=("window",),
 )
+
+
+# ---------------------------------------------------------------- Q120
+@register(
+    "q120_range_interval_frame",
+    # RANGE frame over exact epoch-micros: trailing 10 minutes
+    # INCLUDING the current row's instant, strict window arithmetic on
+    # integers so both engines agree exactly.
+    "SELECT event_id, "
+    "COUNT(*) OVER (PARTITION BY user_id ORDER BY "
+    "CAST(epoch_us(ts) AS BIGINT) "
+    "RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS n10m "
+    "FROM events WHERE event_type = 'error' "
+    "QUALIFY event_id % 7 = 0 ORDER BY event_id",
+    doc="RANGE-interval window frame: trailing 10-minute per-user event "
+        "count on exact epoch-micros (integer RANGE bounds — no "
+        "timestamp-arithmetic drift between engines). The declared "
+        "output samples every 7th row to keep the result small while "
+        "the frame computation runs over the full partition.",
+    tags=("window", "timeseries"),
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return (
+        e.filter(F.col("event_type") == "error")
+        .withColumn("n10m", F.count("*").over(w))
+        .filter(F.col("event_id") % 7 == 0)
+        .select("event_id", "n10m")
+        .orderBy("event_id")
+    )
