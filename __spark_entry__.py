@@ -77,6 +77,13 @@ _CHANGED_FIRST = (
     "q118_percent_rank_cume_dist",
     "q119_lateral_topn_per_key",
     "q120_range_interval_frame",
+    "q121_salted_skew_join",
+    "q122_ttr_quality_battery",
+    "q123_csv_source_roundtrip",
+    "q124_jsonl_source_roundtrip",
+    "q125_string_agg_sorted",
+    "q126_map_aggregate_functions",
+    "q127_runtime_bloom_filter_join",
 )
 
 # Queries whose latest green certification predates the current code

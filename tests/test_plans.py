@@ -235,3 +235,48 @@ def test_q112_rollup_day_partition_prunes(spark, sf_dir):
     assert "events.parquet" not in text, "q112 scans raw events"
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
     assert m and "day" in m.group(1), text
+
+
+def test_q127_runtime_bloom_filter_injects_at_scale(spark, sf_dir):
+    """q127's join shape must receive Spark's runtime bloom filter under
+    at-scale conditions.  Locally the injection is gated off by two
+    size thresholds that model exactly the 100 TB situation: the probe
+    scan must be big (applicationSideScanSizeThreshold, default 10 GB)
+    and the build side must NOT be broadcastable (at 100 TB orders is
+    not).  Simulate both, then assert bloom_filter_agg/might_contain
+    appear in the optimized plan — i.e. the lineitem scan is prefiltered
+    by the selective orders predicate BEFORE its exchange."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = REGISTRY["q127_runtime_bloom_filter_join"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+        # injected plan must still produce the oracle-matching answer
+        rows = {r["l_returnflag"]: r["n"] for r in df.collect()}
+        assert rows and all(n > 0 for n in rows.values())
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_q121_salted_join_spreads_hot_key(spark, sf_dir):
+    """The salted join must shuffle on (key, salt) — no single-key
+    partition — and stay set-equal to the plain join (the oracle
+    asserts values; here assert the SPREAD: the physical exchange keys
+    include the salt column)."""
+    from tidb_gateway_spark.plans import inspect
+
+    df = REGISTRY["q121_salted_skew_join"].spark(spark, sf_dir)
+    plan = inspect.explain_formatted(df)
+    assert "_salt" in plan, "salt column absent from physical plan"

@@ -235,3 +235,82 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "metric")
     )
+
+
+@register(
+    "q125_string_agg_sorted",
+    "SELECT o_orderpriority, "
+    "string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) "
+    "AS statuses, COUNT(*) AS n "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    doc="Ordered string aggregation (MySQL GROUP_CONCAT / ANSI LISTAGG): "
+        "per priority, the comma-joined SORTED distinct status set. "
+        "Spark has no ordered listagg aggregate, so the deterministic "
+        "composition is collect_set → array_sort → array_join — the "
+        "sort happens per GROUP on the collected set (bounded: distinct "
+        "statuses, not rows), never as a global sort. collect_set "
+        "combines map-side, so the exchange carries one partial set per "
+        "(partition, group) — safe as long as the per-group distinct "
+        "universe is bounded, which is the LISTAGG use case.",
+    tags=("agg", "string"),
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q126_map_aggregate_functions",
+    "SELECT user_id, "
+    "CAST(COUNT(DISTINCT event_type) AS INT) AS n_types, "
+    "CAST(COALESCE(COUNT(*) FILTER (WHERE event_type = 'click'), 0) "
+    "AS BIGINT) AS clicks, "
+    "CAST(COALESCE(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0) "
+    "AS BIGINT) AS purchases "
+    "FROM events GROUP BY user_id ORDER BY user_id",
+    doc="MAP column construction + element access: per-user "
+        "event_type→count map built with map_from_entries over a "
+        "collect_list of (type, count) structs, then element_at "
+        "extraction with a COALESCE default. Certifies the map-function "
+        "family (map_from_entries/element_at/map_keys) against a plain "
+        "conditional-aggregation oracle. Two stages, both map-side "
+        "combined; the map is per-user (bounded by |event types|), "
+        "never a corpus-wide collect.",
+    tags=("agg", "map"),
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_type = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    mapped = (
+        per_type.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("event_type", "c"))
+            ).alias("m")
+        )
+    )
+    return (
+        mapped.select(
+            "user_id",
+            F.size(F.map_keys(F.col("m"))).alias("n_types"),
+            F.coalesce(
+                F.element_at(F.col("m"), F.lit("click")), F.lit(0)
+            ).cast("long").alias("clicks"),
+            F.coalesce(
+                F.element_at(F.col("m"), F.lit("purchase")), F.lit(0)
+            ).cast("long").alias("purchases"),
+        )
+        .orderBy("user_id")
+    )

@@ -583,3 +583,61 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------- Q122
+_Q122_ORACLE = (
+    "WITH wl AS (SELECT source, "
+    "list_filter(string_split(text, ' '), x -> x <> '') AS wl "
+    "FROM documents), "
+    "per AS (SELECT source, len(wl) AS tw, len(list_distinct(wl)) AS dw, "
+    "list_sum(list_transform(wl, x -> len(x))) AS cl "
+    "FROM wl WHERE len(wl) > 0) "
+    "SELECT source, COUNT(*) AS nd, "
+    "FLOOR(AVG(dw*1.0/tw)*10000 + 0.5)/10000 AS att, "
+    "FLOOR(AVG(cl*1.0/tw)*10000 + 0.5)/10000 AS amw, "
+    "CAST(SUM(CASE WHEN dw*1.0/tw < 0.5 OR cl*1.0/tw < 3 "
+    "OR cl*1.0/tw > 10 THEN 1 ELSE 0 END) AS BIGINT) AS flagged "
+    "FROM per GROUP BY source ORDER BY source"
+)
+
+
+@register(
+    "q122_ttr_quality_battery",
+    _Q122_ORACLE,
+    doc="Gopher-style lexical-quality battery per source: type-token "
+        "ratio (distinct/total words) and mean word length per document, "
+        "then per-source averages and a flagged count (TTR < 0.5 or mean "
+        "word length outside [3,10] — the published repetition/garbage "
+        "heuristics). Entirely codegen'd array ops (split/array_distinct/"
+        "aggregate) in ONE scan — no explode, no shuffle until the "
+        "per-source aggregate (map-side combined, |sources| rows).",
+    tags=("text", "llm", "quality"),
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    d = d.select(
+        "source",
+        F.size(words).alias("tw"),
+        F.size(F.array_distinct(words)).alias("dw"),
+        F.aggregate(
+            words, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("cl"),
+    ).filter(F.col("tw") > 0)
+    ttr = F.col("dw") / F.col("tw")
+    mwl = F.col("cl") / F.col("tw")
+    from tidb_gateway_spark.functions import stable_round
+
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("nd"),
+            stable_round(F.avg(ttr), 4).alias("att"),
+            stable_round(F.avg(mwl), 4).alias("amw"),
+            F.sum(
+                ((ttr < 0.5) | (mwl < 3) | (mwl > 10)).cast("long")
+            ).alias("flagged"),
+        )
+        .orderBy("source")
+    )

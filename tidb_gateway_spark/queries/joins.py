@@ -271,3 +271,75 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("ua") == F.col("ub")) & (F.col("ia") < F.col("ib")))
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "q121_salted_skew_join",
+    "SELECT c.c_mktsegment, COUNT(*) AS n, "
+    "FLOOR(SUM(e.value)*100 + 0.5)/100 AS s "
+    "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+    "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment",
+    doc="Explicitly SALTED fact⋈dim join (operators/skew.py:salted_join): "
+        "every events row picks one of 8 sub-keys (pmod(hash(event_id),8)) "
+        "and the customer build side is exploded 8×, so a hot user_id's "
+        "rows spread across 8 tasks instead of one straggler. Result is "
+        "set-identical to the plain join (the oracle IS the plain join). "
+        "The events fixture concentrates traffic on few users — exactly "
+        "the shape where, on a 100 TB fact table, AQE's skew split may "
+        "not engage (broadcast-ineligible builds, sub-threshold "
+        "partitions) and explicit salting is the escape hatch.",
+    tags=("join", "skew"),
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").withColumnRenamed(
+        "user_id", "k")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "k")
+    joined = salted_join(e, c, "k", n_salt=8, salt_on=F.col("event_id"))
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"),
+             stable_round(F.sum("value"), 2).alias("s"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q127_runtime_bloom_filter_join",
+    "SELECT l.l_returnflag, COUNT(*) AS n, "
+    "FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount))*100 + 0.5)/100 AS rev "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F' "
+    "GROUP BY l.l_returnflag ORDER BY l.l_returnflag",
+    doc="Selective-dimension fact join shaped for Spark's RUNTIME BLOOM "
+        "FILTER injection (spark.sql.optimizer.runtime.bloomFilter.*): "
+        "the filtered orders side is aggregated into a bloom_filter_agg "
+        "and a might_contain predicate is pushed into the lineitem scan, "
+        "discarding non-matching rows BEFORE the shuffle — at 100 TB the "
+        "probe-side exchange shrinks by the filter's selectivity. The "
+        "declared form uses shuffle_hash on the build (orders at scale "
+        "is not broadcastable); tests/test_plans.py asserts the "
+        "runtime-filter shape.",
+    tags=("join", "runtime-filter"),
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderstatus") == "F")
+    )
+    return (
+        li.join(o.hint("shuffle_hash"),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("rev"),
+        )
+        .orderBy("l_returnflag")
+    )

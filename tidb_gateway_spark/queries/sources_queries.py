@@ -1,0 +1,145 @@
+"""Q123–Q124: non-parquet source formats certified end-to-end.
+
+The reference is storage-agnostic — its backends own the data and the
+gateway relays bytes (/root/reference/gateway/relay.go:47-66), so "CSV
+support" for a reference user means the backend ingests CSV (LOAD DATA,
+which the engine already serves — sources/io.py:load_data_infile).
+These two queries make the engine's own CSV and JSON-lines *source
+readers* (sources/io.py:read_csv/read_json) certified operators: each
+materializes an mtime-keyed companion export of a fixture table, reads
+it back through the format reader with an explicit schema, and
+aggregates; the ORACLE computes the same aggregate from the original
+parquet — so a value-hash pass proves write→read round-trip fidelity,
+not just that the reader parses.
+
+Scale notes (100 TB): CSV/JSONL are *ingest* formats — splittable when
+uncompressed (Spark assigns line-aligned splits per
+``maxPartitionBytes``) but schema-on-read, row-oriented, and without
+column pruning or predicate pushdown; both queries read with an
+explicit schema (no inference pass over the data — ``inferSchema`` at
+100 TB is a full extra scan) and the engine's answer to "fast queries
+over CSV" is exactly this module's shape: convert once to parquet (or
+here, aggregate in the same job).  The export side is written with
+Spark's distributed writers (one file per partition, no driver
+collect).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql import functions as F
+
+from tidb_gateway_spark.catalog import load_table
+from tidb_gateway_spark.functions import stable_round
+from tidb_gateway_spark.queries.registry import register
+
+_export_lock = threading.Lock()
+
+
+def _companion(spark: SparkSession, sf_dir: str, table: str, fmt: str,
+               write) -> str:
+    """Materialize an mtime-keyed ``fmt`` export of ``table`` (same
+    pattern as catalog.shredded_table / the ANN indexes: build is ingest
+    cost; the query measures the serving path).  Returns the path."""
+    src = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
+    key = hashlib.md5(f"{fmt}|{src}".encode()).hexdigest()[:16]
+    root = os.environ.get("SPARK_GRAFT_DERIVED_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".benchdata", fmt)
+    path = os.path.join(root, key)
+    marker = os.path.join(path, "_SUCCESS")
+    with _export_lock:
+        if (not os.path.exists(marker)
+                or os.path.getmtime(marker) < os.path.getmtime(src)):
+            write(load_table(spark, sf_dir, table), path)
+    return path
+
+
+_CUSTOMER_SCHEMA = T.StructType([
+    T.StructField("c_custkey", T.LongType()),
+    T.StructField("c_name", T.StringType()),
+    T.StructField("c_nationkey", T.IntegerType()),
+    T.StructField("c_acctbal", T.DoubleType()),
+    T.StructField("c_mktsegment", T.StringType()),
+])
+
+
+@register(
+    "q123_csv_source_roundtrip",
+    "SELECT c_mktsegment, COUNT(*) AS n, "
+    "FLOOR(SUM(c_acctbal)*100 + 0.5)/100 AS bal "
+    "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    doc="CSV source certified by round-trip: customer is exported to "
+        "headered CSV once (mtime-keyed companion, distributed writer), "
+        "read back via sources/io.py:read_csv with an EXPLICIT schema "
+        "(no inferSchema scan), and aggregated; the oracle aggregates "
+        "the original parquet, so the hash match proves the CSV "
+        "write→read path preserves values (incl. double formatting). "
+        "Uncompressed CSV splits by line at maxPartitionBytes — "
+        "parallel ingest; no pruning/pushdown, which is why the engine "
+        "treats CSV as ingest-only.",
+    tags=("source", "csv"),
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.sources.io import read_csv
+
+    path = _companion(
+        spark, sf_dir, "customer", "csv",
+        lambda df, p: df.write.mode("overwrite")
+        .option("header", "true").csv(p),
+    )
+    c = read_csv(spark, path, schema=_CUSTOMER_SCHEMA, header=True)
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"),
+             stable_round(F.sum("c_acctbal"), 2).alias("bal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_DOCUMENTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+@register(
+    "q124_jsonl_source_roundtrip",
+    "SELECT lang, source, COUNT(*) AS nd, "
+    "CAST(SUM(n_chars) AS BIGINT) AS chars, "
+    "CAST(SUM(len(text)) AS BIGINT) AS tlen "
+    "FROM documents GROUP BY lang, source ORDER BY lang, source",
+    doc="JSON-lines source certified by round-trip: documents exported "
+        "to JSONL once (mtime-keyed), read back via sources/io.py:"
+        "read_json with an explicit schema, aggregated including a "
+        "text-length checksum so string escaping round-trips are "
+        "actually verified; oracle reads the original parquet. JSONL "
+        "is the lingua franca of crawl/LLM corpora — this is the "
+        "ingest edge of the pipeline operators (q60+), with the same "
+        "100 TB stance as CSV: line-splittable parallel reads, explicit "
+        "schema, convert-to-columnar once.",
+    tags=("source", "json"),
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.sources.io import read_json
+
+    path = _companion(
+        spark, sf_dir, "documents", "jsonl",
+        lambda df, p: df.write.mode("overwrite").json(p),
+    )
+    d = read_json(spark, path, schema=_DOCUMENTS_SCHEMA)
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").alias("nd"),
+             F.sum("n_chars").alias("chars"),
+             F.sum(F.length("text")).alias("tlen"))
+        .orderBy("lang", "source")
+    )
