@@ -593,6 +593,11 @@ _Q122_ORACLE = (
     "per AS (SELECT source, len(wl) AS tw, len(list_distinct(wl)) AS dw, "
     "list_sum(list_transform(wl, x -> len(x))) AS cl "
     "FROM wl WHERE len(wl) > 0) "
+    # cl = Σ word lengths ≡ len(replace(text,' ','')) — kept as the
+    # list form here for clarity; the Spark side uses the translate
+    # identity because it is whole-stage-codegen'd (HOF aggregate is
+    # interpreted row-at-a-time on the JVM).
+
     "SELECT source, COUNT(*) AS nd, "
     "FLOOR(AVG(dw*1.0/tw)*10000 + 0.5)/10000 AS att, "
     "FLOOR(AVG(cl*1.0/tw)*10000 + 0.5)/10000 AS amw, "
@@ -617,13 +622,13 @@ _Q122_ORACLE = (
 def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    # Σ word lengths ≡ count of non-space chars: translate+length is
+    # whole-stage-codegen'd; an aggregate() HOF lambda is interpreted.
     d = d.select(
         "source",
         F.size(words).alias("tw"),
         F.size(F.array_distinct(words)).alias("dw"),
-        F.aggregate(
-            words, F.lit(0), lambda acc, x: acc + F.length(x)
-        ).alias("cl"),
+        F.length(F.translate(F.col("text"), " ", "")).alias("cl"),
     ).filter(F.col("tw") > 0)
     ttr = F.col("dw") / F.col("tw")
     mwl = F.col("cl") / F.col("tw")

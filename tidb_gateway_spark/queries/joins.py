@@ -318,10 +318,12 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the filtered orders side is aggregated into a bloom_filter_agg "
         "and a might_contain predicate is pushed into the lineitem scan, "
         "discarding non-matching rows BEFORE the shuffle — at 100 TB the "
-        "probe-side exchange shrinks by the filter's selectivity. The "
-        "declared form uses shuffle_hash on the build (orders at scale "
-        "is not broadcastable); tests/test_plans.py asserts the "
-        "runtime-filter shape.",
+        "probe-side exchange shrinks by the filter's selectivity. No "
+        "join hint: Catalyst broadcasts the small filtered build "
+        "locally and switches to shuffle join + bloom injection when "
+        "the build outgrows the broadcast threshold at scale; "
+        "tests/test_plans.py simulates the at-scale thresholds and "
+        "asserts the runtime-filter shape.",
     tags=("join", "runtime-filter"),
 )
 def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,8 +333,7 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderstatus") == "F")
     )
     return (
-        li.join(o.hint("shuffle_hash"),
-                li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
