@@ -84,6 +84,10 @@ _CHANGED_FIRST = (
     "q125_string_agg_sorted",
     "q126_map_aggregate_functions",
     "q127_runtime_bloom_filter_join",
+    "q128_orc_source_roundtrip",
+    "q129_approx_distinct_bounds",
+    "q130_canonical_doc_per_cluster",
+    "q131_nth_value_lead_default",
 )
 
 # Queries whose latest green certification predates the current code

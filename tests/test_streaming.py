@@ -360,3 +360,69 @@ def test_watermark_drops_late_rows(spark, tmp_path):
 
     assert first.get(w0) == 2, f"on-time window wrong: {first}"
     assert w0 not in second, f"late row re-opened closed window: {second}"
+
+
+def test_stream_stream_left_outer_join_converges(spark, sf_dir, stream_dir):
+    """LEFT OUTER stream-stream join: matched pairs must equal the batch
+    inner join exactly; null-side (abandonment) rows may only appear
+    for batch-unmatched signups, and MUST appear for every unmatched
+    signup whose match window provably expired before the final
+    watermark (s_ts + 60 min < max_ts − 2 h).  Signups still inside
+    the watermark horizon at end-of-replay legitimately stay in state
+    — the outer join's correctness contract is exactly this split."""
+    s = jobs.read_events_stream(spark, stream_dir)
+    res = drain(spark, jobs.stream_stream_funnel_outer(s), "t_ssouter",
+                mode="append").cache()
+
+    e = load_table(spark, sf_dir, "events")
+    su = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"),
+        F.col("event_id").alias("s_id"))
+    pu = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"))
+    cond = (
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 60 MINUTES"))
+    )
+    batch_inner = su.join(pu, cond, "inner").select("s_id", "p_id")
+
+    # 1. matched stream rows == batch inner join
+    assert_matches_batch(
+        res.filter(F.col("p_id").isNotNull()), batch_inner,
+        ["s_id", "p_id"])
+
+    # 2./3. null rows: subset of batch-unmatched, superset of the
+    # provably-expired unmatched set
+    unmatched = set(
+        r["s_id"]
+        for r in su.join(batch_inner, "s_id", "left_anti")
+        .select("s_id").collect()
+    )
+    got_nulls = set(
+        r["s_id"] for r in res.filter(F.col("p_id").isNull()).collect()
+    )
+    assert got_nulls <= unmatched, got_nulls - unmatched
+    # Certainty cutoff: null emission happens when a LATER batch's
+    # watermark passes s_ts + 60 min.  With availableNow the watermark
+    # used by the final batch derives from data seen in the batches
+    # BEFORE it, so the provable basis is the max event time of all
+    # but the last replay file (replay order = mtime = sorted name).
+    import glob as _glob
+
+    parts = sorted(_glob.glob(os.path.join(stream_dir, "part-*")))[:-1]
+    pre_max_us = (
+        spark.read.parquet(*parts)
+        .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("m"))
+        .collect()[0]["m"]
+    )
+    cutoff = pre_max_us - (2 * 3600 + 3600 + 60) * 1_000_000
+    expired = set(
+        r["s_id"]
+        for r in e.filter(F.col("event_type") == "signup")
+        .filter(F.col("ts_us") < F.lit(cutoff))
+        .select(F.col("event_id").alias("s_id")).collect()
+    ) & unmatched
+    assert expired <= got_nulls, expired - got_nulls
+    res.unpersist()

@@ -314,3 +314,51 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q129_approx_distinct_bounds",
+    "SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+    "TRUE AS ok_events, TRUE AS ok_users FROM events",
+    doc="Approximate distinct counting (HyperLogLog++) certified by "
+        "ERROR BOUND, not by value: HLL registers are engine-specific "
+        "(Spark's HLL++ and DuckDB's HLL would never hash-match), so "
+        "the declared output carries the exact counts plus booleans "
+        "asserting |approx−exact|/exact ≤ 5% at rsd=0.01 (a 5σ bound — "
+        "and HLL is deterministic per dataset, so the check is stable, "
+        "not flaky). The oracle emits the exact counts and TRUE. At "
+        "100 TB approx_count_distinct is THE mergeable cardinality "
+        "path: fixed KB of state per group vs a count-distinct "
+        "shuffle of every key.",
+    tags=("agg", "approx"),
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # Exact and approx run as SEPARATE aggregations joined on their
+    # 1-row results: mixing countDistinct with approx_count_distinct in
+    # one agg makes Catalyst plan an Expand with the HLL evaluated per
+    # distinct-key GROUP — one rsd=0.01 sketch (~16 KB of registers)
+    # per event_id, gigabytes of aggregate state (measured 115 s vs
+    # ~1 s at sf1).  Split, each aggregation is its canonical 2-stage
+    # plan and the HLL is two global sketches.
+    ex = e.agg(
+        F.countDistinct("event_id").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    ap = e.agg(
+        F.approx_count_distinct("event_id", 0.01).alias("a_events"),
+        F.approx_count_distinct("user_id", 0.01).alias("a_users"),
+    )
+    a = ex.crossJoin(ap)
+
+    def ok(approx, exact):
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            / F.col(exact) <= F.lit(0.05)
+        )
+    return a.select(
+        "n_events", "n_users",
+        ok("a_events", "n_events").alias("ok_events"),
+        ok("a_users", "n_users").alias("ok_users"),
+    )

@@ -1049,3 +1049,67 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
     return dedup.connected_components(ver).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- Q130
+_Q130_ORACLE = (
+    f"WITH {_DDB_WORDS}, "
+    f"perdoc AS (SELECT doc_id, {_DDB_SIMHASH_BITS} FROM words GROUP BY doc_id), "
+    f"sh AS (SELECT doc_id, {_DDB_SIMHASH_CONCAT} AS sh FROM perdoc), "
+    "q AS (SELECT doc_id, ("
+    + _DDB_QSCORE +
+    ") AS q FROM documents), "
+    "r AS (SELECT s.sh, s.doc_id, q.q, "
+    "ROW_NUMBER() OVER (PARTITION BY s.sh ORDER BY q.q DESC, s.doc_id) AS rn, "
+    "COUNT(*) OVER (PARTITION BY s.sh) AS m "
+    "FROM sh s JOIN q ON q.doc_id = s.doc_id) "
+    "SELECT COUNT(*) AS clusters, CAST(SUM(m) AS BIGINT) AS n, "
+    "CAST(SUM(doc_id) AS BIGINT) AS ck, "
+    "CAST(SUM(CAST(FLOOR(q*10000 + 0.5) AS BIGINT)) AS BIGINT) AS qsum "
+    "FROM r WHERE rn = 1"
+)
+
+
+@register(
+    "q130_canonical_doc_per_cluster",
+    _Q130_ORACLE,
+    doc="Canonical-document selection per near-dup cluster — the KEEP "
+        "side of dedup: within each 16-bit SimHash signature group "
+        "(q73's clustering), keep the highest-quality document "
+        "(operators/text.py:quality_score, doc_id tiebreak). The argmax "
+        "is a max(struct(q, -doc_id)) AGGREGATE — one partial-combined "
+        "shuffle keyed by signature, never a per-group sort or window "
+        "over the corpus. Declared output is the cluster/doc counts "
+        "plus canonical-id and integerized-quality checksums (the "
+        "canonical SET, verified order-independently). Both engines "
+        "compute quality from the same integers, so the double argmax "
+        "ordering is bit-identical cross-engine.",
+    tags=("dedup", "llm", "quality"),
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators import text as text_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.simhash(dedup.doc_words(d), bits=_BITS)
+    q = d.select(
+        "doc_id",
+        text_ops.quality_score(F.col("text"), F.col("n_chars")).alias("q"),
+    )
+    per = (
+        sh.join(q, "doc_id")
+        .groupBy("sh")
+        .agg(
+            F.count("*").alias("m"),
+            F.max(
+                F.struct(F.col("q"), (-F.col("doc_id")).alias("nid"))
+            ).alias("b"),
+        )
+    )
+    return per.agg(
+        F.count("*").alias("clusters"),
+        F.sum("m").alias("n"),
+        F.sum(-F.col("b.nid")).alias("ck"),
+        F.sum(
+            F.floor(F.col("b.q") * 10000 + 0.5).cast("long")
+        ).alias("qsum"),
+    )

@@ -143,3 +143,45 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.length("text")).alias("tlen"))
         .orderBy("lang", "source")
     )
+
+
+_ORDERS_SCHEMA = T.StructType([
+    T.StructField("o_orderkey", T.LongType()),
+    T.StructField("o_custkey", T.LongType()),
+    T.StructField("o_orderstatus", T.StringType()),
+    T.StructField("o_totalprice", T.DoubleType()),
+    T.StructField("o_orderdate", T.TimestampType()),
+    T.StructField("o_orderpriority", T.StringType()),
+])
+
+
+@register(
+    "q128_orc_source_roundtrip",
+    "SELECT o_orderpriority, COUNT(*) AS n, "
+    "FLOOR(SUM(o_totalprice)*100 + 0.5)/100 AS tp "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    doc="ORC source certified by round-trip (completes the declared "
+        "source-format family: parquet everywhere, CSV q123, JSONL "
+        "q124, ORC here): orders exported once to ORC (mtime-keyed, "
+        "distributed writer, sources/io.py:write_orc_table), read back "
+        "via read_orc, aggregated; oracle aggregates the original "
+        "parquet. ORC is columnar with predicate pushdown and stripe "
+        "statistics — unlike CSV/JSONL it IS a serving format, and the "
+        "engine's reader keeps column pruning (plan shows ReadSchema "
+        "with only the 2 aggregated columns).",
+    tags=("source", "orc"),
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.sources.io import read_orc, write_orc_table
+
+    path = _companion(
+        spark, sf_dir, "orders", "orc",
+        lambda df, p: write_orc_table(df, p),
+    )
+    o = read_orc(spark, path)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             stable_round(F.sum("o_totalprice"), 2).alias("tp"))
+        .orderBy("o_orderpriority")
+    )

@@ -289,3 +289,38 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "n10m")
         .orderBy("event_id")
     )
+
+
+@register(
+    "q131_nth_value_lead_default",
+    "SELECT event_id, "
+    "nth_value(event_type, 2) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS t2, "
+    "lead(value, 2, -1.0) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id) AS v2 "
+    "FROM events QUALIFY event_id % 199 = 0 ORDER BY event_id",
+    doc="nth_value over a full frame + lead with an explicit DEFAULT "
+        "(the two window-function corners the registry lacked): per "
+        "user, the 2nd event's type and the value two events ahead "
+        "(−1.0 past the partition edge). One shuffle by user_id; the "
+        "(ts_us, event_id) composite order key makes tie rows "
+        "deterministic cross-engine. Output sampled by event_id "
+        "modulus so the declared result stays bounded while every "
+        "partition still computes.",
+    tags=("window",),
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wf = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        e.select(
+            "event_id",
+            F.nth_value("event_type", 2).over(wf).alias("t2"),
+            F.lead("value", 2, -1.0).over(w).alias("v2"),
+        )
+        .filter(F.col("event_id") % 199 == 0)
+        .orderBy("event_id")
+    )

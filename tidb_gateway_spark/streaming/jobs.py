@@ -235,6 +235,41 @@ def stream_stream_funnel(events: DataFrame, window_minutes: int = 60,
     return s.join(p, cond, "inner").select("s_id", "p_id")
 
 
+def stream_stream_funnel_outer(events: DataFrame, window_minutes: int = 60,
+                               watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream LEFT OUTER join: every signup, paired with its
+    conversion purchase when one arrives within ``window_minutes`` —
+    and emitted with NULL purchase columns once the watermark proves no
+    match can still arrive.
+
+    The outer variant is a different operator from the inner funnel:
+    null-side rows can only be emitted when the state store is CERTAIN
+    the match window has expired, so emission is watermark-delayed and
+    both the time-range join condition and the watermark are mandatory
+    (Spark rejects the plan otherwise).  At scale this is the
+    "abandonment" stream — the rows the inner join never shows.
+    """
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"),
+                F.col("event_id").alias("s_id"))
+        .withWatermark("s_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts")
+           + F.expr(f"INTERVAL {window_minutes} MINUTES"))
+    )
+    return s.join(p, cond, "left_outer").select("s_id", "p_id")
+
+
 def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Stream–static enrichment join: events ⋈ customer dimension.
 
