@@ -88,6 +88,9 @@ _CHANGED_FIRST = (
     "q129_approx_distinct_bounds",
     "q130_canonical_doc_per_cluster",
     "q131_nth_value_lead_default",
+    "q132_bitwise_bool_aggs",
+    "q133_gap_fill_locf",
+    "q134_event_path_prefixes",
 )
 
 # Queries whose latest green certification predates the current code

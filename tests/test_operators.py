@@ -797,3 +797,27 @@ def test_kmv_sketch_merge_equals_whole(spark, sf_dir):
     m = merged.agg(F.count("*").alias("k_used"), F.max("h").alias("kth")) \
         .collect()[0]
     assert (m["k_used"], m["kth"]) == (whole["k_used"], whole["kth"])
+
+
+def test_udtf_matches_builtin_explode(spark, sf_dir):
+    """Python UDTF (Spark 4 @udtf) over documents must produce the same
+    token multiset as the builtin posexplode surface."""
+    from tidb_gateway_spark.functions.udf_surface import (
+        explode_tokens, make_word_stats_udtf)
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    WordStats = make_word_stats_udtf()
+    spark.udtf.register("word_stats", WordStats)
+    d.select("text").createOrReplaceTempView("__udtf_docs")
+    got = spark.sql(
+        "SELECT t.word, t.length, t.is_long FROM __udtf_docs, "
+        "LATERAL word_stats(text) AS t"
+    )
+    want = explode_tokens(d).select(
+        F.col("token").alias("word"),
+        F.length("token").alias("length"),
+        (F.length("token") > 6).alias("is_long"),
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert a == b and len(a) > 0

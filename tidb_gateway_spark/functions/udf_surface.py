@@ -63,3 +63,30 @@ def explode_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
     ).filter(F.col("token") != "")
+
+
+def make_word_stats_udtf():
+    """True Python UDTF (Spark 4 ``@udtf``): one output row per word
+    with (word, length, is_long).  Built lazily — the decorator needs a
+    live Spark context on import paths where none exists (docs builds,
+    Connect-less tools), and the class is self-contained so executor
+    workers need no repo import path.
+
+    UDTFs are the lateral-view escape hatch when the expansion logic is
+    genuinely imperative; when a builtin can express it (posexplode —
+    see :func:`explode_tokens`) the builtin stays the fast path: the
+    UDTF pays one Python worker round-trip per partition, the builtin
+    none.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, length: int, is_long: boolean")
+    class WordStats:
+        def eval(self, text: str):
+            if not text:
+                return
+            for w in text.split(" "):
+                if w:
+                    yield w, len(w), len(w) > 6
+
+    return WordStats

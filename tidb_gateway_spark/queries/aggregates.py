@@ -362,3 +362,36 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("a_events", "n_events").alias("ok_events"),
         ok("a_users", "n_users").alias("ok_users"),
     )
+
+
+@register(
+    "q132_bitwise_bool_aggs",
+    "SELECT event_type, "
+    "CAST(bit_xor(event_id) AS BIGINT) AS bx, "
+    "CAST(bit_and(user_id) AS BIGINT) AS ba, "
+    "CAST(bit_or(user_id) AS BIGINT) AS bo, "
+    "bool_and(value IS NOT NULL) AS every_v, "
+    "bool_or(value > 9.5) AS any_hot "
+    "FROM events GROUP BY event_type ORDER BY event_type",
+    doc="Bitwise and boolean aggregate family (BIT_XOR/BIT_AND/BIT_OR, "
+        "BOOL_AND/BOOL_OR — MySQL's bit aggregates and ANSI EVERY/ANY): "
+        "all five are order-independent and exact, so they hash-match "
+        "cross-engine bit-for-bit. BIT_XOR over ids doubles as the "
+        "classic cheap set-difference checksum for replication "
+        "validation (two tables whose id-XOR differs are certainly "
+        "different). One partial-combined groupBy.",
+    tags=("agg", "bitwise"),
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.bit_xor("event_id").alias("bx"),
+            F.bit_and("user_id").alias("ba"),
+            F.bit_or("user_id").alias("bo"),
+            F.bool_and(F.col("value").isNotNull()).alias("every_v"),
+            F.bool_or(F.col("value") > 9.5).alias("any_hot"),
+        )
+        .orderBy("event_type")
+    )

@@ -134,3 +134,115 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------- Q133
+_HR_US = 3_600_000_000  # one hour in epoch-micros
+
+
+@register(
+    "q133_gap_fill_locf",
+    "WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr, "
+    "COUNT(*) AS n, SUM(value) AS sv FROM events "
+    "WHERE user_id < 10 GROUP BY 1, 2), "
+    "rng AS (SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx FROM h "
+    "GROUP BY user_id), "
+    "hours AS (SELECT user_id, UNNEST(range(mn, mx + 1)) AS hr FROM rng), "
+    "f AS (SELECT hours.user_id, hours.hr, COALESCE(h.n, 0) AS n, h.sv, "
+    "(h.n IS NULL) AS filled FROM hours LEFT JOIN h "
+    "ON h.user_id = hours.user_id AND h.hr = hours.hr) "
+    "SELECT user_id, CAST(hr AS BIGINT) AS hr, n, filled, "
+    "FLOOR((LAST_VALUE(sv IGNORE NULLS) OVER ("
+    "PARTITION BY user_id ORDER BY hr "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*100 + 0.5)/100 "
+    "AS v FROM f ORDER BY user_id, hr",
+    doc="Time-series gap filling + last-observation-carried-forward "
+        "(the hypertable q112 family's serving complement): per-user "
+        "HOURLY grid densified with sequence()+explode between each "
+        "user's first and last active hour, missing hours join as "
+        "n=0/filled=true, and the hourly value sum is carried forward "
+        "with last(ignorenulls) over an unbounded-preceding frame. "
+        "Scale shape: the grid explode is bounded by (span-hours × "
+        "users), the join is co-partitioned on (user, hr), and the "
+        "LOCF window rides the SAME user_id shuffle — no extra "
+        "exchange. The declared form restricts to 10 users to bound "
+        "the output; the operators compose unchanged at full width.",
+    tags=("timeseries", "window"),
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    h = (
+        e.groupBy(
+            "user_id",
+            (F.col("ts_us") / _HR_US).cast("long").alias("hr"),
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    )
+    rng = h.groupBy("user_id").agg(
+        F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    hours = rng.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("hr"))
+    f = (
+        hours.join(h, ["user_id", "hr"], "left")
+        .select(
+            "user_id", "hr",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            "sv",
+            F.col("n").isNull().alias("filled"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        f.select(
+            "user_id", "hr", "n", "filled",
+            stable_round(
+                F.last("sv", ignorenulls=True).over(w), 2).alias("v"),
+        )
+        .orderBy("user_id", "hr")
+    )
+
+
+# ---------------------------------------------------------------- Q134
+@register(
+    "q134_event_path_prefixes",
+    "WITH seq AS (SELECT user_id, "
+    "list(event_type ORDER BY ts, event_id) AS s FROM events "
+    "GROUP BY user_id) "
+    "SELECT array_to_string(s[1:3], '>') AS path3, "
+    "COUNT(*) AS users FROM seq GROUP BY 1 ORDER BY path3",
+    doc="Event-path analysis (funnel/journey mining): each user's first "
+        "three event types joined into a path string, counted across "
+        "users. Spark form: ONE groupBy(user) with "
+        "array_sort(collect_list(struct(ts_us, event_id, event_type))) "
+        "— the per-user sort happens inside the aggregate on "
+        "collected structs (bounded by events-per-user), never as a "
+        "corpus-wide window or global sort; the path projection and "
+        "the second (tiny, |paths|-sized) count aggregate combine "
+        "map-side.",
+    tags=("analytics", "path"),
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    seq = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts_us", "event_id", "event_type"))
+            ).alias("s")
+        )
+    )
+    path3 = F.array_join(
+        F.slice(
+            F.transform(F.col("s"), lambda x: x["event_type"]), 1, 3),
+        ">",
+    )
+    return (
+        seq.select(path3.alias("path3"))
+        .groupBy("path3")
+        .agg(F.count("*").alias("users"))
+        .orderBy("path3")
+    )
