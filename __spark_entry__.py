@@ -91,6 +91,8 @@ _CHANGED_FIRST = (
     "q132_bitwise_bool_aggs",
     "q133_gap_fill_locf",
     "q134_event_path_prefixes",
+    "q135_rolling_distinct_types",
+    "q136_snapshot_diff_cdc",
 )
 
 # Queries whose latest green certification predates the current code

@@ -246,3 +246,97 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("users"))
         .orderBy("path3")
     )
+
+
+# ---------------------------------------------------------------- Q135
+@register(
+    "q135_rolling_distinct_types",
+    "SELECT event_id, ("
+    "SELECT COUNT(DISTINCT e2.event_type) FROM events e2 "
+    "WHERE e2.user_id = e.user_id AND (e2.ts < e.ts "
+    "OR (e2.ts = e.ts AND e2.event_id <= e.event_id))"
+    ") AS seen FROM events e WHERE event_id % 199 = 0 ORDER BY event_id",
+    doc="Rolling DISTINCT count over a window — neither engine supports "
+        "COUNT(DISTINCT) OVER, so the Spark form is the idiomatic "
+        "rewrite: size(collect_set(type)) over the running frame, one "
+        "user_id shuffle, set state bounded by |event types|. The "
+        "oracle pays the O(n·k) correlated subquery instead — the "
+        "contrast IS the point: the window rewrite scales linearly "
+        "where the subquery form cannot. Output sampled by id modulus.",
+    tags=("window", "analytics"),
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            F.size(F.collect_set("event_type").over(w)).alias("seen"),
+        )
+        .filter(F.col("event_id") % 199 == 0)
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------- Q136
+_SNAP_SPLIT = 0.5  # old snapshot = first half of doc ids
+
+
+@register(
+    "q136_snapshot_diff_cdc",
+    "WITH mx AS (SELECT MAX(doc_id) AS m FROM documents), "
+    "old AS (SELECT doc_id, md5(text) AS h FROM documents, mx "
+    "WHERE doc_id <= m * 0.5 AND doc_id % 7 <> 0), "
+    "new AS (SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0 "
+    "THEN text || ' v2' ELSE text END) AS h "
+    "FROM documents, mx WHERE doc_id <= m * 0.5 AND doc_id % 11 <> 0), "
+    "j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS id, o.h AS oh, "
+    "n.h AS nh FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id) "
+    "SELECT CAST(SUM(CASE WHEN oh IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS inserted, "
+    "CAST(SUM(CASE WHEN nh IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS deleted, "
+    "CAST(SUM(CASE WHEN oh IS NOT NULL AND nh IS NOT NULL "
+    "AND oh <> nh THEN 1 ELSE 0 END) AS BIGINT) AS updated, "
+    "CAST(SUM(CASE WHEN oh = nh THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS unchanged FROM j",
+    doc="CDC snapshot diff (the MERGE-feed operator): two deterministic "
+        "derivations of the corpus stand in for consecutive snapshots "
+        "(membership differs by modulus, content drifts on a second "
+        "modulus); a FULL OUTER join on key compares 32-char content "
+        "hashes — never bodies — and classifies every key as "
+        "inserted/deleted/updated/unchanged. This is the at-scale "
+        "incremental-ingest primitive: the shuffle carries (id, hash) "
+        "pairs only, and the classification is one conditional "
+        "aggregate. Complements q90 (anti-join novelty) with the full "
+        "bidirectional diff.",
+    tags=("dedup", "cdc", "join"),
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = d.agg(F.max("doc_id").alias("m"))
+    base = d.crossJoin(F.broadcast(m)).filter(
+        F.col("doc_id") <= F.col("m") * _SNAP_SPLIT)
+    old = base.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("oh"))
+    new = base.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+        ).alias("nh"),
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    return j.agg(
+        F.sum(F.col("oh").isNull().cast("long")).alias("inserted"),
+        F.sum(F.col("nh").isNull().cast("long")).alias("deleted"),
+        F.sum(
+            (F.col("oh").isNotNull() & F.col("nh").isNotNull()
+             & (F.col("oh") != F.col("nh"))).cast("long")
+        ).alias("updated"),
+        F.sum((F.col("oh") == F.col("nh")).cast("long")).alias("unchanged"),
+    )
