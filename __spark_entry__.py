@@ -23,13 +23,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q22_tpch_q1_agg"].spark(spark, "/root/testdata/sf0.001")
 
 
-# Queries whose implementation changed THIS round and therefore need the
-# driver's oracle harness (which may cover only a window of the registry)
-# to re-certify them before anything already green in a prior round.
+# Queries needing the driver's oracle harness first — it records a
+# 50-entry window per round (CORRECTNESS_r01–r04 are each exactly 50),
+# so this tuple is PRIORITY-ORDERED (tuple position, not qid) and more
+# than 50 entries means the tail defers to the next round by design.
 _CHANGED_FIRST = (
-    # r5: the whole events family rides on catalog.normalize_events'
-    # new dtype dispatch (the r4 fixture change to timestamp[us] broke
-    # every one of these at HEAD) — the 10 CORRECTNESS_r04 reds first…
+    # Tier 0 — the whole events family rides on catalog.normalize_events'
+    # dtype dispatch (the r4 fixture change to timestamp[us] broke all of
+    # these at HEAD): the 10 CORRECTNESS_r04 reds, then the 11 events
+    # queries broken at HEAD whose last green cert predates the fixture
+    # change.  These MUST re-certify this round.
     "q53_json_extract",
     "q56_tumbling_window",
     "q58_session_window",
@@ -40,8 +43,6 @@ _CHANGED_FIRST = (
     "q71_values_inline",
     "q86_latest_event_per_user",
     "q87_funnel_conversion",
-    # …then the 11 events queries broken at HEAD but outside the r4
-    # correctness window (last green cert predates the fixture change).
     "q20_asof_join",
     "q21_self_join",
     "q26_grouping_sets",
@@ -53,17 +54,15 @@ _CHANGED_FIRST = (
     "q36_first_value_full_frame",
     "q40_limit_offset",
     "q57_sliding_window",
-    # r5 implementation changes outside the events family:
-    "q102_json_extract_shredded",  # new: shredded-companion JSON path
+    # Tier 1 — r5 implementation changes to previously-certified queries.
     "q16_left_anti_join",          # shuffle_hash anti build (q19 treatment)
     "q95_int8_quantized_topk",     # materialized int8 code companion
-    # r5 new operators (queries/corpus_shaping.py, queries/aggregates.py,
-    # queries/multimodal_pipeline.py):
+    "q102_json_extract_shredded",  # new: shredded-companion JSON path
+    # Tier 2 — r5 new operators, novelty-ranked: custom operator logic
+    # and multi-stage pipelines ahead of single-builtin coverage queries.
+    # 26 fit the window alongside tiers 0-1; the tail defers to r6.
     "q103_ngram_decontamination",
-    "q104_top_ngram_fraction",
     "q105_training_shuffle_shards",
-    "q106_pivot_event_matrix",
-    "q107_unpivot_long_form",
     "q108_multimodal_feature_extract",
     "q109_video_frame_sampling",
     "q110_balanced_sample_per_stratum",
@@ -73,26 +72,39 @@ _CHANGED_FIRST = (
     "q114_simhash_multiprobe_pairs",
     "q115_distribution_drift_psi",
     "q116_full_data_recipe",
-    "q117_recursive_cte_month_series",
-    "q118_percent_rank_cume_dist",
-    "q119_lateral_topn_per_key",
-    "q120_range_interval_frame",
     "q121_salted_skew_join",
     "q122_ttr_quality_battery",
-    "q123_csv_source_roundtrip",
-    "q124_jsonl_source_roundtrip",
-    "q125_string_agg_sorted",
     "q126_map_aggregate_functions",
     "q127_runtime_bloom_filter_join",
-    "q128_orc_source_roundtrip",
     "q129_approx_distinct_bounds",
     "q130_canonical_doc_per_cluster",
-    "q131_nth_value_lead_default",
-    "q132_bitwise_bool_aggs",
     "q133_gap_fill_locf",
     "q134_event_path_prefixes",
     "q135_rolling_distinct_types",
     "q136_snapshot_diff_cdc",
+    "q137_outlier_flags",
+    "q138_skew_diagnostics",
+    "q139_levenshtein_verify",
+    "q140_cohort_retention",
+    "q141_point_in_time_join",
+    # Tier 3 — beyond the 50-slot window this round (deferred to r6):
+    # dialect-shared SQL forms (the oracle runs the identical text, so
+    # cross-engine certification adds least information), source
+    # round-trips whose oracle-diff runs in-repo, and single-builtin
+    # coverage queries.  All are green in the local driver sim.
+    "q104_top_ngram_fraction",   # q98's already-certified family
+    "q106_pivot_event_matrix",
+    "q107_unpivot_long_form",
+    "q117_recursive_cte_month_series",
+    "q118_percent_rank_cume_dist",
+    "q119_lateral_topn_per_key",
+    "q120_range_interval_frame",
+    "q123_csv_source_roundtrip",
+    "q124_jsonl_source_roundtrip",
+    "q125_string_agg_sorted",
+    "q128_orc_source_roundtrip",
+    "q131_nth_value_lead_default",
+    "q132_bitwise_bool_aggs",
 )
 
 # Queries whose latest green certification predates the current code
@@ -124,12 +136,17 @@ def _ordered_qids() -> list[str]:
     """
     from tidb_gateway_spark.queries import REGISTRY
 
-    def sort_key(qid: str) -> tuple[int, str]:
-        if qid in _CHANGED_FIRST:
-            return (0, qid)
+    changed_rank = {qid: i for i, qid in enumerate(_CHANGED_FIRST)}
+
+    def sort_key(qid: str) -> tuple[int, int, str]:
+        if qid in changed_rank:
+            # tuple POSITION, not qid: _CHANGED_FIRST is priority-ordered
+            # so the certified window covers exactly the highest-stakes
+            # entries (see the tier comments above).
+            return (0, changed_rank[qid], qid)
         if qid[:3] in _STALE_CERT:
-            return (1, qid)
-        return (2, qid)
+            return (1, 0, qid)
+        return (2, 0, qid)
 
     return sorted(REGISTRY, key=sort_key)
 

@@ -1415,3 +1415,56 @@ def test_concurrent_clients_interleave(gateway):
             await c.quit()
 
     run_with_gateway(gateway, scenario)
+
+
+def test_com_refresh_and_debug(gateway):
+    """COM_REFRESH (mysqladmin flush-*) drops the cached table frames
+    and answers OK — the connection keeps working and the next query
+    re-reads; COM_DEBUG answers EOF like mysqld.  Both were relayed
+    opaquely by the reference (gateway/relay.go:47-66); as the engine
+    we own the flush."""
+
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        # warm a cached table through a query
+        (cols, rows), = await c.query("SELECT COUNT(*) AS n FROM nation")
+        assert rows[0][0] == "25"
+        # COM_REFRESH flags=0x01 (REFRESH_GRANT) → OK packet
+        await c.command(C.COM_REFRESH, b"\x01")
+        ok = await c.pio.read_packet()
+        assert ok[0] == 0x00, ok
+        # cache was dropped; query still answers correctly after reload
+        (cols, rows), = await c.query("SELECT COUNT(*) AS n FROM nation")
+        assert rows[0][0] == "25"
+        # COM_DEBUG → EOF
+        await c.command(C.COM_DEBUG)
+        eof = await c.pio.read_packet()
+        assert eof[0] == 0xFE and len(eof) < 9, eof
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)
+
+
+def test_cache_table_via_gateway(gateway):
+    """Spark's CACHE TABLE / UNCACHE TABLE DDL passes through the
+    dialect untouched — a client can pin a hot dimension in executor
+    memory through the wire protocol (the engine-side analog of a
+    backend's buffer pool) and queries keep answering correctly."""
+
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        res = await c.query("CACHE TABLE nation")
+        assert not res[0] or not isinstance(res[0], dict) or \
+            not res[0].get("error"), res
+        (cols, rows), = await c.query(
+            "SELECT COUNT(*) AS n FROM nation")
+        assert rows[0][0] == "25"
+        res = await c.query("UNCACHE TABLE nation")
+        (cols, rows), = await c.query(
+            "SELECT COUNT(*) AS n FROM nation")
+        assert rows[0][0] == "25"
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)

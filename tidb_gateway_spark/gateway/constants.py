@@ -75,6 +75,8 @@ COM_FIELD_LIST = 0x04
 COM_STATISTICS = 0x09         # mysqladmin status: raw-string response
 COM_PROCESS_INFO = 0x0A       # processlist as a resultset (deprecated)
 COM_PROCESS_KILL = 0x0C       # 4-byte LE connection id (deprecated)
+COM_DEBUG = 0x0D              # mysqladmin debug: dump state, EOF reply
+COM_REFRESH = 0x07            # mysqladmin flush-*: 1-byte flags, OK reply
 COM_PING = 0x0E
 COM_CHANGE_USER = 0x11        # pooled-client re-auth on checkout
 COM_STMT_PREPARE = 0x16

@@ -259,6 +259,21 @@ class Gateway:
                         cap, code=C.ER_NO_SUCH_THREAD,
                         message=f"Unknown thread id: {kid}",
                         sqlstate="HY000"))
+            elif cmd == C.COM_REFRESH:
+                # mysqladmin flush-tables/-logs/...: drop cached table
+                # frames so the next query re-reads footers/files, then
+                # OK.  The reference relays it to its backend opaquely
+                # (relay.go:47-66); here the engine IS the backend.
+                from tidb_gateway_spark import catalog as _catalog
+
+                _catalog._table_cache.clear()
+                _catalog._views_registered.pop(id(session.spark), None)
+                pio.write_packet(packets.ok_packet(cap, status=session.status))
+            elif cmd == C.COM_DEBUG:
+                # mysqld dumps debug info server-side and answers EOF
+                log.info("COM_DEBUG: %d sessions, %d questions",
+                         len(self._procs), self.questions)
+                pio.write_packet(packets.eof_packet(cap, session.status))
             elif cmd == C.COM_QUERY:
                 self.questions += 1
                 await self._run_query(pio, session, payload.decode())
@@ -386,7 +401,11 @@ class Gateway:
                     sqlstate="HY000"))
         else:
             df = await self._sql_async(session, dialect.to_spark_sql(stmt))
-            if df is None:
+            if df is None or not df.columns:
+                # Zero-column frames are Spark DDL acks (CACHE TABLE,
+                # CREATE VIEW, REFRESH TABLE, ...) — the MySQL protocol
+                # has no 0-column resultset; answer OK like mysqld does
+                # for DDL.
                 pio.write_packet(packets.ok_packet(cap, status=status))
                 return
             gen = result_encoder.resultset_payloads(

@@ -340,3 +340,237 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("updated"),
         F.sum((F.col("oh") == F.col("nh")).cast("long")).alias("unchanged"),
     )
+
+
+# ---------------------------------------------------------------- Q137
+@register(
+    "q137_outlier_flags",
+    "WITH s AS (SELECT event_type, AVG(value) AS mu, "
+    "STDDEV_SAMP(value) AS sd FROM events GROUP BY event_type) "
+    "SELECT e.event_type, COUNT(*) AS n, "
+    "CAST(SUM(CASE WHEN e.value > s.mu + 3 * s.sd THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS hi, "
+    "CAST(SUM(CASE WHEN e.value < s.mu - 3 * s.sd THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS lo, "
+    "FLOOR((MAX(s.mu) + 3 * MAX(s.sd))*10000 + 0.5)/10000 AS thr_hi "
+    "FROM events e JOIN s ON s.event_type = e.event_type "
+    "GROUP BY e.event_type ORDER BY e.event_type",
+    doc="Statistical outlier detection (3σ rule) — the data-quality "
+        "gate for metric columns: per-type mean/stddev computed in a "
+        "first aggregate (5 rows), broadcast back onto the fact scan, "
+        "rows flagged beyond ±3σ, counts per type. Two passes over "
+        "events but only ONE shuffle of pre-aggregated rows each; the "
+        "stats side is always broadcast-sized (|groups| rows) at any "
+        "data scale — this never becomes a fact-fact join.",
+    tags=("analytics", "quality"),
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd"))
+    j = e.join(F.broadcast(s), "event_type")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("value") > F.col("mu") + 3 * F.col("sd"))
+                .cast("long")).alias("hi"),
+            F.sum(
+                (F.col("value") < F.col("mu") - 3 * F.col("sd"))
+                .cast("long")).alias("lo"),
+            stable_round(
+                F.max("mu") + 3 * F.max("sd"), 4).alias("thr_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------- Q138
+@register(
+    "q138_skew_diagnostics",
+    "WITH k AS (SELECT user_id, COUNT(*) AS c FROM events "
+    "GROUP BY user_id), "
+    "top AS (SELECT user_id, c, ROW_NUMBER() OVER "
+    "(ORDER BY c DESC, user_id) AS rn FROM k) "
+    "SELECT CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS nkeys, "
+    "CAST((SELECT MAX(c) FROM k) AS BIGINT) AS maxc, "
+    "FLOOR((SELECT MAX(c)*1.0/AVG(c) FROM k)*100 + 0.5)/100 AS skew, "
+    "CAST((SELECT SUM(c) FROM top WHERE rn <= 5) AS BIGINT) AS top5 ",
+    doc="Join-key skew diagnostics — the operational report that "
+        "decides between a plain shuffle join, AQE skew split, and "
+        "q121's explicit salting: key cardinality, hottest-key count, "
+        "skew factor (max/avg), and the top-5 key mass for "
+        "events.user_id. One partial-combined groupBy to key counts "
+        "(the shuffle carries one row per key), then metadata-sized "
+        "aggregates — the report costs one scan regardless of fact "
+        "size.",
+    tags=("analytics", "skew"),
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = e.groupBy("user_id").agg(F.count("*").alias("c"))
+    top5 = (
+        k.orderBy(F.desc("c"), "user_id").limit(5)
+        .agg(F.sum("c").alias("top5"))
+    )
+    stats = k.agg(
+        F.count("*").alias("nkeys"),
+        F.max("c").alias("maxc"),
+        stable_round(
+            F.max("c") / F.avg("c"), 2).alias("skew"),
+    )
+    return stats.crossJoin(top5).select("nkeys", "maxc", "skew", "top5")
+
+
+# ---------------------------------------------------------------- Q139
+@register(
+    "q139_levenshtein_verify",
+    "WITH b AS (SELECT LOWER(SUBSTR(text,1,40)) AS p, doc_id, "
+    "SUBSTR(text,1,80) AS t FROM documents), "
+    "pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, "
+    "levenshtein(x.t, y.t) AS d FROM b x JOIN b y "
+    "ON x.p = y.p AND x.doc_id < y.doc_id) "
+    "SELECT CAST(d // 5 AS INT) AS bucket, COUNT(*) AS n "
+    "FROM pairs GROUP BY 1 ORDER BY bucket",
+    doc="Edit-distance verification of near-dup candidates: q62's "
+        "normalized-prefix buckets generate candidate pairs (bucket "
+        "self-join — never all-pairs), then exact Levenshtein over "
+        "80-char prefixes, histogrammed in 5-edit buckets. Levenshtein "
+        "is integer-exact in both engines so the histogram hash-"
+        "matches. The string family's verify stage, parallel to q74's "
+        "set-Jaccard verify — cost ∝ candidate pairs × prefix², "
+        "bounded by the 80-char cap.",
+    tags=("dedup", "text", "similarity"),
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        F.lower(F.substring("text", 1, 40)).alias("p"),
+        F.col("doc_id"),
+        F.substring("text", 1, 80).alias("t"),
+    )
+    x = b.select(F.col("p"), F.col("doc_id").alias("a"),
+                 F.col("t").alias("ta"))
+    y = b.select(F.col("p"), F.col("doc_id").alias("b"),
+                 F.col("t").alias("tb"))
+    pairs = x.join(y, "p").filter(F.col("a") < F.col("b"))
+    return (
+        pairs.select(
+            (F.levenshtein("ta", "tb") / 5).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------- Q140
+_WK_US = 7 * 24 * 3_600_000_000
+
+
+@register(
+    "q140_cohort_retention",
+    "WITH f AS (SELECT user_id, MIN(epoch_us(ts)) // 604800000000 "
+    "AS cw FROM events GROUP BY user_id), "
+    "a AS (SELECT DISTINCT e.user_id, "
+    "epoch_us(e.ts) // 604800000000 AS aw FROM events e) "
+    "SELECT CAST(f.cw AS BIGINT) AS cohort_week, "
+    "CAST(a.aw - f.cw AS BIGINT) AS week_n, "
+    "COUNT(*) AS active_users "
+    "FROM a JOIN f ON f.user_id = a.user_id "
+    "GROUP BY 1, 2 ORDER BY cohort_week, week_n",
+    doc="Cohort retention matrix: users bucketed by first-activity week "
+        "(cohort), counted in each subsequent activity week. Three "
+        "partial-combined aggregates and ONE user-keyed join — the "
+        "cohort frame is |users|-sized (broadcast at dimension scale), "
+        "the activity frame is per-(user, week) distinct, and both "
+        "derive from a single events scan that Catalyst reuses. The "
+        "canonical product-analytics operator the reference served "
+        "only as relayed SQL.",
+    tags=("analytics", "cohort"),
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wk = (F.col("ts_us") / _WK_US).cast("long")
+    f = e.groupBy("user_id").agg(
+        (F.min("ts_us") / _WK_US).cast("long").alias("cw"))
+    a = e.select("user_id", wk.alias("aw")).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("aw") - F.col("cw")).alias("week_n"),
+        )
+        .agg(F.count("*").alias("active_users"))
+        .orderBy("cohort_week", "week_n")
+    )
+
+
+# ---------------------------------------------------------------- Q141
+@register(
+    "q141_point_in_time_join",
+    # Synthetic SCD2 dimension: each customer's account-balance history
+    # as 3 deterministic versions with validity windows carved from the
+    # order-date range; orders join to the version valid AT order time.
+    # All boundary arithmetic is INTEGER epoch-micros (interval
+    # multiply/divide rounds differently across engines).
+    "WITH span AS (SELECT epoch_us(MIN(o_orderdate)) AS lo, "
+    "epoch_us(MAX(o_orderdate)) AS hi FROM orders), "
+    "ver AS (SELECT c_custkey, v, "
+    "lo + ((hi - lo) * (v - 1)) // 3 AS from_us, "
+    "CASE WHEN v = 3 THEN hi + 1 "
+    "ELSE lo + ((hi - lo) * v) // 3 END AS to_us, "
+    "c_acctbal * v AS bal_v "
+    "FROM customer, span, (SELECT UNNEST([1,2,3]) AS v)), "
+    "pit AS (SELECT o.o_orderkey, ver.v, ver.bal_v FROM orders o "
+    "JOIN ver ON ver.c_custkey = o.o_custkey "
+    "AND epoch_us(o.o_orderdate) >= ver.from_us "
+    "AND epoch_us(o.o_orderdate) < ver.to_us) "
+    "SELECT CAST(v AS INT) AS v, COUNT(*) AS n, "
+    "FLOOR(SUM(bal_v)*100 + 0.5)/100 AS s "
+    "FROM pit GROUP BY v ORDER BY v",
+    doc="Point-in-time (SCD2 / feature-store) join: each order matched "
+        "to the dimension VERSION valid at its order date — the "
+        "temporal-correctness join that prevents feature leakage in "
+        "training pipelines. The dimension's validity windows are "
+        "non-overlapping, so the range predicate rides the c_custkey "
+        "equi-join (hash join + residual filter — never a nested-loop "
+        "range join); at 100 TB the version table is dimension-sized "
+        "and the fact side never shuffles more than once. Validity "
+        "boundaries are integer epoch-micros carved deterministically "
+        "from the order-date span (interval multiply/divide rounds "
+        "differently across engines; integer DIV does not).",
+    tags=("join", "temporal", "scd2"),
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    span = o.agg(
+        F.unix_micros(F.min("o_orderdate").cast("timestamp")).alias("lo"),
+        F.unix_micros(F.max("o_orderdate").cast("timestamp")).alias("hi"))
+    v = spark.range(1, 4).select(F.col("id").cast("int").alias("v"))
+    ver = (
+        c.crossJoin(F.broadcast(span)).crossJoin(F.broadcast(v))
+        .select(
+            "c_custkey", "v",
+            (F.col("lo") + F.expr("((hi - lo) * (v - 1)) DIV 3")
+             ).alias("from_us"),
+            F.when(F.col("v") == 3, F.col("hi") + 1)
+            .otherwise(F.col("lo") + F.expr("((hi - lo) * v) DIV 3"))
+            .alias("to_us"),
+            (F.col("c_acctbal") * F.col("v")).alias("bal_v"),
+        )
+    )
+    ous = F.unix_micros(o.o_orderdate.cast("timestamp"))
+    pit = o.join(
+        ver,
+        (ver.c_custkey == o.o_custkey)
+        & (ous >= ver.from_us)
+        & (ous < ver.to_us),
+    )
+    return (
+        pit.groupBy("v")
+        .agg(F.count("*").alias("n"),
+             stable_round(F.sum("bal_v"), 2).alias("s"))
+        .orderBy("v")
+    )
