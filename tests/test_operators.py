@@ -821,3 +821,19 @@ def test_udtf_matches_builtin_explode(spark, sf_dir):
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, want.collect()))
     assert a == b and len(a) > 0
+
+
+def test_with_recursive_matches_sequence(spark, sf_dir):
+    """Spark 4 WITH RECURSIVE capability: the recursive-CTE month
+    series (q117's oracle text) must equal the declared sequence()
+    form.  The declared query benches the one-job plan; this test
+    keeps the recursion feature itself exercised."""
+    from tidb_gateway_spark.catalog import register_views
+    from tidb_gateway_spark.queries import REGISTRY
+    from tidb_gateway_spark.queries.subqueries import _Q117_SQL
+
+    register_views(spark, sf_dir)
+    rec = sorted(map(tuple, spark.sql(_Q117_SQL).collect()))
+    seq = sorted(map(tuple, REGISTRY[
+        "q117_recursive_cte_month_series"].spark(spark, sf_dir).collect()))
+    assert rec == seq and len(rec) > 0

@@ -280,3 +280,20 @@ def test_q121_salted_join_spreads_hot_key(spark, sf_dir):
     df = REGISTRY["q121_salted_skew_join"].spark(spark, sf_dir)
     plan = inspect.explain_formatted(df)
     assert "_salt" in plan, "salt column absent from physical plan"
+
+
+def test_q141_pit_join_is_hash_on_equikey(spark, sf_dir):
+    """The point-in-time join must plan as a HASH join on the c_custkey
+    equi component with the validity range as a residual filter — never
+    a nested-loop range join over the fact table.  (The two
+    BroadcastNestedLoopJoins in the plan are the 1-row span and 3-row
+    version-number broadcasts — metadata, not data paths.)"""
+    df = REGISTRY["q141_point_in_time_join"].spark(spark, sf_dir)
+    plan = inspect.explain_formatted(df)
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan), plan[:1500]
+    # the equi key must be the join key, range must be residual: no
+    # nested-loop join may touch both orders and the versioned dim
+    for line in plan.splitlines():
+        if "NestedLoop" in line:
+            assert "custkey" not in line, line
