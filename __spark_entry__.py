@@ -70,8 +70,6 @@ _CHANGED_FIRST = (
     "q112_hypertable_rollup",
     "q113_kmv_distinct_sketch",
     "q114_simhash_multiprobe_pairs",
-    "q115_distribution_drift_psi",
-    "q116_full_data_recipe",
     "q121_salted_skew_join",
     "q122_ttr_quality_battery",
     "q126_map_aggregate_functions",
@@ -87,12 +85,16 @@ _CHANGED_FIRST = (
     "q139_levenshtein_verify",
     "q140_cohort_retention",
     "q141_point_in_time_join",
+    "q142_hof_vector_stats",
+    "q143_approx_percentile_bounds",
     # Tier 3 — beyond the 50-slot window this round (deferred to r6):
     # dialect-shared SQL forms (the oracle runs the identical text, so
     # cross-engine certification adds least information), source
     # round-trips whose oracle-diff runs in-repo, and single-builtin
     # coverage queries.  All are green in the local driver sim.
     "q104_top_ngram_fraction",   # q98's already-certified family
+    "q115_distribution_drift_psi",  # single-scan conditional agg
+    "q116_full_data_recipe",     # composes already-certified stages
     "q106_pivot_event_matrix",
     "q107_unpivot_long_form",
     "q117_recursive_cte_month_series",

@@ -1113,3 +1113,99 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("b.q") * 10000 + 0.5).cast("long")
         ).alias("qsum"),
     )
+
+
+# ---------------------------------------------------------------- Q142
+_Q142_ORACLE = (
+    "WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e "
+    "FROM embeddings), "
+    "per AS (SELECT label, "
+    "len(list_filter(e, x -> x > 0)) * 1.0 / len(e) AS posfrac, "
+    "list_sum(list_transform(e, x -> abs(x))) AS l1, "
+    "(CASE WHEN len(list_filter(e, x -> abs(x) > 1)) = 0 "
+    "THEN 1 ELSE 0 END) AS bounded, "
+    "(CASE WHEN len(list_filter(e, x -> x > 0.25)) > 0 "
+    "THEN 1 ELSE 0 END) AS hot FROM v) "
+    "SELECT label, COUNT(*) AS n, "
+    "FLOOR(AVG(posfrac)*10000 + 0.5)/10000 AS pf, "
+    "FLOOR(AVG(l1)*10000 + 0.5)/10000 AS al1, "
+    "CAST(SUM(bounded) AS BIGINT) AS nb, CAST(SUM(hot) AS BIGINT) AS nh "
+    "FROM per GROUP BY label ORDER BY label"
+)
+
+
+@register(
+    "q142_hof_vector_stats",
+    _Q142_ORACLE,
+    doc="Higher-order-function family over array<float> vectors "
+        "(transform/filter/aggregate/forall/exists — the Spark "
+        "primitives every custom vector op composes from): per-label "
+        "positive-dim fraction, L1 norm, bounded-ness (forall |x|≤1) "
+        "and hot-dim (exists x>0.25) counts. Elements are cast "
+        "float→double BEFORE reduction (exact) and each row reduces in "
+        "array order, so per-row values are bit-identical cross-engine. "
+        "One scan, one |labels|-row aggregate; HOFs run on the JVM "
+        "inside the scan stage (no Python worker round-trip).",
+    tags=("similarity", "hof", "llm"),
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    per = e.select(
+        "label",
+        (F.size(F.filter(ed, lambda x: x > 0))
+         / F.size(ed)).alias("posfrac"),
+        F.aggregate(
+            ed, F.lit(0.0), lambda a, x: a + F.abs(x)).alias("l1"),
+        F.forall(ed, lambda x: F.abs(x) <= 1).cast("long").alias("bounded"),
+        F.exists(ed, lambda x: x > 0.25).cast("long").alias("hot"),
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            stable_round(F.avg("posfrac"), 4).alias("pf"),
+            stable_round(F.avg("l1"), 4).alias("al1"),
+            F.sum("bounded").alias("nb"),
+            F.sum("hot").alias("nh"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------- Q143
+@register(
+    "q143_approx_percentile_bounds",
+    "SELECT FLOOR(quantile_cont(o_totalprice, 0.5)*100 + 0.5)/100 "
+    "AS p50, "
+    "FLOOR(quantile_cont(o_totalprice, 0.95)*100 + 0.5)/100 AS p95, "
+    "TRUE AS ok50, TRUE AS ok95 FROM orders",
+    doc="Approximate percentiles (Greenwald-Khanna sketch, "
+        "percentile_approx) certified by ERROR BOUND like q129's HLL: "
+        "sketch internals are engine-specific, so the declared output "
+        "is the exact interpolated percentiles plus booleans asserting "
+        "the approx lands within 1% relative error (accuracy=10000 → "
+        "rank error ≤ n/10000; deterministic per dataset, not flaky). "
+        "At 100 TB the sketch is THE percentile path: fixed-size "
+        "mergeable state per partition vs a global sort.",
+    tags=("agg", "approx", "percentile"),
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("e50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("e95"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("a50"),
+        F.expr("percentile_approx(o_totalprice, 0.95, 10000)").alias("a95"),
+    )
+
+    def ok(approx, exact):
+        return (F.abs(F.col(approx) - F.col(exact))
+                / F.col(exact) <= F.lit(0.01))
+
+    return a.select(
+        stable_round(F.col("e50"), 2).alias("p50"),
+        stable_round(F.col("e95"), 2).alias("p95"),
+        ok("a50", "e50").alias("ok50"),
+        ok("a95", "e95").alias("ok95"),
+    )
