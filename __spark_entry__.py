@@ -107,6 +107,11 @@ _CHANGED_FIRST = (
     "q128_orc_source_roundtrip",
     "q131_nth_value_lead_default",
     "q132_bitwise_bool_aggs",
+    "q144_asof_join_forward",
+    "q145_ratio_to_report",
+    "q146_grouping_id_rollup",
+    "q147_try_cast_dirty_parse",
+    "q148_union_by_name_missing_cols",
 )
 
 # Queries whose latest green certification predates the current code

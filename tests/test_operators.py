@@ -837,3 +837,22 @@ def test_with_recursive_matches_sequence(spark, sf_dir):
     seq = sorted(map(tuple, REGISTRY[
         "q117_recursive_cte_month_series"].spark(spark, sf_dir).collect()))
     assert rec == seq and len(rec) > 0
+
+
+def test_salted_join_set_equals_plain_join(spark):
+    """operators/skew.py:salted_join must be SET-identical to the plain
+    join for any salt width, including hot-key distributions (one key
+    holding most rows — the case salting exists for)."""
+    from tidb_gateway_spark.operators.skew import salted_join
+
+    rows = [(i, i % 3 if i % 10 else 0, float(i)) for i in range(500)]
+    probe = spark.createDataFrame(rows, "rid long, k long, v double")
+    build = spark.createDataFrame(
+        [(0, "hot"), (1, "a"), (2, "b"), (9, "unmatched")],
+        "k long, name string")
+    for n_salt in (1, 4, 16):
+        got = sorted(map(tuple, salted_join(
+            probe, build, "k", n_salt=n_salt,
+            salt_on=F.col("rid")).collect()))
+        want = sorted(map(tuple, probe.join(build, "k").collect()))
+        assert got == want, n_salt

@@ -171,6 +171,13 @@ def simhash(words: DataFrame, bits: int = 16, id_col: str = "doc_id") -> DataFra
 
     Bit j is the sign of the sum over words of ±1 — +1 when hex digit j
     of md5(word) has its top bit set.  One groupBy shuffle.
+
+    Production note: the md5-hex-substring bit derivation exists for
+    cross-engine oracle parity (DuckDB reproduces it in SQL).  A
+    pipeline that owns both ends would use ``xxhash64(word)`` and
+    integer bit-ops — one 64-bit hash and shifts instead of 16 string
+    substrings — with identical plan shape and ~2-3× less scan CPU;
+    the signature semantics (sign of per-bit sums) are unchanged.
     """
     bit_aggs = [
         F.sum(

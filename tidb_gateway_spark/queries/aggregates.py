@@ -395,3 +395,65 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q146_grouping_id_rollup",
+    "SELECT o_orderpriority, o_orderstatus, "
+    "CAST(GROUPING(o_orderpriority) AS INT) AS gp, "
+    "CAST(GROUPING(o_orderstatus) AS INT) AS gs, "
+    "COUNT(*) AS n FROM orders "
+    "GROUP BY ROLLUP (o_orderpriority, o_orderstatus) "
+    "ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST",
+    doc="GROUPING() indicator columns over ROLLUP — distinguishes 'the "
+        "NULL group value' from 'the rollup superaggregate row', which "
+        "raw NULLs cannot (the standard's answer to ambiguous rollup "
+        "output, and what BI tools key subtotal rendering on). Same "
+        "Expand-fed single aggregate as q27; the indicators are "
+        "computed from the grouping-set id, zero extra cost.",
+    tags=("agg", "rollup"),
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("gp"),
+            F.grouping("o_orderstatus").cast("int").alias("gs"),
+            F.count("*").alias("n"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "gp", "gs", "n")
+        .orderBy(F.asc_nulls_first("o_orderpriority"),
+                 F.asc_nulls_first("o_orderstatus"))
+    )
+
+
+@register(
+    "q147_try_cast_dirty_parse",
+    "WITH raw AS (SELECT CASE WHEN doc_id % 7 = 0 "
+    "THEN 'x' || CAST(n_chars AS VARCHAR) "
+    "ELSE CAST(n_chars AS VARCHAR) END AS s FROM documents), "
+    "p AS (SELECT TRY_CAST(s AS BIGINT) AS v FROM raw) "
+    "SELECT COUNT(*) AS total, "
+    "CAST(COUNT(*) FILTER (WHERE v IS NULL) AS BIGINT) AS bad, "
+    "CAST(SUM(v) AS BIGINT) AS s FROM p",
+    doc="Error-safe casting (TRY_CAST) over a deterministically dirtied "
+        "column — the dirty-data ingestion primitive: malformed values "
+        "become NULL instead of failing the job (Spark's ANSI-mode CAST "
+        "would throw; a 100 TB ingest cannot die on row 3 billion). "
+        "Declared output counts the rejects and checksums the parsed "
+        "values. Single scan, codegen'd.",
+    tags=("scalar", "cast", "quality"),
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("x"), F.col("n_chars").cast("string")),
+    ).otherwise(F.col("n_chars").cast("string"))
+    p = d.select(s.try_cast("bigint").alias("v"))
+    return p.agg(
+        F.count("*").alias("total"),
+        F.sum(F.col("v").isNull().cast("long")).alias("bad"),
+        F.sum("v").alias("s"),
+    )

@@ -344,3 +344,34 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q144_asof_join_forward",
+    "SELECT e.event_id, "
+    "(SELECT MIN(e2.event_id) FROM events e2 "
+    " WHERE e2.user_id = e.user_id AND e2.ts > e.ts) AS next_id "
+    "FROM events e WHERE e.event_type = 'signup' ORDER BY e.event_id",
+    doc="FORWARD as-of join (earliest later event per key) — q20's "
+        "mirror, completing the as-of family in both directions "
+        "(DuckDB ASOF JOIN supports backward and forward; the engine "
+        "expresses both as ONE user_id shuffle + a RANGE frame on "
+        "epoch-micros, here the (1, unbounded-following) frame). The "
+        "oracle keeps the O(n²)-ish correlated-subquery form for "
+        "contrast. MIN of event_id over the strictly-later frame "
+        "breaks ts ties identically in both engines.",
+    tags=("join", "window", "asof"),
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        e.withColumn("next_id", F.min("event_id").over(w))
+        .filter(F.col("event_type") == "signup")
+        .select("event_id", "next_id")
+        .orderBy("event_id")
+    )

@@ -119,3 +119,39 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
         "l_returnflag", "l_linestatus"
     )
+
+
+@register(
+    "q148_union_by_name_missing_cols",
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(COUNT(value) AS BIGINT) AS with_value, "
+    "CAST(COUNT(user_id) AS BIGINT) AS with_user "
+    "FROM ("
+    "SELECT event_type, value, NULL::BIGINT AS user_id FROM events "
+    "WHERE event_id % 2 = 0 "
+    "UNION ALL BY NAME "
+    "SELECT user_id, event_type, NULL::DOUBLE AS value FROM events "
+    "WHERE event_id % 2 = 1"
+    ") GROUP BY event_type ORDER BY event_type",
+    doc="Schema-evolution union (unionByName with "
+        "allowMissingColumns=True): two projections with different "
+        "column sets and ORDERS union by NAME, absent columns "
+        "null-filled — the batch form of reading mixed-schema-version "
+        "data, which positional UNION silently corrupts. The COUNT(col) "
+        "split proves the null-fill landed on the right sides.",
+    tags=("set", "schema"),
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_id") % 2 == 0).select("event_type", "value")
+    b = e.filter(F.col("event_id") % 2 == 1).select("user_id", "event_type")
+    u = a.unionByName(b, allowMissingColumns=True)
+    return (
+        u.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("value").alias("with_value"),
+            F.count("user_id").alias("with_user"),
+        )
+        .orderBy("event_type")
+    )

@@ -324,3 +324,38 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") % 199 == 0)
         .orderBy("event_id")
     )
+
+
+@register(
+    "q145_ratio_to_report",
+    "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n, "
+    "FLOOR((COUNT(*) * 1.0 / SUM(COUNT(*)) OVER "
+    "(PARTITION BY o_orderpriority))*10000 + 0.5)/10000 AS share, "
+    "FLOOR((COUNT(*) * 1.0 / SUM(COUNT(*)) OVER ())*10000 + 0.5)/10000 "
+    "AS share_total "
+    "FROM orders GROUP BY o_orderpriority, o_orderstatus "
+    "ORDER BY o_orderpriority, o_orderstatus",
+    doc="Ratio-to-report (percent-of-total window over an aggregate): "
+        "each (priority, status) cell's share of its priority group and "
+        "of the grand total — window functions OVER a groupBy result, "
+        "the classic reporting composition. The windows run on the "
+        "|groups|-sized aggregate, never on the fact table; the "
+        "grand-total window is a single-partition pass over group rows "
+        "only (bounded by cell count, not data).",
+    tags=("window", "agg"),
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n"))
+    wp = Window.partitionBy("o_orderpriority")
+    wt = Window.partitionBy()
+    return (
+        g.select(
+            "o_orderpriority", "o_orderstatus", "n",
+            stable_round(F.col("n") / F.sum("n").over(wp), 4).alias("share"),
+            stable_round(
+                F.col("n") / F.sum("n").over(wt), 4).alias("share_total"),
+        )
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
