@@ -72,7 +72,6 @@ _CHANGED_FIRST = (
     "q114_simhash_multiprobe_pairs",
     "q121_salted_skew_join",
     "q122_ttr_quality_battery",
-    "q126_map_aggregate_functions",
     "q127_runtime_bloom_filter_join",
     "q129_approx_distinct_bounds",
     "q130_canonical_doc_per_cluster",
@@ -81,12 +80,13 @@ _CHANGED_FIRST = (
     "q135_rolling_distinct_types",
     "q136_snapshot_diff_cdc",
     "q137_outlier_flags",
-    "q138_skew_diagnostics",
     "q139_levenshtein_verify",
     "q140_cohort_retention",
     "q141_point_in_time_join",
     "q142_hof_vector_stats",
     "q143_approx_percentile_bounds",
+    "q149_audio_feature_stub",
+    "q150_matryoshka_truncation_eval",
     # Tier 3 — beyond the 50-slot window this round (deferred to r6):
     # dialect-shared SQL forms (the oracle runs the identical text, so
     # cross-engine certification adds least information), source
@@ -94,6 +94,8 @@ _CHANGED_FIRST = (
     # coverage queries.  All are green in the local driver sim.
     "q104_top_ngram_fraction",   # q98's already-certified family
     "q115_distribution_drift_psi",  # single-scan conditional agg
+    "q126_map_aggregate_functions",  # builtin map-fn coverage
+    "q138_skew_diagnostics",     # simple aggregates (q121 stays in)
     "q116_full_data_recipe",     # composes already-certified stages
     "q106_pivot_event_matrix",
     "q107_unpivot_long_form",

@@ -209,3 +209,55 @@ def resize_stub(df: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFram
             "plumbing end-to-end"
         )
     raise NotImplementedError("real codec path not implemented")
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms_q", T.LongType()),
+    ]
+)
+
+_RATES = (16000, 22050, 44100)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """(doc_id, payload) → per-clip audio features via Arrow-batched
+    ``mapInPandas`` — the audio leg of the multimodal triple (image
+    q108 / video q109 / audio here).  The waveform "decode" is the
+    documented deterministic stub (payload bytes AS 8-bit samples; a
+    real build calls soundfile/ffmpeg in its place — one-function
+    swap); the feature math (RMS loudness over samples) is real and
+    integer-quantized (sum of squares — exact in int64) so the oracle
+    recomputes it bit-identically from the same hex bytes.
+
+    100 TB: identical plan to decode_metadata — Arrow batches through
+    one Python worker per core, no driver materialization; at GPU
+    scale this stage carries ``spark.task.resource.gpu.amount`` and
+    the batch loop feeds an encoder instead.
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rates = (16000, 22050, 44100)
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                samples = list(p)  # stub: bytes as 8-bit samples
+                rows.append(
+                    (
+                        doc_id,
+                        rates[p[0] % 3],
+                        len(samples),
+                        # integer sum of squared (centered) samples —
+                        # exact, no float in the cross-engine contract
+                        sum((s - 128) * (s - 128) for s in samples),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_samples",
+                               "rms_q"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(feats, AUDIO_SCHEMA)

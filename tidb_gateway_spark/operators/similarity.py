@@ -543,3 +543,57 @@ def ann_query(index: DataFrame, bucket: int, qvec: list[float], k: int = 5,
         .orderBy(F.desc("dp"), F.asc(id_col))
         .limit(k)
     )
+
+
+def matryoshka_nn_pairs(corpus: DataFrame, probes: list[tuple[int, list[float]]],
+                        trunc_dims: int, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Per-probe exact top-1 neighbor under BOTH the full inner product
+    and its first-``trunc_dims`` truncation, in ONE corpus pass —
+    the Matryoshka-embedding retrieval-quality evaluation.
+
+    Same sanctioned-Python shape as :func:`cosine_nn_arrow`: the probe
+    matrix broadcasts in the task closure, each Arrow batch does two
+    BLAS matmuls (full + truncated slice) and emits one partial-argmax
+    row per probe per measure; the final reduction is a JVM
+    ``max(struct)``.  Shuffle volume is O(batches × probes), corpus
+    scanned once.  Ties break toward the lowest neighbor id.
+    """
+    import numpy as np
+
+    P = np.array([v for _, v in probes], dtype=np.float64).T   # dim × q
+    Pt = P[:trunc_dims, :]
+    qids = [int(q) for q, _ in probes]
+
+    def partial(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            Sf = M @ P
+            St = M[:, :trunc_dims] @ Pt
+            rows = []
+            for j, qid in enumerate(qids):
+                for tag, S in (("f", Sf), ("t", St)):
+                    col = S[:, j].copy()
+                    col[ids == qid] = -np.inf
+                    mx = col.max()
+                    if mx == -np.inf:
+                        continue
+                    rows.append((qid, tag, int(ids[col == mx].min()),
+                                 float(mx)))
+            yield pd.DataFrame(rows, columns=["qid", "m", "nn", "dp"])
+
+    partials = corpus.select(id_col, vec_col).mapInPandas(
+        partial, schema="qid long, m string, nn long, dp double")
+    best = partials.groupBy("qid", "m").agg(
+        F.max(F.struct(F.col("dp"), (-F.col("nn")).alias("neg"))).alias("b"))
+    per = best.select("qid", "m", (-F.col("b.neg")).alias("nn"))
+    f = per.filter(F.col("m") == "f").select("qid", F.col("nn").alias("nn_full"))
+    t = per.filter(F.col("m") == "t").select("qid", F.col("nn").alias("nn_trunc"))
+    return f.join(t, "qid").select(
+        "qid", "nn_full", "nn_trunc",
+        (F.col("nn_full") == F.col("nn_trunc")).alias("agree"))

@@ -1209,3 +1209,50 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("a50", "e50").alias("ok50"),
         ok("a95", "e95").alias("ok95"),
     )
+
+
+# ---------------------------------------------------------------- Q150
+_Q150_ORACLE = (
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+    "FROM embeddings), "
+    "q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 20), "
+    "c AS (SELECT vec_id, e FROM v), "
+    "dp AS (SELECT q.qid, c.vec_id, "
+    "list_dot_product(q.qe, c.e) AS df, "
+    "list_dot_product(q.qe[1:16], c.e[1:16]) AS dt "
+    "FROM q JOIN c ON c.vec_id <> q.qid), "
+    "rf AS (SELECT qid, vec_id, ROW_NUMBER() OVER "
+    "(PARTITION BY qid ORDER BY df DESC, vec_id) AS r FROM dp), "
+    "rt AS (SELECT qid, vec_id, ROW_NUMBER() OVER "
+    "(PARTITION BY qid ORDER BY dt DESC, vec_id) AS r FROM dp) "
+    "SELECT rf.qid, rf.vec_id AS nn_full, rt.vec_id AS nn_trunc, "
+    "(rf.vec_id = rt.vec_id) AS agree "
+    "FROM rf JOIN rt ON rt.qid = rf.qid AND rt.r = 1 "
+    "WHERE rf.r = 1 ORDER BY rf.qid"
+)
+
+
+@register(
+    "q150_matryoshka_truncation_eval",
+    _Q150_ORACLE,
+    doc="Matryoshka-embedding evaluation: for each probe, the exact "
+        "top-1 neighbor under the FULL 64-dim inner product vs under "
+        "the first-16-dims TRUNCATION — the retrieval-quality check "
+        "run before shipping truncated embeddings (4× storage/FLOPs "
+        "cut). Both dots come from ONE corpus scan (zip_with+aggregate "
+        "per row, float→double cast, array-order reduction — "
+        "bit-identical cross-engine); per-probe argmax is the same "
+        "max(struct) aggregate as q75, never a global sort. At 100 TB "
+        "the probe side broadcasts and the corpus partitions the scan.",
+    tags=("similarity", "llm", "ann", "matryoshka"),
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.similarity import matryoshka_nn_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < 20)
+        .select("vec_id", "embedding").collect()
+    ]  # sanctioned collect: ≤20 probe vectors (metadata-sized)
+    return matryoshka_nn_pairs(e, probes, trunc_dims=16).orderBy("qid")

@@ -106,3 +106,42 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring("frame_key", 1, 8), 16, 10).cast("bigint")
         ).alias("ck"),
     )
+
+
+# ---------------------------------------------------------------- Q149
+_Q149_RMS = " + ".join(
+    f"({_ddb_byte(k)} - 128) * ({_ddb_byte(k)} - 128)" for k in range(16)
+)
+_Q149_ORACLE = (
+    "WITH hx AS (SELECT md5(text) AS h FROM documents), "
+    f"a AS (SELECT (CASE {_ddb_byte(0)} % 3 WHEN 0 THEN 16000 "
+    "WHEN 1 THEN 22050 ELSE 44100 END) AS sample_rate, "
+    f"CAST({_Q149_RMS} AS BIGINT) AS rms_q FROM hx) "
+    "SELECT CAST(sample_rate AS INT) AS sample_rate, COUNT(*) AS n, "
+    "CAST(SUM(rms_q) AS BIGINT) AS energy "
+    "FROM a GROUP BY 1 ORDER BY sample_rate"
+)
+
+
+@register(
+    "q149_audio_feature_stub",
+    _Q149_ORACLE,
+    doc="Audio leg of the multimodal triple (image q108 / video q109 / "
+        "audio here): synthetic payload → Arrow-batched mapInPandas "
+        "feature extraction (operators/multimodal.py:"
+        "extract_audio_features) → per-sample-rate clip counts and "
+        "integer-quantized RMS energy. The waveform decode is the "
+        "documented stub (bytes as 8-bit samples); the energy sum is "
+        "integer-exact, so the oracle recomputes the whole mapInPandas "
+        "path from md5 hex bit-identically.",
+    tags=("multimodal", "llm", "pandas_udf", "audio"),
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feats = multimodal.extract_audio_features(
+        multimodal.with_synthetic_binary(d))
+    return (
+        feats.groupBy("sample_rate")
+        .agg(F.count("*").alias("n"), F.sum("rms_q").alias("energy"))
+        .orderBy("sample_rate")
+    )
