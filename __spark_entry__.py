@@ -64,9 +64,7 @@ _CHANGED_FIRST = (
     "q103_ngram_decontamination",
     "q105_training_shuffle_shards",
     "q108_multimodal_feature_extract",
-    "q109_video_frame_sampling",
     "q110_balanced_sample_per_stratum",
-    "q111_curriculum_quartiles",
     "q112_hypertable_rollup",
     "q113_kmv_distinct_sketch",
     "q114_simhash_multiprobe_pairs",
@@ -87,6 +85,8 @@ _CHANGED_FIRST = (
     "q143_approx_percentile_bounds",
     "q149_audio_feature_stub",
     "q150_matryoshka_truncation_eval",
+    "q151_temperature_mixture",
+    "q152_bigram_lm_score",
     # Tier 3 — beyond the 50-slot window this round (deferred to r6):
     # dialect-shared SQL forms (the oracle runs the identical text, so
     # cross-engine certification adds least information), source
@@ -95,6 +95,8 @@ _CHANGED_FIRST = (
     "q104_top_ngram_fraction",   # q98's already-certified family
     "q115_distribution_drift_psi",  # single-scan conditional agg
     "q126_map_aggregate_functions",  # builtin map-fn coverage
+    "q109_video_frame_sampling",  # q108's mapInPandas family stays in
+    "q111_curriculum_quartiles",  # ntile family certified via q37
     "q138_skew_diagnostics",     # simple aggregates (q121 stays in)
     "q116_full_data_recipe",     # composes already-certified stages
     "q106_pivot_event_matrix",

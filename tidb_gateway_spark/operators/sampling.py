@@ -97,3 +97,36 @@ def k_per_stratum(df: DataFrame, key: str, stratum: str, k: int,
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
     )
+
+
+def temperature_rates_bps(counts: dict[str, int], T: float,
+                          total_bps: int = 10_000) -> dict[str, int]:
+    """Temperature-scaled mixture weights (the multilingual-sampling
+    rule p_i ∝ n_i^(1/T)): convert observed stratum counts into
+    per-stratum KEEP rates (basis points) such that the EXPECTED
+    post-sample mixture follows the tempered distribution, scaled so
+    the largest rate is ``total_bps`` (keep-everything for the most
+    upweighted stratum, downsample the rest proportionally).
+
+    T=1 reproduces the natural distribution (all rates equal); T→∞
+    approaches uniform (rare strata upweighted).  Pure integer/driver
+    math over a |strata|-sized dict — the rates then feed
+    :func:`mixture_resample`'s single filtered scan, so the whole
+    operator stays one pass at any corpus size.
+    """
+    if not counts:
+        return {}
+    tempered = {s: n ** (1.0 / T) for s, n in counts.items() if n > 0}
+    # expected kept mass per stratum k_s = n_s * rate_s; want
+    # k_s ∝ tempered_s  →  rate_s ∝ tempered_s / n_s, normalized so
+    # max rate = total_bps.
+    raw = {s: tempered[s] / counts[s] for s in tempered}
+    mx = max(raw.values())
+    # floor(x + 0.5), not round(): Python rounds half-even, SQL engines
+    # half-away — the oracle recomputes these rates in SQL.
+    import math
+
+    return {
+        s: max(1, int(math.floor(r / mx * total_bps + 0.5)))
+        for s, r in raw.items()
+    }

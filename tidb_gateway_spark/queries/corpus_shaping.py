@@ -646,3 +646,124 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------- Q151
+_Q151_T = 2.0
+_Q151_ORACLE = (
+    # recompute the tempered rates in SQL: rate_s ∝ (n_s^(1/T)) / n_s,
+    # normalized to max=10000, floor(x+0.5), min 1 — then the same
+    # md5-basis-point keep rule as q97's oracle.
+    "WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang), "
+    f"raw AS (SELECT lang, n, POW(n, 1.0/{_Q151_T}) / n AS r FROM cnt), "
+    "mx AS (SELECT MAX(r) AS m FROM raw), "
+    "rates AS (SELECT lang, n, GREATEST(1, CAST(FLOOR(r / m * 10000 + 0.5) "
+    "AS BIGINT)) AS bps FROM raw, mx), "
+    "kept AS (SELECT d.lang, COUNT(*) AS k FROM documents d "
+    "JOIN rates t ON t.lang = d.lang "
+    "WHERE CAST(('0x' || substr(md5('mixT|' || CAST(d.doc_id AS VARCHAR)), "
+    "1, 8)) AS BIGINT) % 10000 < t.bps GROUP BY d.lang) "
+    "SELECT r.lang, CAST(r.n AS BIGINT) AS total, "
+    "CAST(r.bps AS BIGINT) AS bps, CAST(COALESCE(k.k, 0) AS BIGINT) AS kept "
+    "FROM rates r LEFT JOIN kept k ON k.lang = r.lang ORDER BY r.lang"
+)
+
+
+@register(
+    "q151_temperature_mixture",
+    _Q151_ORACLE,
+    doc="Temperature-scaled mixture sampling (the multilingual p_i ∝ "
+        "n_i^(1/T) rule, T=2): per-language keep rates derived from "
+        "observed counts (operators/sampling.py:temperature_rates_bps "
+        "— |strata|-sized driver math, floor(x+0.5) for cross-engine "
+        "rounding), applied via the q97 deterministic hash-keep rule. "
+        "Rare languages keep more, dominant ones downsample — the "
+        "data-recipe rebalancing step. Two scans (count, filter), zero "
+        "joins on the data path; the rates map is a literal expression.",
+    tags=("sampling", "llm", "mixture"),
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.sampling import (
+        mixture_keep, temperature_rates_bps)
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }  # sanctioned collect: |languages| rows
+    rates = temperature_rates_bps(counts, T=_Q151_T)
+    kept = (
+        d.filter(mixture_keep(F.col("doc_id"), F.col("lang"), rates,
+                              salt="mixT"))
+        .groupBy("lang").agg(F.count("*").alias("kept"))
+    )
+    totals = spark.createDataFrame(
+        [(lang, counts[lang], rates[lang]) for lang in sorted(counts)],
+        "lang string, total long, bps long")
+    return (
+        totals.join(kept, "lang", "left")
+        .select("lang", "total", "bps",
+                F.coalesce("kept", F.lit(0)).alias("kept"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------- Q152
+_Q152_ORACLE = (
+    f"WITH {_DDB_WL}, "
+    "uni AS (SELECT w1, COUNT(*) AS c1 FROM "
+    "(SELECT UNNEST(wl) AS w1 FROM wl) GROUP BY w1), "
+    "vocab AS (SELECT COUNT(*) AS v FROM uni), "
+    f"{_DDB_BG}, "
+    "bgc AS (SELECT w, COUNT(*) AS c12 FROM bg GROUP BY w), "
+    "scored AS (SELECT b.doc_id, "
+    "LN((bgc.c12 + 1.0) / (uni.c1 + vocab.v)) AS lp "
+    "FROM bg b JOIN bgc ON bgc.w = b.w "
+    "JOIN uni ON uni.w1 = string_split(b.w, ' ')[1], vocab), "
+    "per AS (SELECT doc_id, AVG(lp) AS alp FROM scored GROUP BY doc_id) "
+    "SELECT CAST(FLOOR(alp) AS INT) AS bucket, COUNT(*) AS nd "
+    "FROM per GROUP BY 1 ORDER BY bucket"
+)
+
+
+@register(
+    "q152_bigram_lm_score",
+    _Q152_ORACLE,
+    doc="Bigram language-model quality scoring (the CCNet/KenLM "
+        "perplexity-filter shape): corpus-trained add-1-smoothed "
+        "bigram logprobs ln((c12+1)/(c1+V)), averaged per document, "
+        "histogrammed by integer bucket — low buckets mark "
+        "out-of-distribution/garbage text. The model IS an aggregate "
+        "of the corpus (bigram + unigram counts, vocabulary-sized "
+        "shuffles like q99/q100); scoring joins each doc's bigram "
+        "stream to the counts — at scale the model tables are "
+        "broadcast-sized and the scoring join never shuffles the "
+        "corpus twice.",
+    tags=("text", "llm", "quality"),
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = dedup.doc_shingles(d, n=2, distinct=False)
+    words = dedup.doc_shingles(d, n=1, distinct=False)
+    uni = words.groupBy(F.col("w").alias("w1")).agg(
+        F.count("*").alias("c1"))
+    vocab = uni.agg(F.count("*").alias("v"))
+    bgc = bigrams.groupBy("w").agg(F.count("*").alias("c12"))
+    scored = (
+        bigrams
+        .join(F.broadcast(bgc), "w")
+        .withColumn("w1", F.split(F.col("w"), " ")[0])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c12") + 1.0)
+                  / (F.col("c1") + F.col("v"))).alias("lp"),
+        )
+    )
+    per = scored.groupBy("doc_id").agg(F.avg("lp").alias("alp"))
+    return (
+        per.groupBy(F.floor("alp").cast("int").alias("bucket"))
+        .agg(F.count("*").alias("nd"))
+        .orderBy("bucket")
+    )
