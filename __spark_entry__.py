@@ -116,6 +116,8 @@ _CHANGED_FIRST = (
     "q146_grouping_id_rollup",
     "q147_try_cast_dirty_parse",
     "q148_union_by_name_missing_cols",
+    "q153_batch_sessionization",   # window primitives certified (q33/q35)
+    "q154_rolling_zscore_anomaly",
 )
 
 # Queries whose latest green certification predates the current code

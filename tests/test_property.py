@@ -59,3 +59,25 @@ def test_split_statements_one_per_part(parts):
     assert len(out) == len(parts)
     for stmt in out:
         assert dialect.split_statements(stmt) == [stmt]
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_dialect_classify_never_crashes(sql):
+    """The gateway statement classifier must TOTAL-function over
+    arbitrary client bytes: any text classifies (usually as a plain
+    query) without raising — a gateway that throws on a weird
+    statement drops the connection."""
+    kind, detail = dialect.classify(sql)
+    assert isinstance(kind, str)
+
+
+@given(st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs", "Po", "Ps", "Pe")),
+    max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_dialect_rewrite_never_crashes(sql):
+    """to_spark_sql (the MySQL→Spark dialect shim) must also be total —
+    rewrites apply or pass through, never raise."""
+    out = dialect.to_spark_sql(sql)
+    assert isinstance(out, str)

@@ -574,3 +574,100 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
              stable_round(F.sum("bal_v"), 2).alias("s"))
         .orderBy("v")
     )
+
+
+# ---------------------------------------------------------------- Q153
+_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "q153_batch_sessionization",
+    "WITH f AS (SELECT user_id, ts, event_id, "
+    "CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 "
+    "OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "IS NULL THEN 1 ELSE 0 END AS new_s "
+    "FROM events), "
+    "s AS (SELECT user_id, CAST(SUM(new_s) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS session_id FROM f), "
+    "per AS (SELECT user_id, session_id, COUNT(*) AS ev FROM s "
+    "GROUP BY 1, 2) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS sessions, "
+    "CAST(SUM(ev) AS BIGINT) AS events, "
+    "CAST(MAX(ev) AS BIGINT) AS max_ev, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users FROM per",
+    doc="BATCH sessionization (the lag-gap + cumulative-sum idiom): a "
+        "session boundary wherever the gap to the previous event "
+        "exceeds 30 min, session ids as the running sum of boundary "
+        "flags — the batch twin of q58's streaming session_window, "
+        "certifying that both constructions agree on the same data. "
+        "Both windows and the per-session aggregate ride ONE user_id "
+        "shuffle; the composite (ts, event_id) order key pins tie "
+        "rows cross-engine.",
+    tags=("window", "session", "analytics"),
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_s = (gap.isNull() | (gap > _GAP_US)).cast("long")
+    run = Window.partitionBy("user_id").orderBy("ts_us", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = e.select(
+        "user_id",
+        F.sum(new_s).over(run).alias("session_id"),
+    )
+    per = s.groupBy("user_id", "session_id").agg(F.count("*").alias("ev"))
+    return per.agg(
+        F.count("*").alias("sessions"),
+        F.sum("ev").alias("events"),
+        F.max("ev").alias("max_ev"),
+        F.countDistinct("user_id").alias("users"),
+    )
+
+
+# ---------------------------------------------------------------- Q154
+@register(
+    "q154_rolling_zscore_anomaly",
+    "WITH w AS (SELECT event_type, value, "
+    "AVG(value) OVER win AS mu, STDDEV_SAMP(value) OVER win AS sd, "
+    "COUNT(*) OVER win AS wn FROM events "
+    "WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) "
+    "SELECT event_type, COUNT(*) AS scored, "
+    "CAST(SUM(CASE WHEN ABS(value - mu) > 3 * sd THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS anomalies "
+    "FROM w WHERE wn >= 10 AND sd > 0 "
+    "GROUP BY event_type ORDER BY event_type",
+    doc="Rolling z-score anomaly detection: each event scored against "
+        "the mean/stddev of its user's PRECEDING 20 events (the "
+        "trailing frame excludes the current row — no self-"
+        "contamination), flagged beyond 3σ, counted per type with a "
+        "minimum-history guard. Frame aggregates (avg/stddev over a "
+        "bounded ROWS frame) ride the single user_id shuffle — the "
+        "streaming-monitor shape, in batch.",
+    tags=("window", "anomaly", "analytics"),
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy("ts_us", "event_id") \
+        .rowsBetween(-20, -1)
+    w = e.select(
+        "event_type", "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sd"),
+        F.count("*").over(win).alias("wn"),
+    )
+    return (
+        w.filter((F.col("wn") >= 10) & (F.col("sd") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("scored"),
+            F.sum(
+                (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"))
+                .cast("long")).alias("anomalies"),
+        )
+        .orderBy("event_type")
+    )
