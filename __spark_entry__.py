@@ -118,6 +118,7 @@ _CHANGED_FIRST = (
     "q148_union_by_name_missing_cols",
     "q153_batch_sessionization",   # window primitives certified (q33/q35)
     "q154_rolling_zscore_anomaly",
+    "q155_k_anonymity_audit",      # groupBy primitives certified
 )
 
 # Queries whose latest green certification predates the current code

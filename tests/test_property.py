@@ -81,3 +81,60 @@ def test_dialect_rewrite_never_crashes(sql):
     rewrites apply or pass through, never raise."""
     out = dialect.to_spark_sql(sql)
     assert isinstance(out, str)
+
+
+_BIN_TYPES = [0x01, 0x02, 0x03, 0x08, 0x05]  # TINY SHORT LONG LONGLONG DOUBLE
+_RANGES = {0x01: (-128, 127), 0x02: (-32768, 32767),
+           0x03: (-2**31, 2**31 - 1), 0x08: (-2**63, 2**63 - 1)}
+
+
+@given(st.lists(
+    st.sampled_from(_BIN_TYPES).flatmap(
+        lambda t: st.tuples(
+            st.just(t),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, allow_infinity=False,
+                          width=64) if t == 0x05
+                else st.integers(*_RANGES[t]),
+            ),
+        )
+    ),
+    min_size=1, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_binary_row_null_bitmap_roundtrip(cols):
+    """Binary-protocol row encoding: the NULL bitmap (offset 2) and the
+    per-type little-endian value layouts must round-trip for every
+    NULL/value interleaving — the exact byte contract of the reference
+    (mysql/buffer.go).  Decoder mirrors tests/test_gateway_e2e.py's
+    client parser."""
+    import struct as _struct
+
+    from tidb_gateway_spark.gateway.prepared import encode_binary_row
+
+    type_codes = [t for t, _ in cols]
+    values = [v for _, v in cols]
+    payload = encode_binary_row(values, type_codes)
+    assert payload[0] == 0x00
+    nbytes = (len(values) + 9) // 8
+    nulls = payload[1:1 + nbytes]
+    pos = 1 + nbytes
+    out = []
+    for i, t in enumerate(type_codes):
+        bit = i + 2
+        if nulls[bit // 8] & (1 << (bit % 8)):
+            out.append(None)
+            continue
+        if t == 0x01:
+            out.append(_struct.unpack_from("<b", payload, pos)[0]); pos += 1
+        elif t == 0x02:
+            out.append(_struct.unpack_from("<h", payload, pos)[0]); pos += 2
+        elif t == 0x03:
+            out.append(_struct.unpack_from("<i", payload, pos)[0]); pos += 4
+        elif t == 0x08:
+            out.append(_struct.unpack_from("<q", payload, pos)[0]); pos += 8
+        elif t == 0x05:
+            out.append(_struct.unpack_from("<d", payload, pos)[0]); pos += 8
+    assert pos == len(payload)
+    for got, want in zip(out, values):
+        assert got == want or (got is None and want is None)

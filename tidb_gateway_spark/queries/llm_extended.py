@@ -1256,3 +1256,45 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding").collect()
     ]  # sanctioned collect: ≤20 probe vectors (metadata-sized)
     return matryoshka_nn_pairs(e, probes, trunc_dims=16).orderBy("qid")
+
+
+# ---------------------------------------------------------------- Q155
+_K_ANON = 5
+
+
+@register(
+    "q155_k_anonymity_audit",
+    "WITH qi AS (SELECT lang, source, "
+    "CAST(n_chars // 100 AS BIGINT) AS len_bucket, COUNT(*) AS m "
+    "FROM documents GROUP BY 1, 2, 3) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS combos, "
+    f"CAST(SUM(CASE WHEN m < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS risky_combos, "
+    f"CAST(SUM(CASE WHEN m < {_K_ANON} THEN m ELSE 0 END) AS BIGINT) "
+    "AS risky_docs, "
+    "CAST(MIN(m) AS BIGINT) AS min_group FROM qi",
+    doc="k-anonymity audit over quasi-identifiers (the privacy-release "
+        "gate beside q92's direct-PII scan): documents grouped by the "
+        "(lang, source, length-bucket) quasi-identifier tuple; any "
+        "combination with fewer than k=5 members could re-identify its "
+        "documents and is counted as risky. One partial-combined "
+        "groupBy (shuffle carries one row per combo) + a metadata-"
+        "sized summary — the audit costs one scan at any corpus size.",
+    tags=("privacy", "llm", "quality"),
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    qi = (
+        d.groupBy(
+            "lang", "source",
+            F.expr("CAST(n_chars DIV 100 AS BIGINT)").alias("len_bucket"),
+        )
+        .agg(F.count("*").alias("m"))
+    )
+    risky = F.col("m") < _K_ANON
+    return qi.agg(
+        F.count("*").alias("combos"),
+        F.sum(risky.cast("long")).alias("risky_combos"),
+        F.sum(F.when(risky, F.col("m")).otherwise(0)).alias("risky_docs"),
+        F.min("m").alias("min_group"),
+    )
