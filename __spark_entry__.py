@@ -119,6 +119,9 @@ _CHANGED_FIRST = (
     "q153_batch_sessionization",   # window primitives certified (q33/q35)
     "q154_rolling_zscore_anomaly",
     "q155_k_anonymity_audit",      # groupBy primitives certified
+    "q156_soft_quality_sampling",
+    "q157_stratified_interleave",
+    "q158_rag_chunking",
 )
 
 # Queries whose latest green certification predates the current code

@@ -767,3 +767,152 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("nd"))
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------- Q156
+_Q156_DDB_QS = (
+    "0.5 * LEAST(1.0, n_chars / 200.0) "
+    "+ 0.3 * (1.0 - (length(text) - length(replace(text,' ',''))) * 1.0 / length(text)) "
+    "+ 0.2 * LEAST(1.0, ((length(text) - (length(text) - length(replace(text,' ','')))) "
+    "/ ((length(text) - length(replace(text,' ',''))) + 1.0)) / 8.0)"
+)
+_Q156_ORACLE = (
+    f"WITH s AS (SELECT doc_id, lang, ({_Q156_DDB_QS}) AS q, "
+    "CAST(('0x' || substr(md5('softq|' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 10000 AS h FROM documents) "
+    "SELECT lang, COUNT(*) AS total, "
+    "CAST(COUNT(*) FILTER (WHERE h < CAST(FLOOR(q * 10000 + 0.5) "
+    "AS BIGINT)) AS BIGINT) AS kept "
+    "FROM s GROUP BY lang ORDER BY lang"
+)
+
+
+@register(
+    "q156_soft_quality_sampling",
+    _Q156_ORACLE,
+    doc="Soft quality-weighted sampling (the FineWeb-style 'keep with "
+        "probability ∝ quality' filter, replacing hard thresholds): "
+        "each document keeps iff hash_bps(doc_id) < quality×10000 — "
+        "higher-quality docs survive proportionally more often, "
+        "deterministically (pure row function, no seed drift, same "
+        "guarantees as q82/q97). Per-language kept-vs-total audit in "
+        "the SAME single scan that makes the decision.",
+    tags=("sampling", "llm", "quality"),
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators import text as text_ops
+    from tidb_gateway_spark.operators.sampling import hash_bps
+
+    d = load_table(spark, sf_dir, "documents")
+    q = text_ops.quality_score(F.col("text"), F.col("n_chars"))
+    keep = hash_bps(F.col("doc_id"), "softq") < F.floor(
+        q * 10000 + 0.5).cast("bigint")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(keep.cast("long")).alias("kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------- Q157
+_Q157_DDB_KEY = "md5('il|' || CAST(doc_id AS VARCHAR))"
+_Q157_ORACLE = (
+    f"WITH r AS (SELECT doc_id, lang, ROW_NUMBER() OVER "
+    f"(PARTITION BY lang ORDER BY {_Q157_DDB_KEY}, doc_id) AS rn "
+    "FROM documents), "
+    "o AS (SELECT doc_id, lang, ROW_NUMBER() OVER "
+    "(ORDER BY rn, lang, doc_id) AS pos FROM r) "
+    "SELECT lang, COUNT(*) AS n, "
+    "CAST(SUM(pos * doc_id) AS BIGINT) AS ordsum, "
+    "CAST(MIN(pos) AS BIGINT) AS first_pos FROM o "
+    "GROUP BY lang ORDER BY lang",
+)[0]
+
+
+@register(
+    "q157_stratified_interleave",
+    _Q157_ORACLE,
+    doc="Stratified round-robin interleave for training order: rows "
+        "ranked within their language by deterministic hash, then the "
+        "global order is (per-stratum rank, stratum) — every "
+        "|languages| consecutive examples cover all languages while "
+        "each stream stays internally shuffled; the order-sensitive "
+        "sum(pos·doc_id) checksum certifies EXACT positions. Mixing "
+        "order is a training hyperparameter — reproducibility here is "
+        "the point. Two window passes; the global one is the "
+        "deliberate total-order (same class as q105's shard windows, "
+        "which bound partition width at scale).",
+    tags=("sampling", "llm", "ordering"),
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hk = F.md5(F.concat(F.lit("il|"), F.col("doc_id").cast("string")))
+    wl = Window.partitionBy("lang").orderBy(hk, F.col("doc_id"))
+    r = d.select("doc_id", "lang", F.row_number().over(wl).alias("rn"))
+    wg = Window.orderBy("rn", "lang", "doc_id")
+    o = r.select("doc_id", "lang", F.row_number().over(wg).alias("pos"))
+    return (
+        o.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("pos") * F.col("doc_id")).alias("ordsum"),
+            F.min("pos").alias("first_pos"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------- Q158
+_CHUNK, _STRIDE = 200, 150   # 50-char overlap
+
+
+@register(
+    "q158_rag_chunking",
+    f"WITH off AS (SELECT doc_id, n_chars, "
+    f"UNNEST(range(0, GREATEST(n_chars - ({_CHUNK} - {_STRIDE}), 1), "
+    f"{_STRIDE})) AS o FROM documents), "
+    f"c AS (SELECT doc_id, o, substr(d.text, CAST(o + 1 AS BIGINT), "
+    f"{_CHUNK}) AS chunk FROM off JOIN documents d USING (doc_id)) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS chunks, "
+    "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs, "
+    "CAST(SUM(length(chunk)) AS BIGINT) AS chars, "
+    "CAST(SUM(CAST(('0x' || substr(md5(chunk), 1, 8)) AS BIGINT) "
+    "% 1000000007) AS BIGINT) AS ck FROM c",
+    doc="RAG document chunking: fixed 200-char windows at stride 150 "
+        "(50-char overlap so no retrieval boundary loses context) via "
+        "sequence()+explode over offsets + substring — all codegen'd, "
+        "no UDF; the md5-based chunk checksum certifies the EXACT "
+        "chunk contents, not just counts. This is the retrieval-"
+        "indexing edge of the pipeline (chunks would feed the q76/q94 "
+        "ANN indexes); one scan, the explode bounded by chars/stride "
+        "per doc.",
+    tags=("text", "llm", "rag"),
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    offs = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("n_chars") - (_CHUNK - _STRIDE), F.lit(1))
+        - F.lit(1),
+        F.lit(_STRIDE),
+    )
+    c = (
+        d.select("doc_id", "text", F.explode(offs).alias("o"))
+        .select(
+            "doc_id",
+            F.substring(
+                F.col("text"), F.col("o") + 1, F.lit(_CHUNK)
+            ).alias("chunk"),
+        )
+    )
+    ck = F.conv(F.substring(F.md5("chunk"), 1, 8), 16, 10).cast(
+        "bigint") % 1000000007
+    return c.agg(
+        F.count("*").alias("chunks"),
+        F.countDistinct("doc_id").alias("docs"),
+        F.sum(F.length("chunk")).alias("chars"),
+        F.sum(ck).alias("ck"),
+    )
