@@ -122,6 +122,8 @@ _CHANGED_FIRST = (
     "q156_soft_quality_sampling",
     "q157_stratified_interleave",
     "q158_rag_chunking",
+    "q159_touch_attribution",
+    "q160_dataset_card",
 )
 
 # Queries whose latest green certification predates the current code

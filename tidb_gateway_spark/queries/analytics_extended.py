@@ -671,3 +671,111 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------- Q159
+@register(
+    "q159_touch_attribution",
+    "WITH p AS (SELECT user_id, ts, event_id, value FROM events "
+    "WHERE event_type = 'purchase'), "
+    "t AS (SELECT user_id, ts, event_id, event_type FROM events "
+    "WHERE event_type IN ('click', 'view')), "
+    "pairs AS (SELECT p.event_id AS pid, p.value, t.event_type, "
+    "t.event_id AS tid, "
+    "ROW_NUMBER() OVER (PARTITION BY p.event_id "
+    "ORDER BY t.ts, t.event_id) AS fr, "
+    "ROW_NUMBER() OVER (PARTITION BY p.event_id "
+    "ORDER BY t.ts DESC, t.event_id DESC) AS lr "
+    "FROM p JOIN t ON t.user_id = p.user_id AND t.ts < p.ts "
+    "AND t.ts >= p.ts - INTERVAL 2 HOUR) "
+    "SELECT event_type, "
+    "CAST(COUNT(*) FILTER (WHERE fr = 1) AS BIGINT) AS first_touch, "
+    "CAST(COUNT(*) FILTER (WHERE lr = 1) AS BIGINT) AS last_touch, "
+    "FLOOR(SUM(CASE WHEN lr = 1 THEN value ELSE 0 END)*100 + 0.5)/100 "
+    "AS lt_value "
+    "FROM pairs GROUP BY event_type ORDER BY event_type",
+    doc="Multi-touch attribution (first-touch vs last-touch): each "
+        "purchase's preceding click/view touches within a 2-hour "
+        "window, credited to the earliest and latest touch — the "
+        "marketing-analytics operator family. One user-keyed join "
+        "bounded by the time window + two ranking windows OVER THE "
+        "PAIRS (purchase-keyed, bounded by touches-per-purchase, never "
+        "corpus-wide); composite order keys pin ties cross-engine.",
+    tags=("analytics", "attribution", "window"),
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts_us").alias("pts"),
+        F.col("event_id").alias("pid"), "value")
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("tu"), F.col("ts_us").alias("tts"),
+        F.col("event_id").alias("tid"), "event_type")
+    pairs = p.join(
+        t,
+        (F.col("tu") == F.col("pu"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - 2 * 3600 * 1_000_000),
+    )
+    wf = Window.partitionBy("pid").orderBy("tts", "tid")
+    wl = Window.partitionBy("pid").orderBy(
+        F.desc("tts"), F.desc("tid"))
+    r = pairs.select(
+        "event_type", "value",
+        F.row_number().over(wf).alias("fr"),
+        F.row_number().over(wl).alias("lr"),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.sum((F.col("fr") == 1).cast("long")).alias("first_touch"),
+            F.sum((F.col("lr") == 1).cast("long")).alias("last_touch"),
+            stable_round(
+                F.sum(F.when(F.col("lr") == 1, F.col("value"))
+                      .otherwise(0.0)), 2).alias("lt_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------- Q160
+@register(
+    "q160_dataset_card",
+    "WITH w AS (SELECT doc_id, lang, source, n_chars, "
+    "len(list_filter(string_split(text, ' '), x -> x <> '')) AS wc, "
+    "md5(text) AS h FROM documents) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS docs, "
+    "CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs, "
+    "CAST(COUNT(DISTINCT source) AS BIGINT) AS sources, "
+    "CAST(SUM(n_chars) AS BIGINT) AS chars, "
+    "CAST(SUM(wc) AS BIGINT) AS words, "
+    "CAST(COUNT(DISTINCT h) AS BIGINT) AS unique_docs, "
+    "CAST(MIN(n_chars) AS BIGINT) AS min_chars, "
+    "CAST(MAX(n_chars) AS BIGINT) AS max_chars "
+    "FROM w",
+    doc="Dataset card (the one-row corpus summary shipped with a "
+        "training-data release): document/language/source cardinality, "
+        "char and whitespace-token totals, exact-dup distinct count, "
+        "length extremes — all in ONE scan with partial-combined "
+        "aggregates (the two COUNT DISTINCTs ride Catalyst's expand "
+        "rewrite; hash dedup counts 32-char digests, never bodies).",
+    tags=("analytics", "llm", "card"),
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    w = d.select(
+        "lang", "source", "n_chars",
+        F.size(words).alias("wc"),
+        F.md5("text").alias("h"),
+    )
+    return w.agg(
+        F.count("*").alias("docs"),
+        F.countDistinct("lang").alias("langs"),
+        F.countDistinct("source").alias("sources"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("wc").alias("words"),
+        F.countDistinct("h").alias("unique_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
