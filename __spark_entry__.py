@@ -124,6 +124,8 @@ _CHANGED_FIRST = (
     "q158_rag_chunking",
     "q159_touch_attribution",
     "q160_dataset_card",
+    "q161_nested_struct_ops",
+    "q162_explode_outer_empty_arrays",
 )
 
 # Queries whose latest green certification predates the current code

@@ -228,3 +228,80 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dp"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+@register(
+    "q161_nested_struct_ops",
+    "WITH n AS (SELECT {'key': o_orderkey, 'who': {'cust': o_custkey, "
+    "'seg': o_orderpriority}, 'amt': o_totalprice} AS rec "
+    "FROM orders), "
+    "f AS (SELECT rec FROM n WHERE rec.who.cust % 3 = 0) "
+    "SELECT rec.who.seg AS seg, COUNT(*) AS cnt, "
+    "FLOOR(SUM(rec.amt)*100 + 0.5)/100 AS amt "
+    "FROM f GROUP BY 1 ORDER BY seg",
+    doc="Nested STRUCT construction + dotted-path access: rows packed "
+        "into a two-level struct, filtered and aggregated through "
+        "nested field paths — the semi-structured shape parquet "
+        "pipelines carry everywhere. Catalyst prunes nested fields "
+        "(schema pruning reaches rec.who.cust / rec.amt only) and the "
+        "whole path stays codegen'd; the oracle uses DuckDB's native "
+        "STRUCT literals for the same shape.",
+    tags=("scalar", "struct", "nested"),
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    n = o.select(
+        F.struct(
+            F.col("o_orderkey").alias("key"),
+            F.struct(
+                F.col("o_custkey").alias("cust"),
+                F.col("o_orderpriority").alias("seg"),
+            ).alias("who"),
+            F.col("o_totalprice").alias("amt"),
+        ).alias("rec")
+    )
+    f = n.filter(F.col("rec.who.cust") % 3 == 0)
+    return (
+        f.groupBy(F.col("rec.who.seg").alias("seg"))
+        .agg(
+            F.count("*").alias("cnt"),
+            stable_round(F.sum("rec.amt"), 2).alias("amt"),
+        )
+        .orderBy("seg")
+    )
+
+
+@register(
+    "q162_explode_outer_empty_arrays",
+    # DuckDB UNNEST drops empty lists; emulate *_outer by padding empty
+    # lists with a NULL element.
+    "WITH a AS (SELECT doc_id, "
+    "list_filter(string_split(text, ' '), x -> len(x) >= 9) AS long_w "
+    "FROM documents), "
+    "p AS (SELECT doc_id, CASE WHEN len(long_w) = 0 "
+    "THEN [NULL] ELSE long_w END AS lw FROM a), "
+    "e AS (SELECT doc_id, UNNEST(lw) AS w FROM p) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS rows_out, "
+    "CAST(COUNT(w) AS BIGINT) AS with_word, "
+    "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs "
+    "FROM e",
+    doc="explode_outer semantics: documents exploded on their ≥9-char "
+        "words, with EMPTY-array rows KEPT as a NULL row (plain "
+        "explode silently drops them — losing documents from the "
+        "output is the classic explode bug in per-doc pipelines; "
+        "docs == total document count is the proof). The oracle "
+        "emulates outer-explode by NULL-padding empty lists, pinning "
+        "the exact row-multiplicity contract.",
+    tags=("scalar", "array", "explode"),
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    long_w = F.filter(
+        F.split(F.col("text"), " "), lambda x: F.length(x) >= 9)
+    e = d.select(
+        "doc_id", F.explode_outer(long_w).alias("w"))
+    return e.agg(
+        F.count("*").alias("rows_out"),
+        F.count("w").alias("with_word"),
+        F.countDistinct("doc_id").alias("docs"),
+    )
