@@ -856,3 +856,21 @@ def test_salted_join_set_equals_plain_join(spark):
             salt_on=F.col("rid")).collect()))
         want = sorted(map(tuple, probe.join(build, "k").collect()))
         assert got == want, n_salt
+
+
+def test_temperature_rates_math():
+    """q151's rate derivation: T=1 gives equal rates (natural mixture);
+    higher T upweights rare strata; the dominant stratum always keeps
+    rate 10000; rates stay in [1, 10000]."""
+    from tidb_gateway_spark.operators.sampling import temperature_rates_bps
+
+    counts = {"en": 10_000, "fr": 1_000, "es": 100}
+    t1 = temperature_rates_bps(counts, T=1.0)
+    assert set(t1.values()) == {10_000}, t1
+    t2 = temperature_rates_bps(counts, T=2.0)
+    # rate ∝ n^(1/2)/n = n^(-1/2): rarest stratum keeps the most
+    assert t2["es"] == 10_000 and t2["en"] < t2["fr"] < t2["es"], t2
+    # es/en rate ratio should be sqrt(10000/100) = 10
+    assert abs(t2["es"] / t2["en"] - 10.0) < 0.05, t2
+    assert all(1 <= r <= 10_000 for r in t2.values())
+    assert temperature_rates_bps({}, T=2.0) == {}
