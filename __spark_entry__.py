@@ -126,6 +126,8 @@ _CHANGED_FIRST = (
     "q160_dataset_card",
     "q161_nested_struct_ops",
     "q162_explode_outer_empty_arrays",
+    "q163_string_parsing_family",
+    "q164_keyset_pagination",
 )
 
 # Queries whose latest green certification predates the current code

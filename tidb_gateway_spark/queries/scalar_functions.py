@@ -305,3 +305,82 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("w").alias("with_word"),
         F.countDistinct("doc_id").alias("docs"),
     )
+
+
+@register(
+    "q163_string_parsing_family",
+    "WITH p AS (SELECT c_custkey, c_name, "
+    "string_split(c_name, '#')[1] AS prefix, "
+    "CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS parsed_id, "
+    "len(regexp_extract_all(c_name, '[0-9]')) AS digit_count "
+    "FROM customer) "
+    "SELECT prefix, COUNT(*) AS n, "
+    "CAST(SUM(CASE WHEN parsed_id = c_custkey + 1 OR parsed_id = "
+    "c_custkey THEN 1 ELSE 0 END) AS BIGINT) AS id_consistent, "
+    "CAST(MAX(digit_count) AS BIGINT) AS max_digits "
+    "FROM p GROUP BY prefix ORDER BY prefix",
+    doc="String parsing family (split_part / regexp_extract / "
+        "regexp_extract_all) over the structured-identifier column "
+        "shape ('Customer#000000001'): split on the separator, extract "
+        "the numeric id, count digit occurrences — the log/identifier "
+        "parsing battery. Regex stays in the codegen'd scan; the "
+        "id-consistency cross-check certifies the parse against the "
+        "typed key column, not just row counts.",
+    tags=("scalar", "string", "regex"),
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    p = c.select(
+        "c_custkey",
+        F.split(F.col("c_name"), "#")[0].alias("prefix"),
+        F.regexp_extract(F.col("c_name"), r"([0-9]+)", 1)
+        .cast("bigint").alias("parsed_id"),
+        F.size(
+            F.regexp_extract_all(F.col("c_name"), F.lit(r"[0-9]"), F.lit(0))
+        ).alias("digit_count"),
+    )
+    ok = (F.col("parsed_id") == F.col("c_custkey") + 1) | (
+        F.col("parsed_id") == F.col("c_custkey"))
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(ok.cast("long")).alias("id_consistent"),
+            F.max("digit_count").alias("max_digits"),
+        )
+        .orderBy("prefix")
+    )
+
+
+@register(
+    "q164_keyset_pagination",
+    "WITH page AS (SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_orderkey > 1000 ORDER BY o_orderkey LIMIT 100) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(MIN(o_orderkey) AS BIGINT) AS first_key, "
+    "CAST(MAX(o_orderkey) AS BIGINT) AS last_key, "
+    "FLOOR(SUM(o_totalprice)*100 + 0.5)/100 AS page_total FROM page",
+    doc="Keyset pagination (seek method): the next page is `key > "
+        "last_seen ORDER BY key LIMIT n` — at 100 TB, OFFSET k scans "
+        "and discards k rows per page (O(pages²) total) while the "
+        "keyset predicate pushes into the parquet scan and reads ~one "
+        "row group; q40 declares the OFFSET form, this declares the "
+        "scale-correct replacement a reference user should migrate to. "
+        "The range predicate lands in PushedFilters and TakeOrdered "
+        "bounds the sort.",
+    tags=("sort", "pagination"),
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    page = (
+        o.filter(F.col("o_orderkey") > 1000)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+    return page.agg(
+        F.count("*").alias("n"),
+        F.min("o_orderkey").alias("first_key"),
+        F.max("o_orderkey").alias("last_key"),
+        stable_round(F.sum("o_totalprice"), 2).alias("page_total"),
+    )
