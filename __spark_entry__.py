@@ -128,6 +128,8 @@ _CHANGED_FIRST = (
     "q162_explode_outer_empty_arrays",
     "q163_string_parsing_family",
     "q164_keyset_pagination",
+    "q165_session_cooccurrence",
+    "q166_three_step_funnel",
 )
 
 # Queries whose latest green certification predates the current code

@@ -779,3 +779,104 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------- Q165
+@register(
+    "q165_session_cooccurrence",
+    "WITH f AS (SELECT user_id, ts, event_id, event_type, "
+    "CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 "
+    "OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "IS NULL THEN 1 ELSE 0 END AS new_s FROM events), "
+    "s AS (SELECT user_id, event_type, CAST(SUM(new_s) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS sid FROM f), "
+    "st AS (SELECT DISTINCT user_id, sid, event_type FROM s), "
+    "pairs AS (SELECT a.event_type AS ta, b.event_type AS tb "
+    "FROM st a JOIN st b ON b.user_id = a.user_id AND b.sid = a.sid "
+    "AND a.event_type < b.event_type) "
+    "SELECT ta, tb, COUNT(*) AS sessions FROM pairs "
+    "GROUP BY ta, tb ORDER BY ta, tb",
+    doc="Market-basket co-occurrence over sessions: which event-type "
+        "PAIRS happen together in the same session (q153's lag-gap "
+        "sessionization reused as the basket definition). The "
+        "distinct (session, type) reduction happens BEFORE the "
+        "self-join, so the pair join is bounded by |sessions|×|types|² "
+        "— never events² — and the whole chain shares one user_id "
+        "shuffle until the tiny pair aggregate. The support counts "
+        "here are the input to association-rule mining.",
+    tags=("analytics", "session", "basket"),
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_s = (gap.isNull() | (gap > _GAP_US)).cast("long")
+    run = Window.partitionBy("user_id").orderBy("ts_us", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    st = (
+        e.select(
+            "user_id", "event_type",
+            F.sum(new_s).over(run).alias("sid"),
+        )
+        .distinct()
+    )
+    a = st.select("user_id", "sid", F.col("event_type").alias("ta"))
+    b = st.select("user_id", "sid", F.col("event_type").alias("tb"))
+    pairs = a.join(b, ["user_id", "sid"]).filter(
+        F.col("ta") < F.col("tb"))
+    return (
+        pairs.groupBy("ta", "tb")
+        .agg(F.count("*").alias("sessions"))
+        .orderBy("ta", "tb")
+    )
+
+
+# ---------------------------------------------------------------- Q166
+@register(
+    "q166_three_step_funnel",
+    "WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+    "WHERE event_type = 'signup' GROUP BY user_id), "
+    "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+    "JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1 "
+    "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+    "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+    "JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2 "
+    "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+    "SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS step1, "
+    "CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS step2, "
+    "CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS step3",
+    doc="Strict-sequence 3-step funnel (signup → later click → later "
+        "purchase): each step's earliest qualifying time gates the "
+        "next — the canonical product funnel, generalizing q87's "
+        "2-step join. Three user-keyed MIN aggregates chained by "
+        "co-partitioned joins (all three stages ride the same "
+        "user_id partitioning; the step counts are metadata-sized). "
+        "First-qualifying-event semantics (MIN then strictly-later) "
+        "keep the funnel unambiguous and engine-agnostic.",
+    tags=("analytics", "funnel", "join"),
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts_us").alias("t3"))
+    )
+    c1 = s1.agg(F.count("*").alias("step1"))
+    c2 = s2.agg(F.count("*").alias("step2"))
+    c3 = s3.agg(F.count("*").alias("step3"))
+    return c1.crossJoin(c2).crossJoin(c3)
