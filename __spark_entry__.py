@@ -130,6 +130,8 @@ _CHANGED_FIRST = (
     "q164_keyset_pagination",
     "q165_session_cooccurrence",
     "q166_three_step_funnel",
+    "q167_ab_test_zstat",
+    "q168_gini_concentration",
 )
 
 # Queries whose latest green certification predates the current code

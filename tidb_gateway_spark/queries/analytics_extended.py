@@ -880,3 +880,108 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = s2.agg(F.count("*").alias("step2"))
     c3 = s3.agg(F.count("*").alias("step3"))
     return c1.crossJoin(c2).crossJoin(c3)
+
+
+# ---------------------------------------------------------------- Q167
+@register(
+    "q167_ab_test_zstat",
+    "WITH u AS (SELECT user_id, CAST(user_id % 2 AS INT) AS grp, "
+    "MAX(CASE WHEN event_type = 'purchase' AND value > 150 "
+    "THEN 1 ELSE 0 END) AS conv "
+    "FROM events GROUP BY user_id), "
+    "g AS (SELECT grp, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c "
+    "FROM u GROUP BY grp), "
+    "w AS (SELECT "
+    "MAX(CASE WHEN grp = 0 THEN n END) AS n0, "
+    "MAX(CASE WHEN grp = 0 THEN c END) AS c0, "
+    "MAX(CASE WHEN grp = 1 THEN n END) AS n1, "
+    "MAX(CASE WHEN grp = 1 THEN c END) AS c1 FROM g) "
+    "SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0, "
+    "CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1, "
+    "FLOOR((c1*1.0/n1 - c0*1.0/n0)*10000 + 0.5)/10000 AS lift, "
+    "FLOOR(((c1*1.0/n1 - c0*1.0/n0) / "
+    "SQRT(((c0+c1)*1.0/(n0+n1)) * (1 - (c0+c1)*1.0/(n0+n1)) "
+    "* (1.0/n0 + 1.0/n1)))*1000 + 0.5)/1000 AS z "
+    "FROM w",
+    doc="A/B experiment readout (conversion = any high-value purchase, "
+        "~45%% base rate at every fixture scale so the pooled variance "
+        "never degenerates): deterministic bucket assignment "
+        "(user_id parity stands in for the hash bucketing of q82), "
+        "per-user conversion flag, two-proportion z-statistic under "
+        "the pooled-variance null — the experimentation primitive "
+        "every product-analytics deployment runs. Two user-keyed "
+        "aggregates then driver-sized math; the z formula is evaluated "
+        "identically from exact integer counts in both engines.",
+    tags=("analytics", "experiment"),
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    u = (
+        e.groupBy("user_id")
+        .agg(F.max(
+            ((F.col("event_type") == "purchase")
+             & (F.col("value") > 150)).cast("int")).alias("conv"))
+        .select((F.col("user_id") % 2).cast("int").alias("grp"), "conv")
+    )
+    g = u.groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("c"))
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("c"))).alias("c0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("c"))).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(
+        pp * (1 - pp) * (1 / F.col("n0") + 1 / F.col("n1")))
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        stable_round(p1 - p0, 4).alias("lift"),
+        stable_round(z, 3).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------- Q168
+@register(
+    "q168_gini_concentration",
+    "WITH t AS (SELECT user_id, SUM(value) AS x FROM events "
+    "GROUP BY user_id), "
+    "r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i, "
+    "COUNT(*) OVER () AS n, SUM(x) OVER () AS s FROM t) "
+    "SELECT CAST(MAX(n) AS BIGINT) AS users, "
+    "FLOOR(MAX(s)*100 + 0.5)/100 AS total, "
+    "FLOOR((2.0 * SUM(i * x) / (MAX(n) * MAX(s)) "
+    "- (MAX(n) + 1.0) / MAX(n))*10000 + 0.5)/10000 AS gini "
+    "FROM r",
+    doc="Gini concentration of per-user value (the inequality metric "
+        "behind 'top 1% of keys hold 40% of traffic' — the "
+        "quantitative companion to q138's skew report): users ranked "
+        "by total value, Gini from the rank-weighted sum identity "
+        "2·Σi·xᵢ/(n·Σx) − (n+1)/n. One user aggregate, one "
+        "|users|-sized ranking window, exact integer ranks — the "
+        "(value, user_id) composite sort key pins ties cross-engine.",
+    tags=("analytics", "skew"),
+)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    t = e.groupBy("user_id").agg(F.sum("value").alias("x"))
+    wr = Window.orderBy("x", "user_id")
+    wall = Window.partitionBy()
+    r = t.select(
+        "x",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("x").over(wall).alias("s"),
+    )
+    gini = (
+        2.0 * F.sum(F.col("i") * F.col("x"))
+        / (F.max("n") * F.max("s"))
+        - (F.max("n") + 1.0) / F.max("n")
+    )
+    return r.agg(
+        F.max("n").alias("users"),
+        stable_round(F.max("s"), 2).alias("total"),
+        stable_round(gini, 4).alias("gini"),
+    )
