@@ -132,6 +132,8 @@ _CHANGED_FIRST = (
     "q166_three_step_funnel",
     "q167_ab_test_zstat",
     "q168_gini_concentration",
+    "q169_weighted_reservoir",
+    "q170_period_over_period",
 )
 
 # Queries whose latest green certification predates the current code

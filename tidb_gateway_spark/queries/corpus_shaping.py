@@ -916,3 +916,92 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("chunk")).alias("chars"),
         F.sum(ck).alias("ck"),
     )
+
+
+# ---------------------------------------------------------------- Q169
+_Q169_K = 20
+
+
+@register(
+    "q169_weighted_reservoir",
+    # Efraimidis–Spirakis with a DETERMINISTIC uniform: u = (bps+0.5)/1e4
+    # from the md5 basis-point hash, key = -ln(u)/w, take k smallest.
+    "WITH s AS (SELECT doc_id, "
+    "(CAST(('0x' || substr(md5('wres|' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 10000 + 0.5) / 10000.0 AS u, "
+    "(0.5 * LEAST(1.0, n_chars / 200.0) "
+    "+ 0.3 * (1.0 - (length(text) - length(replace(text,' ',''))) * 1.0 / length(text)) "
+    "+ 0.2 * LEAST(1.0, ((length(text) - (length(text) - length(replace(text,' ','')))) "
+    "/ ((length(text) - length(replace(text,' ',''))) + 1.0)) / 8.0)) AS w "
+    "FROM documents), "
+    f"sel AS (SELECT doc_id FROM s ORDER BY -LN(u) / w, doc_id LIMIT {_Q169_K}) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS k, "
+    "CAST(SUM(doc_id) AS BIGINT) AS ck, "
+    "CAST(MIN(doc_id) AS BIGINT) AS mn, "
+    "CAST(MAX(doc_id) AS BIGINT) AS mx FROM sel",
+    doc="Weighted sampling WITHOUT replacement (Efraimidis–Spirakis "
+        "A-ES): k docs chosen with probability proportional to quality "
+        "weight, via key = −ln(u)/w over a DETERMINISTIC uniform (the "
+        "md5 basis-point hash — no seed drift, same guarantees as "
+        "q82/q156's unweighted samplers). TakeOrdered(k) = per-"
+        "partition top-k then a k-row merge — never a global sort; the "
+        "selected-id checksum certifies the exact selection. Completes "
+        "the sampling family: uniform (q83), stratified (q110), "
+        "temperature (q151), soft-quality Bernoulli (q156), weighted "
+        "without replacement (this).",
+    tags=("sampling", "llm", "weighted"),
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators import text as text_ops
+    from tidb_gateway_spark.operators.sampling import hash_bps
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (hash_bps(F.col("doc_id"), "wres") + 0.5) / 10000.0
+    w = text_ops.quality_score(F.col("text"), F.col("n_chars"))
+    sel = (
+        d.select("doc_id", (-F.log(u) / w).alias("key"))
+        .orderBy("key", "doc_id")
+        .limit(_Q169_K)
+    )
+    return sel.agg(
+        F.count("*").alias("k"),
+        F.sum("doc_id").alias("ck"),
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+    )
+
+
+# ---------------------------------------------------------------- Q170
+@register(
+    "q170_period_over_period",
+    "WITH wk AS (SELECT epoch_us(ts) // 604800000000 AS w, "
+    "COUNT(*) AS n FROM events GROUP BY 1), "
+    "r AS (SELECT w, n, LAG(n) OVER (ORDER BY w) AS prev FROM wk) "
+    "SELECT CAST(w AS BIGINT) AS w, n, "
+    "CAST(prev AS BIGINT) AS prev, "
+    "FLOOR(CASE WHEN prev IS NULL THEN NULL "
+    "ELSE (n - prev) * 10000.0 / prev END + 0.5)/10000*10000 AS delta_bp "
+    "FROM r ORDER BY w",
+    doc="Period-over-period comparison (WoW delta in basis points): "
+        "weekly event counts with LAG over the |weeks|-sized aggregate "
+        "— the reporting idiom behind every growth dashboard. The "
+        "window runs on aggregate rows (bounded by calendar weeks, "
+        "never the fact table); integer-bp delta avoids float-division "
+        "canonicalization issues.",
+    tags=("window", "analytics", "reporting"),
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wk = (
+        e.groupBy((F.col("ts_us") / (7 * 24 * 3_600_000_000))
+                  .cast("long").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    win = Window.orderBy("w")
+    r = wk.select("w", "n", F.lag("n").over(win).alias("prev"))
+    delta = F.when(
+        F.col("prev").isNotNull(),
+        F.floor((F.col("n") - F.col("prev")) * 10000.0
+                / F.col("prev") + 0.5) / 10000 * 10000,
+    )
+    return r.select("w", "n", "prev", delta.alias("delta_bp")).orderBy("w")
