@@ -134,6 +134,10 @@ _CHANGED_FIRST = (
     "q168_gini_concentration",
     "q169_weighted_reservoir",
     "q170_period_over_period",
+    "q171_gap_latency_report",
+    "q172_geometric_harmonic_means",
+    "q173_deterministic_mode",
+    "q174_adoption_curve",
 )
 
 # Queries whose latest green certification predates the current code

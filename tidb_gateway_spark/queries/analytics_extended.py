@@ -985,3 +985,149 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.max("s"), 2).alias("total"),
         stable_round(gini, 4).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------- Q171
+@register(
+    "q171_gap_latency_report",
+    "WITH g AS (SELECT event_type, "
+    "epoch_us(ts) - LAG(epoch_us(ts)) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id) AS gap_us "
+    "FROM events), "
+    "f AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL) "
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(FLOOR(quantile_cont(gap_us, 0.5)) AS BIGINT) AS p50_us, "
+    "CAST(FLOOR(quantile_cont(gap_us, 0.95)) AS BIGINT) AS p95_us, "
+    "CAST(MAX(gap_us) AS BIGINT) AS max_us "
+    "FROM f GROUP BY event_type ORDER BY event_type",
+    doc="Inter-event gap latency report (the SLA/latency-distribution "
+        "shape): per-user consecutive gaps via LAG on epoch-micros, "
+        "exact interpolated p50/p95 + max per arriving event type — "
+        "integer-floored so the percentile interpolation "
+        "canonicalizes. One user_id window shuffle feeding a per-type "
+        "aggregate; at scale the percentile side swaps to the q143 "
+        "GK-sketch with the same frame.",
+    tags=("window", "analytics", "latency"),
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = e.select(
+        "event_type",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.floor(F.expr("percentile(gap_us, 0.5)"))
+            .cast("bigint").alias("p50_us"),
+            F.floor(F.expr("percentile(gap_us, 0.95)"))
+            .cast("bigint").alias("p95_us"),
+            F.max("gap_us").alias("max_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------- Q172
+@register(
+    "q172_geometric_harmonic_means",
+    "SELECT l_returnflag, COUNT(*) AS n, "
+    "FLOOR(EXP(AVG(LN(l_extendedprice)))*100 + 0.5)/100 AS geo, "
+    "FLOOR((COUNT(*) / SUM(1.0 / l_extendedprice))*100 + 0.5)/100 AS hrm, "
+    "FLOOR(AVG(l_extendedprice)*100 + 0.5)/100 AS ari "
+    "FROM lineitem WHERE l_extendedprice > 0 "
+    "GROUP BY l_returnflag ORDER BY l_returnflag",
+    doc="Geometric and harmonic means beside the arithmetic one — the "
+        "multiplicative/rate aggregation family (growth factors, "
+        "rate averaging) missing from both engines' builtins, composed "
+        "from EXP(AVG(LN)) and n/Σ(1/x): both decompose into partial-"
+        "combinable sums, so the shuffles stay one pre-aggregated row "
+        "per group. AM ≥ GM ≥ HM ordering doubles as a sanity "
+        "invariant in the output.",
+    tags=("agg", "stats"),
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 0)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            stable_round(
+                F.exp(F.avg(F.log("l_extendedprice"))), 2).alias("geo"),
+            stable_round(
+                F.count("*") / F.sum(1.0 / F.col("l_extendedprice")), 2
+            ).alias("hrm"),
+            stable_round(F.avg("l_extendedprice"), 2).alias("ari"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------- Q173
+@register(
+    "q173_deterministic_mode",
+    "WITH c AS (SELECT user_id, event_type, COUNT(*) AS m FROM events "
+    "GROUP BY 1, 2), "
+    "r AS (SELECT user_id, event_type, ROW_NUMBER() OVER ("
+    "PARTITION BY user_id ORDER BY m DESC, event_type) AS rn FROM c) "
+    "SELECT event_type AS modal_type, COUNT(*) AS users "
+    "FROM r WHERE rn = 1 GROUP BY 1 ORDER BY modal_type",
+    doc="Deterministic MODE per group: each user's most frequent event "
+        "type with a lexicographic tiebreak — builtin mode() is "
+        "explicitly nondeterministic on ties in both engines, so the "
+        "portable form is count → ranked window with a PINNED tie "
+        "order. The window runs over (user × type) aggregate rows "
+        "(bounded by |types| per user), not events.",
+    tags=("agg", "window", "mode"),
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("m"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("m"), F.asc("event_type"))
+    r = c.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1)
+    return (
+        r.groupBy(F.col("event_type").alias("modal_type"))
+        .agg(F.count("*").alias("users"))
+        .orderBy("modal_type")
+    )
+
+
+# ---------------------------------------------------------------- Q174
+@register(
+    "q174_adoption_curve",
+    "WITH fe AS (SELECT user_id, "
+    "MIN(epoch_us(ts)) // 86400000000 AS d0 FROM events "
+    "GROUP BY user_id), "
+    "daily AS (SELECT d0, COUNT(*) AS new_users FROM fe GROUP BY d0) "
+    "SELECT CAST(d0 AS BIGINT) AS day, new_users, "
+    "CAST(SUM(new_users) OVER (ORDER BY d0 "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cumulative FROM daily ORDER BY day",
+    doc="Cumulative adoption curve: each user's FIRST-event day, daily "
+        "new-user counts, and the running total — the growth chart "
+        "behind every launch dashboard. The cumulative window runs "
+        "over the |days|-sized daily aggregate (calendar-bounded), "
+        "never the fact table; the first-event reduction is one "
+        "user-keyed MIN.",
+    tags=("analytics", "window", "reporting"),
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    fe = e.groupBy("user_id").agg(
+        (F.min("ts_us") / 86_400_000_000).cast("long").alias("d0"))
+    daily = fe.groupBy("d0").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("d0").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.select(
+            F.col("d0").alias("day"),
+            "new_users",
+            F.sum("new_users").over(w).alias("cumulative"),
+        )
+        .orderBy("day")
+    )
