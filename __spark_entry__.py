@@ -138,6 +138,8 @@ _CHANGED_FIRST = (
     "q172_geometric_harmonic_means",
     "q173_deterministic_mode",
     "q174_adoption_curve",
+    "q175_null_safe_join",
+    "q176_multiset_set_ops",
 )
 
 # Queries whose latest green certification predates the current code

@@ -375,3 +375,47 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "next_id")
         .orderBy("event_id")
     )
+
+
+@register(
+    "q175_null_safe_join",
+    "WITH a AS (SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 "
+    "THEN NULL ELSE o_orderkey % 5 END AS k FROM orders "
+    "WHERE o_orderkey % 2 = 0 AND o_orderkey <= 4000), "
+    "b AS (SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0 "
+    "THEN NULL ELSE o_orderkey % 5 END AS k FROM orders "
+    "WHERE o_orderkey % 2 = 1 AND o_orderkey <= 4000), "
+    "j AS (SELECT a.k FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k) "
+    "SELECT COALESCE(CAST(k AS VARCHAR), 'NULL') AS k, "
+    "COUNT(*) AS n FROM j GROUP BY 1 ORDER BY k",
+    doc="NULL-safe equality join (Spark `eqNullSafe` / SQL IS NOT "
+        "DISTINCT FROM / MySQL `<=>`): NULL keys MATCH each other "
+        "instead of vanishing — the semantics CDC and dimension "
+        "pipelines need when NULL is a legitimate key value (a plain "
+        "equi-join silently drops every NULL row, q136's hash-compare "
+        "relies on exactly this distinction). Catalyst plans "
+        "null-safe equality as a HASH join (the null bucket is just "
+        "another key), not a nested loop — same scale shape as q10. "
+        "Both sides are key-range-bounded: the synthetic 6-value key "
+        "domain makes an UNBOUNDED self-join quadratic in corpus size "
+        "(the declared semantics need the NULL bucket, not volume).",
+    tags=("join", "null"),
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = lambda mod: F.when(  # noqa: E731
+        F.col("o_orderkey") % mod == 0, F.lit(None)
+    ).otherwise(F.col("o_orderkey") % 5)
+    a = o.filter((F.col("o_orderkey") % 2 == 0)
+                 & (F.col("o_orderkey") <= 4000)).select(k(7).alias("ka"))
+    b = o.filter((F.col("o_orderkey") % 2 == 1)
+                 & (F.col("o_orderkey") <= 4000)).select(k(11).alias("kb"))
+    j = a.join(b, a.ka.eqNullSafe(b.kb))
+    return (
+        j.select(
+            F.coalesce(F.col("ka").cast("string"), F.lit("NULL"))
+            .alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .orderBy("k")
+    )

@@ -155,3 +155,51 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q176_multiset_set_ops",
+    "WITH a AS (SELECT l_returnflag AS f FROM lineitem "
+    "WHERE l_quantity > 25), "
+    "b AS (SELECT l_returnflag AS f FROM lineitem "
+    "WHERE l_discount > 0.05), "
+    "ea AS (SELECT f FROM a EXCEPT ALL SELECT f FROM b), "
+    "ia AS (SELECT f FROM a INTERSECT ALL SELECT f FROM b) "
+    "SELECT x.f, CAST(COALESCE(e.n, 0) AS BIGINT) AS except_all_n, "
+    "CAST(COALESCE(i.n, 0) AS BIGINT) AS intersect_all_n FROM "
+    "(SELECT DISTINCT f FROM a) x "
+    "LEFT JOIN (SELECT f, COUNT(*) AS n FROM ea GROUP BY f) e "
+    "ON e.f = x.f "
+    "LEFT JOIN (SELECT f, COUNT(*) AS n FROM ia GROUP BY f) i "
+    "ON i.f = x.f ORDER BY x.f",
+    doc="Multiset set operations (EXCEPT ALL / INTERSECT ALL — "
+        "DataFrame.exceptAll/intersectAll): bag semantics keep "
+        "MULTIPLICITY (max(m−n,0) and min(m,n) copies per value) where "
+        "q43/q44's DISTINCT forms collapse to membership — the "
+        "difference matters whenever rows are observations, not keys. "
+        "Catalyst plans both as counted aggregates + generate "
+        "(replicate), so the shuffle carries one (value, count) row "
+        "per distinct value — never the bags themselves.",
+    tags=("set", "multiset"),
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select(
+        F.col("l_returnflag").alias("f"))
+    b = li.filter(F.col("l_discount") > 0.05).select(
+        F.col("l_returnflag").alias("f"))
+    ea = a.exceptAll(b).groupBy("f").agg(
+        F.count("*").alias("except_all_n"))
+    ia = a.intersectAll(b).groupBy("f").agg(
+        F.count("*").alias("intersect_all_n"))
+    x = a.select("f").distinct()
+    return (
+        x.join(ea, "f", "left").join(ia, "f", "left")
+        .select(
+            "f",
+            F.coalesce("except_all_n", F.lit(0)).alias("except_all_n"),
+            F.coalesce("intersect_all_n", F.lit(0))
+            .alias("intersect_all_n"),
+        )
+        .orderBy("f")
+    )
