@@ -140,6 +140,7 @@ _CHANGED_FIRST = (
     "q174_adoption_curve",
     "q175_null_safe_join",
     "q176_multiset_set_ops",
+    "q177_topk_with_ties",
 )
 
 # Queries whose latest green certification predates the current code

@@ -359,3 +359,40 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "o_orderstatus")
     )
+
+
+@register(
+    "q177_topk_with_ties",
+    "WITH r AS (SELECT p_brand, p_partkey, p_retailprice, "
+    "RANK() OVER (PARTITION BY p_brand "
+    "ORDER BY p_retailprice DESC) AS rk FROM part) "
+    "SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS rows_kept, "
+    "CAST(SUM(p_partkey) AS BIGINT) AS ck, "
+    "CAST(MAX(rk) AS BIGINT) AS max_rank "
+    "FROM r WHERE rk <= 3 GROUP BY p_brand ORDER BY p_brand",
+    doc="Tie-INCLUSIVE top-k per group (RANK ≤ k): price ties all make "
+        "the cut, so groups can keep MORE than k rows — the semantics "
+        "leaderboards and 'best sellers' actually need, where q88's "
+        "row_number arbitrarily drops tied rows (its determinism came "
+        "from a composite sort key; RANK makes ties first-class "
+        "instead). Same single per-group window shuffle; the id "
+        "checksum + rows_kept per group certify exactly which tied "
+        "rows survived.",
+    tags=("window", "topk"),
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    r = p.select(
+        "p_brand", "p_partkey",
+        F.rank().over(w).alias("rk"),
+    ).filter(F.col("rk") <= 3)
+    return (
+        r.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("rows_kept"),
+            F.sum("p_partkey").alias("ck"),
+            F.max("rk").alias("max_rank"),
+        )
+        .orderBy("p_brand")
+    )
