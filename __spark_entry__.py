@@ -24,83 +24,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries needing the driver's oracle harness first — it records a
-# 50-entry window per round (CORRECTNESS_r01–r04 are each exactly 50),
-# so this tuple is PRIORITY-ORDERED (tuple position, not qid) and more
-# than 50 entries means the tail defers to the next round by design.
+# ~50-entry window per round (r01–r04: 50 each; r05: 51), so this tuple
+# is PRIORITY-ORDERED (tuple position, not qid) and more than ~50
+# entries means the tail defers to the next round by design.
 _CHANGED_FIRST = (
-    # Tier 0 — the whole events family rides on catalog.normalize_events'
-    # dtype dispatch (the r4 fixture change to timestamp[us] broke all of
-    # these at HEAD): the 10 CORRECTNESS_r04 reds, then the 11 events
-    # queries broken at HEAD whose last green cert predates the fixture
-    # change.  These MUST re-certify this round.
-    "q53_json_extract",
-    "q56_tumbling_window",
-    "q58_session_window",
-    "q59_stateful_dedup",
-    "q67_uncorrelated_scalar_subquery",
-    "q69_in_subquery",
-    "q70_cte",
-    "q71_values_inline",
-    "q86_latest_event_per_user",
-    "q87_funnel_conversion",
-    "q20_asof_join",
-    "q21_self_join",
-    "q26_grouping_sets",
-    "q29_conditional_agg",
-    "q31_row_number",
-    "q33_lag_lead",
-    "q34_running_sum",
-    "q35_sliding_rows_frame",
-    "q36_first_value_full_frame",
-    "q40_limit_offset",
-    "q57_sliding_window",
-    # Tier 1 — r5 implementation changes to previously-certified queries.
-    "q16_left_anti_join",          # shuffle_hash anti build (q19 treatment)
-    "q95_int8_quantized_topk",     # materialized int8 code companion
-    "q102_json_extract_shredded",  # new: shredded-companion JSON path
-    # Tier 2 — r5 new operators, novelty-ranked: custom operator logic
-    # and multi-stage pipelines ahead of single-builtin coverage queries.
-    # 26 fit the window alongside tiers 0-1; the tail defers to r6.
-    "q103_ngram_decontamination",
-    "q105_training_shuffle_shards",
-    "q108_multimodal_feature_extract",
-    "q110_balanced_sample_per_stratum",
-    "q112_hypertable_rollup",
-    "q113_kmv_distinct_sketch",
-    "q114_simhash_multiprobe_pairs",
-    "q121_salted_skew_join",
-    "q122_ttr_quality_battery",
-    "q127_runtime_bloom_filter_join",
-    "q129_approx_distinct_bounds",
-    "q130_canonical_doc_per_cluster",
-    "q133_gap_fill_locf",
-    "q134_event_path_prefixes",
-    "q135_rolling_distinct_types",
-    "q136_snapshot_diff_cdc",
-    "q137_outlier_flags",
-    "q139_levenshtein_verify",
-    "q140_cohort_retention",
-    "q141_point_in_time_join",
-    "q142_hof_vector_stats",
-    "q143_approx_percentile_bounds",
-    "q149_audio_feature_stub",
-    "q150_matryoshka_truncation_eval",
-    "q151_temperature_mixture",
-    "q152_bigram_lm_score",
-    # Tier 3 — beyond the 50-slot window this round (deferred to r6):
-    # dialect-shared SQL forms (the oracle runs the identical text, so
-    # cross-engine certification adds least information), source
-    # round-trips whose oracle-diff runs in-repo, and single-builtin
-    # coverage queries.  All are green in the local driver sim.
-    "q104_top_ngram_fraction",   # q98's already-certified family
-    "q115_distribution_drift_psi",  # single-scan conditional agg
-    "q126_map_aggregate_functions",  # builtin map-fn coverage
-    "q109_video_frame_sampling",  # q108's mapInPandas family stays in
-    "q111_curriculum_quartiles",  # ntile family certified via q37
-    "q138_skew_diagnostics",     # simple aggregates (q121 stays in)
-    "q116_full_data_recipe",     # composes already-certified stages
+    # Tier 0 — the 49 registry queries that have never appeared in any
+    # CORRECTNESS_r*.json (rounds 1–5 certified the other 127; none red
+    # on its latest check).  All 49 pass the in-repo driver-equivalent
+    # oracle diff at sf0.01 (tests/test_oracle_diff.py) — this tier
+    # routes them through the real driver window so every registry
+    # query carries a driver certification.  tests/test_cert_window.py
+    # asserts this tier stays inside the next window.
+    "q104_top_ngram_fraction",
     "q106_pivot_event_matrix",
     "q107_unpivot_long_form",
+    "q109_video_frame_sampling",
+    "q111_curriculum_quartiles",
+    "q115_distribution_drift_psi",
+    "q116_full_data_recipe",
     "q117_recursive_cte_month_series",
     "q118_percent_rank_cume_dist",
     "q119_lateral_topn_per_key",
@@ -108,17 +49,19 @@ _CHANGED_FIRST = (
     "q123_csv_source_roundtrip",
     "q124_jsonl_source_roundtrip",
     "q125_string_agg_sorted",
+    "q126_map_aggregate_functions",
     "q128_orc_source_roundtrip",
     "q131_nth_value_lead_default",
     "q132_bitwise_bool_aggs",
+    "q138_skew_diagnostics",
     "q144_asof_join_forward",
     "q145_ratio_to_report",
     "q146_grouping_id_rollup",
     "q147_try_cast_dirty_parse",
     "q148_union_by_name_missing_cols",
-    "q153_batch_sessionization",   # window primitives certified (q33/q35)
+    "q153_batch_sessionization",
     "q154_rolling_zscore_anomaly",
-    "q155_k_anonymity_audit",      # groupBy primitives certified
+    "q155_k_anonymity_audit",
     "q156_soft_quality_sampling",
     "q157_stratified_interleave",
     "q158_rag_chunking",
@@ -141,6 +84,14 @@ _CHANGED_FIRST = (
     "q175_null_safe_join",
     "q176_multiset_set_ops",
     "q177_topk_with_ties",
+    # Tier 1 — r6 implementation changes to previously-certified
+    # queries, riskiest first (window slot 50+; overflow defers to r7
+    # backed by the in-repo oracle diff at sf0.01, which all pass).
+    "q121_salted_skew_join",       # r6: declared over derived skewed input
+    "q53_json_extract",            # r6: single-parse from_json rewrite
+    "q73_simhash_clusters",        # r6: shared signed-sum signature path
+    "q122_ttr_quality_battery",    # r6: perf rework, hash unchanged
+    "q98_word_repetition_filter",  # r6: perf rework, hash unchanged
 )
 
 # Queries whose latest green certification predates the current code

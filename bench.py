@@ -2,11 +2,17 @@
 """Benchmark the declared-query suite.
 
 Runs every registry query at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].  The FINAL stdout
+line is a short, parse-safe JSON summary:
 
     {"metric": "declared_query_suite_sec", "value": <total>, "unit":
-     "sec", "queries": {"q01_...": sec, ...}, "sf": 0.1}
+     "sec", "queries": {<headline subset>}, "sf": 0.1,
+     "n_queries": N, "detail_file": "bench_detail.json"}
+
+The complete per-query map is printed on an earlier line and written to
+``bench_detail.json`` next to this script — the full 176-query map
+exceeds the driver's stdout tail capture, which left `parsed: null` in
+five straight BENCH_r*.json files.
 
 Timing = best of $SPARK_GRAFT_BENCH_RUNS (default 2) warm executions per
 query, after a JVM/codegen warm-up pass.  ``--duckdb`` additionally
@@ -113,7 +119,42 @@ def main() -> None:
         result["duckdb_queries"] = ddb
         result["duckdb_total"] = round(sum(ddb.values()), 4)
 
-    print(json.dumps(result))
+    # The full per-query map (176+ entries, plus the optional DuckDB
+    # column) exceeds the driver's stdout tail capture — five rounds of
+    # BENCH_r*.json ended up `parsed: null` on a truncated fragment.
+    # So: full detail goes to a file (and to an EARLY stdout line for
+    # human logs), and the FINAL line is a short, always-parseable
+    # summary whose `queries` map holds only the headline data-path
+    # subset (the queries where the oracle engine itself does real
+    # work — BASELINE.md's data-path table).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump(result, f)
+    print(json.dumps(result))  # full map, early line (may be truncated)
+
+    headline = (
+        "q22_tpch_q1_agg", "q53_json_extract", "q72_minhash_signatures",
+        "q74_jaccard_verify", "q75_cosine_nearest_neighbor",
+        "q76_ann_bucketed", "q80_fingerprint_rolling_hash",
+        "q91_benchmark_contamination", "q94_ivf_ann_search",
+        "q98_word_repetition_filter", "q101_cc_dedup_clusters",
+        "q114_simhash_multiprobe_pairs", "q130_canonical_doc_per_cluster",
+        "q152_bigram_lm_score",
+    )
+    summary = {
+        "metric": "declared_query_suite_sec",
+        "value": result["value"],
+        "unit": "sec",
+        "queries": {q: per_query[q] for q in headline if q in per_query},
+        "sf": result["sf"],
+        "n_queries": len(per_query),
+        "detail_file": "bench_detail.json",
+    }
+    if "duckdb_total" in result:
+        summary["duckdb_total"] = result["duckdb_total"]
+    sys.stdout.flush()
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

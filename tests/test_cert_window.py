@@ -1,0 +1,72 @@
+"""Driver certification-window simulation (VERDICT r5 directive 7).
+
+The driver records only the first ~50 entries of ``queries()`` per round
+(CORRECTNESS_r01–r04: 50 each; r05: 51).  A registry reorder could
+silently push a never-certified query out of its planned window.  This
+test renders ``__spark_entry__`` through the same protocol the driver
+uses — ordering, window size, oracle presence — and fails if any query
+that has never appeared in a ``CORRECTNESS_r*.json`` falls outside the
+next window.
+
+No SparkSession needed; this is pure registry/metadata inspection.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# Conservative lower bound on the driver's per-round window (observed
+# 50, 50, 50, 50, 51 across rounds 1-5).
+WINDOW = 50
+
+
+def _certified_qids() -> set[str]:
+    qids: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            qids |= set(json.load(f))
+    return qids
+
+
+def test_never_certified_queries_fit_next_window():
+    import __spark_entry__ as entry
+
+    order = list(entry.queries())
+    certified = _certified_qids()
+    never = [q for q in order if q not in certified]
+    window = set(order[:WINDOW])
+    stragglers = [q for q in never if q not in window]
+    assert not stragglers, (
+        f"{len(stragglers)} never-certified queries fall outside the "
+        f"next {WINDOW}-slot driver window: {stragglers}"
+    )
+
+
+def test_window_queries_all_have_oracles():
+    """Every query in the upcoming window gets the strong (value-hash)
+    check — a windowed slot spent on a rows-only check is wasted."""
+    import __spark_entry__ as entry
+
+    order = list(entry.queries())
+    oracles = entry.oracle_sql()
+    missing = [q for q in order[:WINDOW] if q not in oracles]
+    assert not missing, f"window queries without oracle SQL: {missing}"
+
+
+def test_ordering_is_stable_and_complete():
+    """queries() must enumerate the full registry exactly once, in a
+    deterministic order, with every priority entry resolving."""
+    import __spark_entry__ as entry
+    from tidb_gateway_spark.queries import REGISTRY
+
+    order = list(entry.queries())
+    assert sorted(order) == sorted(REGISTRY)
+    assert len(order) == len(set(order))
+    unknown = [q for q in entry._CHANGED_FIRST if q not in REGISTRY]
+    assert not unknown, f"_CHANGED_FIRST names unknown qids: {unknown}"
+    # duplicate priority entries would silently demote a query to its
+    # later (lower-priority) rank — forbid them
+    assert len(entry._CHANGED_FIRST) == len(set(entry._CHANGED_FIRST))
