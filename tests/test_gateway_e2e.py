@@ -1456,8 +1456,8 @@ def test_cache_table_via_gateway(gateway):
         c = MiniClient("127.0.0.1", gw.bound_port)
         await c.connect("sf001.alice")
         res = await c.query("CACHE TABLE nation")
-        assert not res[0] or not isinstance(res[0], dict) or \
-            not res[0].get("error"), res
+        # CACHE TABLE is zero-column DDL → exactly one OK packet
+        assert isinstance(res[0], dict) and res[0].get("ok") is True, res
         (cols, rows), = await c.query(
             "SELECT COUNT(*) AS n FROM nation")
         assert rows[0][0] == "25"

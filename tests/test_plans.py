@@ -282,6 +282,29 @@ def test_q121_salted_join_spreads_hot_key(spark, sf_dir):
     assert "_salt" in plan, "salt column absent from physical plan"
 
 
+def test_q121_hot_key_fills_all_salt_buckets(spark, sf_dir):
+    """q121's declared input funnels ~20% of events onto customer key 1
+    (the derived CASE key).  The salt basis (pmod(hash(event_id), 8))
+    must spread exactly the hot key's rows across ALL 8 salt buckets —
+    i.e. across ≥ n_salt shuffle partitions/tasks — otherwise the salt
+    is decoration and the straggler remains."""
+    from tidb_gateway_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 5 == 0, F.lit(1))
+        .otherwise(F.col("user_id")).alias("k"),
+        "event_id",
+    )
+    hot = e.filter(F.col("k") == 1)
+    n_hot, total = hot.count(), e.count()
+    assert n_hot / total > 0.15, f"fixture not skewed: {n_hot}/{total}"
+    buckets = (
+        hot.select(F.pmod(F.hash("event_id"), F.lit(8)).alias("s"))
+        .distinct().count()
+    )
+    assert buckets == 8, f"hot key occupies only {buckets}/8 salt buckets"
+
+
 def test_q141_pit_join_is_hash_on_equikey(spark, sf_dir):
     """The point-in-time join must plan as a HASH join on the c_custkey
     equi component with the validity range as a residual filter — never

@@ -68,6 +68,15 @@ _table_cache: dict[tuple[int, str, str], DataFrame] = {}
 _views_registered: dict[int, str] = {}
 
 
+def flush() -> None:
+    """Drop ALL memoized table frames and view registrations, for every
+    live session (COM_REFRESH / FLUSH TABLES semantics — the flush is
+    server-wide, not per-connection).  The next query on any session
+    re-reads parquet footers and re-registers its views."""
+    _table_cache.clear()
+    _views_registered.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing types to engine conventions.
 

@@ -266,8 +266,11 @@ class Gateway:
                 # (relay.go:47-66); here the engine IS the backend.
                 from tidb_gateway_spark import catalog as _catalog
 
-                _catalog._table_cache.clear()
-                _catalog._views_registered.pop(id(session.spark), None)
+                # server-wide flush: every session's cached frames AND
+                # view registrations (a partial flush left other live
+                # sessions with stale view registrations pointing at
+                # dropped frames)
+                _catalog.flush()
                 pio.write_packet(packets.ok_packet(cap, status=session.status))
             elif cmd == C.COM_DEBUG:
                 # mysqld dumps debug info server-side and answers EOF

@@ -32,15 +32,42 @@ HEX_HIGH = tuple("89abcdef")  # hex digits with the top bit set
 def doc_words(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Distinct (doc_id, word) pairs (unigram sets — SimHash features).
 
-    No parallelism guard here (contrast doc_shingles): consumers hash
-    AFTER the distinct's exchange, which already spreads the work, and
-    the pre-shuffle explode is too cheap to justify repartitioning the
-    raw text (measured: the guard made q73 ~25% slower at sf1).
+    No parallelism guard here (contrast doc_shingles): consumers that
+    JOIN on this relation (q74's Jaccard verify) hash AFTER the
+    distinct's exchange, which already spreads the work.  Consumers
+    that only AGGREGATE per doc should use :func:`doc_word_sets`
+    instead — it replaces the corpus-wide distinct shuffle with a
+    row-local ``array_distinct``.
     """
     return (
         documents.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(F.col("w") != "")
         .distinct()
+    )
+
+
+def doc_word_sets(documents: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, word) pairs via ROW-LOCAL dedup — same set as
+    :func:`doc_words`, different plan: ``array_distinct`` inside each
+    row replaces the corpus-wide ``.distinct()`` exchange, so per-doc
+    aggregating consumers (SimHash signatures) reach their groupBy with
+    map-side partial aggregation and ONE narrow shuffle instead of a
+    full exploded-corpus wide shuffle.  The parallelism guard
+    repartitions the RAW documents (50 k rows ≪ the 5 M exploded pairs
+    the distinct would have shuffled) because a compact parquet source
+    can be a single input split, which would serialize the per-word
+    hashing onto one task.  Measured (sf1, r6): q73 1.9 s → 0.65 s.
+    """
+    return (
+        ensure_min_partitions(documents.select(id_col, text_col))
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(F.split(F.col(text_col), " "))
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
     )
 
 
@@ -172,20 +199,35 @@ def simhash(words: DataFrame, bits: int = 16, id_col: str = "doc_id") -> DataFra
     Bit j is the sign of the sum over words of ±1 — +1 when hex digit j
     of md5(word) has its top bit set.  One groupBy shuffle.
 
-    Production note: the md5-hex-substring bit derivation exists for
-    cross-engine oracle parity (DuckDB reproduces it in SQL).  A
-    pipeline that owns both ends would use ``xxhash64(word)`` and
-    integer bit-ops — one 64-bit hash and shifts instead of 16 string
-    substrings — with identical plan shape and ~2-3× less scan CPU;
-    the signature semantics (sign of per-bit sums) are unchanged.
+    Production note: the md5-hex bit derivation exists for cross-engine
+    oracle parity (DuckDB reproduces it in SQL).  A pipeline that owns
+    both ends would use ``xxhash64(word)`` directly — one hash, no hex
+    round-trip — with identical plan shape; the signature semantics
+    (sign of per-bit sums) are unchanged.
+
+    Bit extraction is integer ops, not string ops: the first ``bits``
+    hex digits are folded into two longs with ``conv`` (once per word),
+    and each bit test is a codegen'd shift+mask — "hex digit j has its
+    top bit set" ⟺ ``(half >> 4*pos) & 15 >= 8``.  Byte-identical to
+    the previous per-digit substring/isin derivation (same md5 hex
+    chars), without ``bits`` substring evaluations per word.
     """
-    bit_aggs = [
-        F.sum(
-            F.when(F.substring(F.md5("w"), j + 1, 1).isin(*HEX_HIGH), 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(bits)
-    ]
-    per_doc = words.groupBy(id_col).agg(*bit_aggs)
+    if bits > 16:
+        raise ValueError("simhash supports at most 16 bits (two conv halves)")
+    h = F.md5("w")
+    hashed = words.select(
+        id_col,
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("_ha"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("_hb"),
+    )
+    bit_aggs = []
+    for j in range(bits):
+        half, off = ("_ha", 4 * (7 - j)) if j < 8 else ("_hb", 4 * (15 - j))
+        digit = F.shiftright(F.col(half), off).bitwiseAND(F.lit(15))
+        bit_aggs.append(
+            F.sum(F.when(digit >= 8, 1).otherwise(-1)).alias(f"b{j}")
+        )
+    per_doc = hashed.groupBy(id_col).agg(*bit_aggs)
     sig = F.concat(
         *[F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits)]
     )
@@ -356,7 +398,7 @@ def simhash_multiprobe_pairs(documents: DataFrame, bits: int = 16) -> DataFrame:
     still never O(n²).  Distance-1 pairs are found from both endpoints'
     probe sets; the a<b filter + distinct collapses the two sightings.
     """
-    sigs = simhash(doc_words(documents), bits=bits)
+    sigs = simhash(doc_word_sets(documents), bits=bits)
     flips = [
         F.concat(
             F.substring("sh", 1, j),

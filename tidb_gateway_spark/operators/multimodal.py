@@ -240,7 +240,7 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     """
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rates = (16000, 22050, 44100)
+        rates = _RATES  # captured in the closure, shipped to workers
         for pdf in batches:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):

@@ -828,8 +828,8 @@ _Q157_ORACLE = (
     "SELECT lang, COUNT(*) AS n, "
     "CAST(SUM(pos * doc_id) AS BIGINT) AS ordsum, "
     "CAST(MIN(pos) AS BIGINT) AS first_pos FROM o "
-    "GROUP BY lang ORDER BY lang",
-)[0]
+    "GROUP BY lang ORDER BY lang"
+)
 
 
 @register(
@@ -934,7 +934,12 @@ _Q169_K = 20
     "+ 0.2 * LEAST(1.0, ((length(text) - (length(text) - length(replace(text,' ','')))) "
     "/ ((length(text) - length(replace(text,' ',''))) + 1.0)) / 8.0)) AS w "
     "FROM documents), "
-    f"sel AS (SELECT doc_id FROM s ORDER BY -LN(u) / w, doc_id LIMIT {_Q169_K}) "
+    # quantize the float key to an integer on BOTH engines: libm vs JVM
+    # LN can differ in the last ulp, and a raw float ORDER BY near the
+    # k-boundary could flip the selection cross-engine
+    f"sel AS (SELECT doc_id FROM s "
+    f"ORDER BY CAST(FLOOR(-LN(u) / w * 1e12) AS BIGINT), doc_id "
+    f"LIMIT {_Q169_K}) "
     "SELECT CAST(COUNT(*) AS BIGINT) AS k, "
     "CAST(SUM(doc_id) AS BIGINT) AS ck, "
     "CAST(MIN(doc_id) AS BIGINT) AS mn, "
@@ -958,8 +963,13 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     u = (hash_bps(F.col("doc_id"), "wres") + 0.5) / 10000.0
     w = text_ops.quality_score(F.col("text"), F.col("n_chars"))
+    # integer-quantized key (×1e12, floored): see the oracle note —
+    # raw float ordering is ulp-fragile across engines at the k-boundary
     sel = (
-        d.select("doc_id", (-F.log(u) / w).alias("key"))
+        d.select(
+            "doc_id",
+            F.floor(-F.log(u) / w * 1e12).cast("long").alias("key"),
+        )
         .orderBy("key", "doc_id")
         .limit(_Q169_K)
     )

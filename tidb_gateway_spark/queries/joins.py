@@ -277,24 +277,35 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q121_salted_skew_join",
     "SELECT c.c_mktsegment, COUNT(*) AS n, "
     "FLOOR(SUM(e.value)*100 + 0.5)/100 AS s "
-    "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+    "FROM (SELECT CASE WHEN user_id % 5 = 0 THEN 1 "
+    "ELSE user_id END AS k, value FROM events) e "
+    "JOIN customer c ON e.k = c.c_custkey "
     "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment",
-    doc="Explicitly SALTED fact⋈dim join (operators/skew.py:salted_join): "
-        "every events row picks one of 8 sub-keys (pmod(hash(event_id),8)) "
-        "and the customer build side is exploded 8×, so a hot user_id's "
-        "rows spread across 8 tasks instead of one straggler. Result is "
-        "set-identical to the plain join (the oracle IS the plain join). "
-        "The events fixture concentrates traffic on few users — exactly "
-        "the shape where, on a 100 TB fact table, AQE's skew split may "
-        "not engage (broadcast-ineligible builds, sub-threshold "
-        "partitions) and explicit salting is the escape hatch.",
+    doc="Explicitly SALTED fact⋈dim join (operators/skew.py:salted_join) "
+        "over a PATHOLOGICALLY SKEWED key: the query derives "
+        "k = CASE WHEN user_id%5=0 THEN 1 ELSE user_id END, funneling "
+        "~20% of all events onto customer key 1 — the null-ish-default/"
+        "celebrity-entity shape where a plain hash join runs at the "
+        "speed of one straggler task. Every events row picks one of 8 "
+        "sub-keys (pmod(hash(event_id),8)) and the customer build side "
+        "is exploded 8×, so the hot key's rows spread across 8 tasks. "
+        "Result is set-identical to the plain join over the same "
+        "derived key (the oracle IS that plain join; both engines "
+        "compute the identical CASE). tests/test_plans.py asserts the "
+        "exchange keys include the salt AND that the hot key's rows "
+        "land in all 8 salt buckets. On a 100 TB fact table this is "
+        "the escape hatch when AQE's skew split can't engage "
+        "(broadcast-ineligible builds, sub-threshold partitions).",
     tags=("join", "skew"),
 )
 def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidb_gateway_spark.operators.skew import salted_join
 
-    e = load_table(spark, sf_dir, "events").withColumnRenamed(
-        "user_id", "k")
+    e = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 5 == 0, F.lit(1))
+        .otherwise(F.col("user_id")).alias("k"),
+        "value", "event_id",
+    )
     c = load_table(spark, sf_dir, "customer").withColumnRenamed(
         "c_custkey", "k")
     joined = salted_join(e, c, "k", n_salt=8, salt_on=F.col("event_id"))

@@ -103,7 +103,7 @@ _Q73_ORACLE = (
 )
 def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = dedup.simhash(dedup.doc_words(d), bits=_BITS)
+    sh = dedup.simhash(dedup.doc_word_sets(d), bits=_BITS)
     g = sh.groupBy("sh").agg(F.count("*").alias("m"))
     return g.agg(
         F.count("*").alias("u"),
@@ -1090,7 +1090,7 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidb_gateway_spark.operators import text as text_ops
 
     d = load_table(spark, sf_dir, "documents")
-    sh = dedup.simhash(dedup.doc_words(d), bits=_BITS)
+    sh = dedup.simhash(dedup.doc_word_sets(d), bits=_BITS)
     q = d.select(
         "doc_id",
         text_ops.quality_score(F.col("text"), F.col("n_chars")).alias("q"),
