@@ -99,11 +99,18 @@ def doc_shingles(documents: DataFrame, n: int = 3, id_col: str = "doc_id",
     ``array_distinct`` made q91 18× slower because every fan-out branch
     re-ran the shingle transform against the scan.
     """
+    # HOF-free tokens (text.nonempty_words): split(trim, ' +') ≡
+    # filter(split(text,' '), x -> x != '') but whole-stage-codegen'd
+    # (higher-order filter is CodegenFallback).  Blank docs guard to []
+    # so they contribute no shingle, as the filter form did.
+    t = F.trim(F.col(text_col))
     out = (
         ensure_min_partitions(documents)
         .select(
             id_col,
-            F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("wlist"),
+            F.when(t != "", F.split(t, " +"))
+            .otherwise(F.expr("CAST(array() AS array<string>)"))
+            .alias("wlist"),
         )
         .select(id_col, F.explode(F.expr(_shingle_array_sql(n))).alias("w"))
     )

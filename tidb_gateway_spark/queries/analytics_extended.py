@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from tidb_gateway_spark.catalog import load_table
 from tidb_gateway_spark.functions import stable_round
+from tidb_gateway_spark.operators import text as text_ops
 from tidb_gateway_spark.queries.registry import register
 
 
@@ -763,10 +764,9 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
     w = d.select(
         "lang", "source", "n_chars",
-        F.size(words).alias("wc"),
+        text_ops.ws_token_count(F.col("text")).alias("wc"),
         F.md5("text").alias("h"),
     )
     return w.agg(

@@ -621,15 +621,20 @@ _Q122_ORACLE = (
 )
 def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    # HOF-free tokens (text.nonempty_words): split(trim, ' +') stays in
+    # whole-stage codegen where higher-order filter() is interpreted —
+    # measured 3.8 s → codegen class at sf1.  The trim != '' filter is
+    # the blank-doc guard (≡ the old tw > 0: blank text would mis-count
+    # as the one-element ['']).
+    words = F.split(F.trim(F.col("text")), " +")
     # Σ word lengths ≡ count of non-space chars: translate+length is
     # whole-stage-codegen'd; an aggregate() HOF lambda is interpreted.
-    d = d.select(
+    d = d.filter(F.trim(F.col("text")) != "").select(
         "source",
         F.size(words).alias("tw"),
         F.size(F.array_distinct(words)).alias("dw"),
         F.length(F.translate(F.col("text"), " ", "")).alias("cl"),
-    ).filter(F.col("tw") > 0)
+    )
     ttr = F.col("dw") / F.col("tw")
     mwl = F.col("cl") / F.col("tw")
     from tidb_gateway_spark.functions import stable_round

@@ -920,12 +920,23 @@ _Q98_ORACLE = (
     tags=("llm", "text", "quality"),
 )
 def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # parallelism guard: split + array_distinct per document, map-side
+    # parallelism guard: split + array_distinct per document, map-side.
+    # n/u are UNCONDITIONAL projection columns rather than
+    # text_ops.word_repetition_bucket's single when()-guarded
+    # expression: Spark's codegen subexpression elimination skips
+    # conditional branches, so the guarded form evaluated split() three
+    # times per row (measured: no gain from the HOF-free rewrite until
+    # this restructure).  The blank-doc guard becomes the Filter.
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    b = text_ops.word_repetition_bucket(F.col("text"))
+    t = F.trim(F.col("text"))
+    toks = F.split(t, " +")
+    per = d.filter(t != "").select(
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("u"),
+    )
+    bucket = F.floor((F.col("n") - F.col("u")) * 10 / F.col("n")).cast("int")
     return (
-        d.select(b.alias("bucket"))
-        .filter(F.col("bucket").isNotNull())
+        per.select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("bucket")
