@@ -92,6 +92,19 @@ _CHANGED_FIRST = (
     "q73_simhash_clusters",        # r6: shared signed-sum signature path
     "q122_ttr_quality_battery",    # r6: perf rework, hash unchanged
     "q98_word_repetition_filter",  # r6: perf rework, hash unchanged
+    # Tier 2 — NEW registry entries this round (queries/governance.py).
+    # They queue behind the certification backlog: window slots drain
+    # tier 0 first, these certify in the next round's window (all pass
+    # the in-repo oracle diff + driver sim at sf0.01 today).
+    "q178_referential_integrity_audit",
+    "q179_cms_heavy_hitters",
+    "q180_merge_upsert_apply",
+    "q181_equiwidth_histogram",
+    "q182_ewma_smoothing",
+    "q183_trigram_langid_confusion",
+    "q184_benford_first_digit_audit",
+    "q185_label_noise_audit",
+    "q186_bpe_merge_step",
 )
 
 # Queries whose latest green certification predates the current code

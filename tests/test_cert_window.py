@@ -31,17 +31,36 @@ def _certified_qids() -> set[str]:
     return qids
 
 
-def test_never_certified_queries_fit_next_window():
+def test_window_is_spent_on_never_certified_or_changed():
+    """The registry can exceed one window (176+ queries vs ~50 slots),
+    so the invariant is not "everything uncertified fits" but "no slot
+    is wasted": every query in the next window must be either
+    never-certified or explicitly re-queued via _CHANGED_FIRST, and
+    never-certified queries must rank AHEAD of every certified query
+    whose code did not change (so each round's window drains the
+    backlog maximally — a reorder can't silently demote one)."""
     import __spark_entry__ as entry
 
     order = list(entry.queries())
     certified = _certified_qids()
-    never = [q for q in order if q not in certified]
-    window = set(order[:WINDOW])
-    stragglers = [q for q in never if q not in window]
-    assert not stragglers, (
-        f"{len(stragglers)} never-certified queries fall outside the "
-        f"next {WINDOW}-slot driver window: {stragglers}"
+    changed = set(entry._CHANGED_FIRST)
+
+    wasted = [q for q in order[:WINDOW]
+              if q in certified and q not in changed]
+    assert not wasted, (
+        f"window slots spent on certified, unchanged queries while a "
+        f"backlog exists: {wasted}"
+    )
+
+    # never-certified queries must form a block no certified-unchanged
+    # query precedes
+    first_settled = next(
+        (i for i, q in enumerate(order)
+         if q in certified and q not in changed), len(order))
+    demoted = [q for q in order[first_settled:] if q not in certified]
+    assert not demoted, (
+        f"never-certified queries ranked behind certified, unchanged "
+        f"ones (would defer their certification a full round): {demoted}"
     )
 
 

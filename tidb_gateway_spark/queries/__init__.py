@@ -21,5 +21,6 @@ try:  # extended ops (Q72+) — registered when present
     from tidb_gateway_spark.queries import corpus_shaping  # noqa: F401
     from tidb_gateway_spark.queries import multimodal_pipeline  # noqa: F401
     from tidb_gateway_spark.queries import sources_queries  # noqa: F401
+    from tidb_gateway_spark.queries import governance  # noqa: F401
 except ImportError:
     pass

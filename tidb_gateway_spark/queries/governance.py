@@ -1,0 +1,698 @@
+"""Q178–Q183: warehouse-governance and model-quality operators —
+referential-integrity audit, a composable count–min sketch for heavy
+hitters, MERGE-style CDC upsert application, equi-width histograms,
+EWMA smoothing, and a char-trigram language classifier with confusion
+matrix.
+
+The reference relays these workloads as opaque SQL to its backends
+(/root/reference/gateway/relay.go:47-66); here they are declared
+DataFrame plans so Catalyst owns the physical strategy.
+
+Scale design notes (100 TB):
+
+* q178 aggregates each child table to per-key counts BEFORE the
+  existence join, so the shuffle carries one row per distinct FK value
+  (bounded by dimension cardinality), never fact rows.
+* q179's sketch IS a DataFrame: d×w counter cells built by explode →
+  partial-aggregated groupBy, so the full sketch is ≤ d·w rows of
+  mergeable state regardless of input size — the same update/merge
+  algebra a hand-rolled CMS accumulator would use, but expressed so
+  Catalyst map-side-combines it.  Estimates are a broadcast join of
+  the candidate keys against the cell table.  Unlike the JVM's opaque
+  CountMinSketch binary, every cell value is deterministic md5
+  arithmetic, so DuckDB reproduces the estimates bit-for-bit.
+* q180's MERGE is one full-outer shuffle join on the key — the same
+  single-pass the Delta/Iceberg MERGE physical plan performs — with
+  all WHEN branches evaluated as codegen'd projections over the join
+  result (no second pass, no driver loop).
+* q181 broadcasts a 1-row min/max aggregate onto the scan; the
+  histogram groupBy shuffles ≤ n_bins rows after map-side combine.
+* q182 keeps the decay-weight algebra in closed form (row weight from
+  row_number/count over one window) instead of a sequential fold —
+  one shuffle on user_id, reused by the window and the final sum.
+  α = 0.5 makes every weight an exact power of two, so cross-engine
+  float agreement is exact-product, not pow()-ulp luck.
+* q183's classifier is the broadcast-model pattern: the trained
+  profile (top-k trigrams × |langs|) is a few KB joined map-side onto
+  the exploded trigram stream; per-doc prefix sampling (first 120
+  chars) bounds the explode at corpus scale the way fastText-style
+  language ID samples documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tidb_gateway_spark.catalog import load_table
+from tidb_gateway_spark.functions import stable_round
+from tidb_gateway_spark.operators.partitioning import ensure_min_partitions
+from tidb_gateway_spark.queries.registry import register
+
+
+# ---------------------------------------------------------------- Q178
+_FK_EDGES = (
+    # (edge label, child table, child key, parent table, parent key)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+)
+
+_Q178_ORACLE = " UNION ALL ".join(
+    f"SELECT '{label}' AS edge, "
+    f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS child_rows, "
+    f"CAST((SELECT COUNT(*) FROM (SELECT {ckey} FROM {child} GROUP BY {ckey}) c "
+    f"WHERE c.{ckey} IS NOT NULL AND NOT EXISTS "
+    f"(SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey})) AS BIGINT) "
+    f"AS orphan_keys, "
+    f"CAST(COALESCE((SELECT SUM(n) FROM (SELECT {ckey} AS k, COUNT(*) AS n "
+    f"FROM {child} GROUP BY {ckey}) c WHERE c.k IS NOT NULL AND NOT EXISTS "
+    f"(SELECT 1 FROM {parent} p WHERE p.{pkey} = c.k)), 0) AS BIGINT) "
+    f"AS orphan_rows"
+    for label, child, ckey, parent, pkey in _FK_EDGES
+) + " ORDER BY edge"
+
+
+@register(
+    "q178_referential_integrity_audit",
+    _Q178_ORACLE,
+    doc="Referential-integrity audit over the star schema's four FK "
+        "edges (lineitem→orders/part/supplier, orders→customer): per "
+        "edge, total child rows plus orphan distinct keys and orphan "
+        "rows (child keys with no parent).  Each child is aggregated "
+        "to (key, count) BEFORE the anti join, so the existence check "
+        "shuffles one row per distinct FK value — at 100 TB the join "
+        "input is dimension-sized, never fact-sized.  The four edges "
+        "are independent one-row aggregates unioned at the end.",
+    tags=("governance", "join", "audit"),
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for label, child, ckey, parent, pkey in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent)
+        total = c.agg(F.count("*").alias("child_rows"))
+        per_key = (
+            c.filter(F.col(ckey).isNotNull())
+            .groupBy(ckey)
+            .agg(F.count("*").alias("n"))
+        )
+        orphans = (
+            per_key.join(p.select(pkey), per_key[ckey] == p[pkey], "left_anti")
+            .agg(
+                F.coalesce(F.count("*"), F.lit(0)).alias("orphan_keys"),
+                F.coalesce(F.sum("n"), F.lit(0)).alias("orphan_rows"),
+            )
+        )
+        row = total.crossJoin(orphans).select(
+            F.lit(label).alias("edge"),
+            "child_rows",
+            "orphan_keys",
+            "orphan_rows",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("edge")
+
+
+# ---------------------------------------------------------------- Q179
+_CMS_DEPTH = 4
+_CMS_WIDTH = 2048
+_CMS_TOPK = 10
+
+def _q179_hash_sql(j_expr: str, key_expr: str) -> str:
+    """DuckDB twin of _cms_bucket: first-4-md5-bytes of 'cms{j}|{key}'."""
+    return (
+        f"CAST(('0x' || substr(md5('cms' || CAST({j_expr} AS VARCHAR) || "
+        f"'|' || CAST({key_expr} AS VARCHAR)), 1, 8)) AS BIGINT) "
+        f"% {_CMS_WIDTH}"
+    )
+
+
+_Q179_ORACLE = (
+    "WITH cells AS (SELECT t.j, "
+    + _q179_hash_sql("t.j", "o_custkey")
+    + " AS bucket, COUNT(*) AS cnt "
+    f"FROM orders, UNNEST(range(0, {_CMS_DEPTH})) AS t(j) GROUP BY 1, 2), "
+    "exact AS (SELECT o_custkey AS custkey, COUNT(*) AS exact_n "
+    "FROM orders GROUP BY 1 "
+    f"ORDER BY exact_n DESC, custkey LIMIT {_CMS_TOPK}), "
+    "est AS (SELECT e.custkey, e.exact_n, MIN(c.cnt) AS est_n "
+    f"FROM exact e, UNNEST(range(0, {_CMS_DEPTH})) AS t(j) "
+    "JOIN cells c ON c.j = t.j AND c.bucket = "
+    + _q179_hash_sql("t.j", "e.custkey")
+    + " GROUP BY 1, 2), "
+    "n AS (SELECT COUNT(*) AS total FROM orders) "
+    "SELECT est.custkey, CAST(est.exact_n AS BIGINT) AS exact_n, "
+    "CAST(est.est_n AS BIGINT) AS est_n, "
+    "(est.est_n >= est.exact_n AND "
+    f"est.est_n <= est.exact_n + CAST(CEIL(2.0 / {_CMS_WIDTH} * n.total) "
+    "AS BIGINT)) AS within_bound "
+    "FROM est, n ORDER BY exact_n DESC, custkey"
+)
+
+
+def _cms_bucket(j: int, key) -> F.Column:
+    """Row j of the CMS: md5-derived bucket in [0, width) — the same
+    first-4-bytes arithmetic as operators/sampling.hash_bps, so DuckDB
+    recomputes identical cells."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{j}|"), key.cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("bigint") % _CMS_WIDTH
+    )
+
+
+@register(
+    "q179_cms_heavy_hitters",
+    _Q179_ORACLE,
+    doc="Count–min sketch heavy hitters, composed from DataFrame ops "
+        "instead of an opaque accumulator: the sketch is the "
+        f"({_CMS_DEPTH}×{_CMS_WIDTH})-cell counter table built by a "
+        "depth-way explode + partial-aggregated groupBy — fixed-size "
+        "mergeable state no matter the input (the CMS update/merge "
+        "algebra, map-side combined by Catalyst).  Estimates for the "
+        "exact top-10 customers join the candidate hash cells back to "
+        "the counter table and take MIN over depth.  est ≥ exact by "
+        "construction; within_bound certifies est ≤ exact + ε·N "
+        "(ε=2/width≈0.001, classic CMS guarantee).  All hashing is "
+        "md5 arithmetic, so the estimates — not just the bound — "
+        "hash-match the oracle bit-for-bit.",
+    tags=("sketch", "approx", "governance"),
+)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_custkey")
+
+    # sketch cells: explode depth hash rows per order, count per cell
+    cells = (
+        o.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(j, key).alias("bucket"),
+                    )
+                    for j in range(_CMS_DEPTH)
+                ])
+            ).alias("c")
+        )
+        .select("c.j", "c.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    exact = (
+        o.groupBy(key.alias("custkey"))
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "custkey")
+        .limit(_CMS_TOPK)
+    )
+
+    probes = exact.select(
+        "custkey", "exact_n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _cms_bucket(j, F.col("custkey")).alias("bucket"),
+                )
+                for j in range(_CMS_DEPTH)
+            ])
+        ).alias("c"),
+    ).select("custkey", "exact_n", "c.j", "c.bucket")
+
+    est = (
+        F.broadcast(probes)
+        .join(cells, ["j", "bucket"])
+        .groupBy("custkey", "exact_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+
+    total = o.agg(F.count("*").alias("total"))
+    eps_bound = F.ceil(F.lit(2.0 / _CMS_WIDTH) * F.col("total")).cast("bigint")
+    return (
+        est.crossJoin(total)
+        .select(
+            "custkey",
+            "exact_n",
+            "est_n",
+            (
+                (F.col("est_n") >= F.col("exact_n"))
+                & (F.col("est_n") <= F.col("exact_n") + eps_bound)
+            ).alias("within_bound"),
+        )
+        .orderBy(F.desc("exact_n"), "custkey")
+    )
+
+
+# ---------------------------------------------------------------- Q180
+_Q180_ORACLE = (
+    # target: 75% of docs; staged batch: even doc_ids with bumped
+    # n_chars (update when matched, insert when not, delete matched fr)
+    "WITH tgt AS (SELECT doc_id, lang, n_chars FROM documents "
+    "WHERE doc_id % 4 <> 3), "
+    "src AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars "
+    "FROM documents WHERE doc_id % 2 = 0), "
+    "m AS (SELECT COALESCE(t.doc_id, s.doc_id) AS doc_id, "
+    "CASE WHEN t.doc_id IS NOT NULL AND s.doc_id IS NOT NULL "
+    "AND s.lang = 'fr' THEN 'delete' "
+    "WHEN t.doc_id IS NOT NULL AND s.doc_id IS NOT NULL THEN 'update' "
+    "WHEN t.doc_id IS NULL THEN 'insert' ELSE 'keep' END AS action, "
+    "CASE WHEN s.doc_id IS NOT NULL THEN s.n_chars ELSE t.n_chars END "
+    "AS new_chars "
+    "FROM tgt t FULL OUTER JOIN src s ON t.doc_id = s.doc_id) "
+    "SELECT action, CAST(COUNT(*) AS BIGINT) AS rows_n, "
+    "CAST(SUM(CASE WHEN action = 'delete' THEN 0 ELSE new_chars END) "
+    "AS BIGINT) AS chars_after, "
+    "CAST(bit_xor(doc_id) AS BIGINT) AS id_xor "
+    "FROM m GROUP BY action ORDER BY action"
+)
+
+
+@register(
+    "q180_merge_upsert_apply",
+    _Q180_ORACLE,
+    doc="MERGE INTO applied as one full-outer join — the same "
+        "single-shuffle pass a Delta/Iceberg MERGE physical plan "
+        "performs: WHEN MATCHED AND src.lang='fr' THEN DELETE, WHEN "
+        "MATCHED THEN UPDATE (take source values), WHEN NOT MATCHED "
+        "THEN INSERT, plus untouched target rows.  Declared output is "
+        "the per-action audit (row count, post-merge char total, "
+        "doc_id XOR checksum — the cheap replication-validation "
+        "digest).  All WHEN branches are codegen'd projections over "
+        "the join result; no second pass over either side.",
+    tags=("governance", "join", "cdc"),
+)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tgt = d.filter(F.col("doc_id") % 4 != 3).select(
+        F.col("doc_id").alias("t_id"), F.col("n_chars").alias("t_chars"))
+    src = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("s_id"), F.col("lang").alias("s_lang"),
+        (F.col("n_chars") + 1000).alias("s_chars"))
+    m = tgt.join(src, tgt.t_id == src.s_id, "full_outer")
+    matched = F.col("t_id").isNotNull() & F.col("s_id").isNotNull()
+    action = (
+        F.when(matched & (F.col("s_lang") == "fr"), "delete")
+        .when(matched, "update")
+        .when(F.col("t_id").isNull(), "insert")
+        .otherwise("keep")
+    )
+    new_chars = F.when(
+        F.col("s_id").isNotNull(), F.col("s_chars")).otherwise(F.col("t_chars"))
+    return (
+        m.select(
+            F.coalesce(F.col("t_id"), F.col("s_id")).alias("doc_id"),
+            action.alias("action"),
+            new_chars.alias("new_chars"),
+        )
+        .groupBy("action")
+        .agg(
+            F.count("*").alias("rows_n"),
+            F.sum(
+                F.when(F.col("action") == "delete", F.lit(0))
+                .otherwise(F.col("new_chars"))
+            ).alias("chars_after"),
+            F.bit_xor("doc_id").alias("id_xor"),
+        )
+        .orderBy("action")
+    )
+
+
+# ---------------------------------------------------------------- Q181
+_Q181_BINS = 20
+_Q181_ORACLE = (
+    "WITH mm AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi "
+    "FROM orders), "
+    "b AS (SELECT CAST(LEAST(19, FLOOR((o_totalprice - mm.lo) * 20 / "
+    "(mm.hi - mm.lo))) AS INT) AS bin FROM orders, mm) "
+    "SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM b "
+    "GROUP BY bin ORDER BY bin"
+)
+
+
+@register(
+    "q181_equiwidth_histogram",
+    _Q181_ORACLE,
+    doc="Equi-width 20-bin histogram of order totals: the global "
+        "min/max ride a 1-row broadcast aggregate onto the scan (no "
+        "collect), binning is a codegen'd projection with identical "
+        "IEEE expression shape in both engines, and the groupBy "
+        "shuffles ≤ 20 rows after map-side combine.  The "
+        "distribution-profiling primitive behind histogram-equalized "
+        "binning and drift dashboards.",
+    tags=("analytics", "agg"),
+)
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    mm = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    binned = o.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.lit(_Q181_BINS - 1),
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo")) * _Q181_BINS
+                / (F.col("hi") - F.col("lo"))
+            ),
+        ).cast("int").alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count("*").alias("n")).orderBy("bin")
+
+
+# ---------------------------------------------------------------- Q182
+_Q182_ORACLE = (
+    # α = 0.5: EWMA_1 = x_1; EWMA_n = 0.5·x_n + 0.5·EWMA_{n-1}
+    # ⇒ closed form: x_i weight = 0.5^(n-i) · (i == 1 ? 1 : 0.5) · 2 …
+    # expressed identically to the Spark side: w_i = i=1 ? 0.5^(n-1)
+    # : 0.5 · 0.5^(n-i) — exact powers of two, no pow() ulp risk.
+    "WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, "
+    "SUM(value) AS x FROM events GROUP BY 1, 2), "
+    "w AS (SELECT user_id, x, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn, "
+    "COUNT(*) OVER (PARTITION BY user_id) AS n FROM daily) "
+    "SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_days, "
+    "FLOOR(SUM(CASE WHEN rn = 1 THEN POWER(0.5, n - 1) "
+    "ELSE 0.5 * POWER(0.5, n - rn) END * x) * 1e6 + 0.5) / 1e6 AS ewma "
+    "FROM w GROUP BY user_id ORDER BY user_id LIMIT 100"
+)
+
+
+@register(
+    "q182_ewma_smoothing",
+    _Q182_ORACLE,
+    doc="Exponentially weighted moving average (α=0.5) of each user's "
+        "daily value series, in closed form: the sequential recursion "
+        "EWMA_n = α·x_n + (1−α)·EWMA_{n−1} unrolls to per-row decay "
+        "weights computed from row_number/count over ONE window — no "
+        "fold, no UDF, no per-user iteration.  The window and the "
+        "final per-user sum share the user_id shuffle.  α = 0.5 makes "
+        "every weight an exact power of two, so both engines compute "
+        "exact products and the only cross-engine slack is summation "
+        "order, absorbed by the 1e-6 quantization.",
+    tags=("analytics", "window", "timeseries"),
+)
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum("value").alias("x"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    wn = Window.partitionBy("user_id")
+    rows = daily.select(
+        "user_id", "x",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    weight = (
+        F.when(F.col("rn") == 1, F.pow(F.lit(0.5), F.col("n") - 1))
+        .otherwise(F.lit(0.5) * F.pow(F.lit(0.5), F.col("n") - F.col("rn")))
+    )
+    return (
+        rows.groupBy("user_id")
+        .agg(
+            F.max("n").alias("n_days"),
+            stable_round(F.sum(weight * F.col("x")), 6).alias("ewma"),
+        )
+        .orderBy("user_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- Q183
+_Q183_PREFIX = 120   # per-doc sampling cap (chars) for trigram extraction
+_Q183_TOPK = 20      # profile size per language
+
+_Q183_ORACLE = (
+    "WITH t AS (SELECT doc_id, lang, substr(text, 1, 120) AS px "
+    "FROM documents WHERE text IS NOT NULL), "
+    "tri AS (SELECT t.doc_id, t.lang, substr(t.px, CAST(u.i AS INT), 3) "
+    "AS tri FROM t, UNNEST(range(1, GREATEST(len(t.px) - 1, 1))) AS u(i) "
+    "WHERE len(t.px) >= 3), "
+    "model AS (SELECT lang AS mlang, tri FROM ("
+    "SELECT lang, tri, ROW_NUMBER() OVER (PARTITION BY lang "
+    "ORDER BY COUNT(*) DESC, tri) AS rk FROM tri GROUP BY lang, tri) "
+    "WHERE rk <= 20), "
+    "dt AS (SELECT DISTINCT doc_id, lang, tri FROM tri), "
+    "score AS (SELECT dt.doc_id, dt.lang, m.mlang, COUNT(*) AS hits "
+    "FROM dt JOIN model m USING (tri) GROUP BY 1, 2, 3), "
+    "pred AS (SELECT doc_id, lang, mlang AS pred_lang FROM ("
+    "SELECT doc_id, lang, mlang, ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "ORDER BY hits DESC, mlang) AS rk FROM score) WHERE rk = 1) "
+    "SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "FROM pred GROUP BY 1, 2 ORDER BY lang, pred_lang"
+)
+
+
+@register(
+    "q183_trigram_langid_confusion",
+    _Q183_ORACLE,
+    doc="Character-trigram language classifier with confusion matrix — "
+        "the train-then-broadcast-score pattern of real language-ID "
+        "pipelines: (1) TRAIN: per-language top-20 trigram profiles "
+        "from the labeled corpus (explode prefix trigrams → "
+        "partial-aggregated counts → per-lang window top-k); (2) "
+        "SCORE: the few-KB model broadcast-joins onto each document's "
+        "distinct trigrams, prediction = argmax profile hits (ties "
+        "lang-ascending, deterministic); (3) EVALUATE: confusion "
+        "matrix of labeled vs predicted.  Per-doc prefix sampling "
+        "(first 120 chars) bounds the explode at corpus scale — the "
+        "same document sampling fastText-style classifiers use.  The "
+        "fixture corpus is same-language word soup, so the matrix "
+        "degenerates to one predicted class — the mechanism, not the "
+        "accuracy, is what is declared.",
+    tags=("llm", "text", "classifier"),
+)
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    px = F.substring(F.col("text"), 1, _Q183_PREFIX)
+    base = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", px.alias("px"))
+        .filter(F.length("px") >= 3)
+    )
+    tri = base.select(
+        "doc_id", "lang",
+        F.explode(F.sequence(F.lit(1), F.length("px") - 2)).alias("i"),
+        "px",
+    ).select("doc_id", "lang", F.expr("substring(px, i, 3)").alias("tri"))
+
+    rk = Window.partitionBy("lang").orderBy(F.desc("cnt"), "tri")
+    model = (
+        tri.groupBy("lang", "tri")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= _Q183_TOPK)
+        .select(F.col("lang").alias("mlang"), "tri")
+    )
+
+    dt = tri.select("doc_id", "lang", "tri").distinct()
+    score = (
+        dt.join(F.broadcast(model), "tri")
+        .groupBy("doc_id", "lang", "mlang")
+        .agg(F.count("*").alias("hits"))
+    )
+    pk = Window.partitionBy("doc_id").orderBy(F.desc("hits"), "mlang")
+    pred = (
+        score.withColumn("rk", F.row_number().over(pk))
+        .filter(F.col("rk") == 1)
+        .select("lang", F.col("mlang").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+# ---------------------------------------------------------------- Q184
+# Benford expected first-digit shares, precomputed once in Python and
+# injected as the SAME literals into both engines — no cross-engine
+# log10() ulp exposure.
+import math as _math
+
+_BENFORD = {d: round(_math.log10(1 + 1 / d), 6) for d in range(1, 10)}
+
+_Q184_ORACLE = (
+    "WITH dig AS (SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS "
+    "BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit FROM orders), "
+    "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM dig), "
+    "exp AS (" + " UNION ALL ".join(
+        f"SELECT {d} AS digit, {_BENFORD[d]} AS exp_pct"
+        for d in range(1, 10)) + ") "
+    "SELECT e.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n, "
+    "FLOOR(COALESCE(c.n, 0) / nn.total * 1e6 + 0.5) / 1e6 AS obs_pct, "
+    "e.exp_pct, "
+    "ABS(FLOOR(COALESCE(c.n, 0) / nn.total * 1e6 + 0.5) / 1e6 - e.exp_pct) "
+    "> 0.05 AS deviates "
+    "FROM exp e LEFT JOIN (SELECT digit, COUNT(*) AS n FROM dig GROUP BY 1) c "
+    "ON c.digit = e.digit CROSS JOIN n nn ORDER BY e.digit"
+)
+
+
+@register(
+    "q184_benford_first_digit_audit",
+    _Q184_ORACLE,
+    doc="Benford's-law first-digit audit of order totals — the "
+        "fraud/synthetic-data screen: observed first-digit shares vs "
+        "the log10(1+1/d) expectation, flagging digits deviating by "
+        "more than 5 points.  The digit comes from integer cents "
+        "(CAST(x*100 AS BIGINT) → string head), never from float "
+        "formatting or log10 binning, so it is bit-identical "
+        "cross-engine; expected shares are Python-precomputed literals "
+        "injected into BOTH engines.  One scan, ≤9-row aggregate, "
+        "1-row total broadcast.",
+    tags=("governance", "audit", "agg"),
+)
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        (F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n"))
+    total = o.agg(F.count("*").cast("double").alias("total"))
+    expected = spark.createDataFrame(
+        [(d, _BENFORD[d]) for d in range(1, 10)], "digit INT, exp_pct DOUBLE")
+    obs_pct = stable_round(
+        F.coalesce(F.col("n"), F.lit(0)) / F.col("total"), 6)
+    return (
+        expected.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            obs_pct.alias("obs_pct"),
+            "exp_pct",
+            (F.abs(obs_pct - F.col("exp_pct")) > 0.05).alias("deviates"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------- Q185
+_Q185_ORACLE = (
+    "WITH dims AS (SELECT vec_id, label, "
+    "CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS x, u.i "
+    "FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)), "
+    "cent AS (SELECT label AS clabel, i, AVG(x) AS c FROM dims "
+    "GROUP BY 1, 2), "
+    "d2 AS (SELECT d.vec_id, d.label, c.clabel, "
+    "SUM((d.x - c.c) * (d.x - c.c)) AS dist2 "
+    "FROM dims d JOIN cent c ON c.i = d.i GROUP BY 1, 2, 3), "
+    "per AS (SELECT vec_id, label, "
+    "MIN(CASE WHEN clabel = label THEN dist2 END) AS own_d2, "
+    "MIN(CASE WHEN clabel <> label THEN dist2 END) AS other_d2 "
+    "FROM d2 GROUP BY 1, 2) "
+    "SELECT label, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CASE WHEN FLOOR((other_d2 - own_d2) * 1e6 + 0.5) < 0 "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS flagged, "
+    "FLOOR(AVG(own_d2) * 1e4 + 0.5) / 1e4 AS avg_own_d2, "
+    "FLOOR(AVG(other_d2 - own_d2) * 1e4 + 0.5) / 1e4 AS avg_margin "
+    "FROM per GROUP BY label ORDER BY label"
+)
+
+
+@register(
+    "q185_label_noise_audit",
+    _Q185_ORACLE,
+    doc="Embedding label-noise audit — the mislabel screen run before "
+        "training a classifier head: distance² from each vector to its "
+        "own label's centroid vs the nearest OTHER centroid; a vector "
+        "closer to a foreign centroid (negative margin) is flagged as "
+        "probable label noise.  Centroids are a fixed-size (|labels|×d) "
+        "aggregate broadcast onto the exploded-dimension stream — the "
+        "scan is linear in N·d·|labels| with no N×N pairs anywhere; "
+        "the margin is quantized (1e-6) before the sign test so "
+        "summation-order ulps can't flip a flag.",
+    tags=("llm", "embedding", "governance"),
+)
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("i", "xf"),
+    ).select("vec_id", "label", "i", F.col("xf").cast("double").alias("x"))
+    cent = (
+        dims.groupBy(F.col("label").alias("clabel"), "i")
+        .agg(F.avg("x").alias("c"))
+    )
+    d2 = (
+        dims.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+             .alias("dist2"))
+    )
+    per = d2.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("dist2")))
+        .alias("own_d2"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist2")))
+        .alias("other_d2"),
+    )
+    margin_q = F.floor((F.col("other_d2") - F.col("own_d2")) * 1e6 + 0.5)
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((margin_q < 0).cast("int")).cast("bigint").alias("flagged"),
+            stable_round(F.avg("own_d2"), 4).alias("avg_own_d2"),
+            stable_round(
+                F.avg(F.col("other_d2") - F.col("own_d2")), 4
+            ).alias("avg_margin"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------- Q186
+_Q186_ORACLE = (
+    # one BPE training iteration: word frequencies, then adjacent
+    # char-pair counts weighted by word frequency, top-10 merges
+    "WITH words AS (SELECT w, COUNT(*) AS freq FROM ("
+    "SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) "
+    "AS w FROM documents) GROUP BY w), "
+    "pairs AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, freq "
+    "FROM words, UNNEST(range(1, len(w))) AS u(i) WHERE len(w) >= 2) "
+    "SELECT pair, CAST(SUM(freq) AS BIGINT) AS n "
+    "FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 10"
+)
+
+
+@register(
+    "q186_bpe_merge_step",
+    _Q186_ORACLE,
+    doc="One BPE-training iteration (the inner loop of tokenizer "
+        "training): corpus word frequencies, then adjacent "
+        "symbol-pair counts weighted by word frequency, emitting the "
+        "top-10 merge candidates.  The pair scan runs over the "
+        "VOCABULARY (distinct words × word length), not the corpus — "
+        "the standard trick that makes BPE training corpus-size-"
+        "independent per iteration; both groupBys partial-aggregate "
+        "map-side and the shuffle carries (pair, weight) rows only.",
+    tags=("llm", "text", "tokenizer"),
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators import text as t_ops
+
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    words = (
+        d.select(F.explode(t_ops.nonempty_words(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        "w", "freq",
+    ).select(F.expr("substring(w, i, 2)").alias("pair"), "freq")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(10)
+    )
