@@ -105,6 +105,12 @@ _CHANGED_FIRST = (
     "q184_benford_first_digit_audit",
     "q185_label_noise_audit",
     "q186_bpe_merge_step",
+    "q187_consecutive_dedup_compress",
+    "q188_mad_robust_outliers",
+    "q189_time_weighted_average",
+    "q190_array_function_bank",
+    "q191_equidepth_binning",
+    "q192_chisq_contingency",
 )
 
 # Queries whose latest green certification predates the current code

@@ -77,13 +77,18 @@ def main() -> None:
             break
 
     per_query: dict[str, float] = {}
+    failed: dict[str, str] = {}
     for qid in sorted(REGISTRY):
         spec = REGISTRY[qid]
         best = float("inf")
-        for _ in range(max(1, RUNS)):
-            t0 = time.perf_counter()
-            spec.spark(spark, SF_DIR).toArrow()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(max(1, RUNS)):
+                t0 = time.perf_counter()
+                spec.spark(spark, SF_DIR).toArrow()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 - one query must not kill the sweep
+            failed[qid] = str(exc).splitlines()[0][:200]
+            continue
         per_query[qid] = round(best, 4)
 
     result = {
@@ -111,13 +116,20 @@ def main() -> None:
             if not spec.oracle:
                 continue
             best = float("inf")
-            for _ in range(max(1, RUNS) + 1):  # first run is DuckDB's warm-up
-                t0 = time.perf_counter()
-                con.execute(spec.oracle).arrow()
-                best = min(best, time.perf_counter() - t0)
+            try:
+                for _ in range(max(1, RUNS) + 1):  # first run warms DuckDB
+                    t0 = time.perf_counter()
+                    con.execute(spec.oracle).arrow()
+                    best = min(best, time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 - keep sweeping
+                failed[f"{qid}:duckdb"] = str(exc).splitlines()[0][:200]
+                continue
             ddb[qid] = round(best, 4)
         result["duckdb_queries"] = ddb
         result["duckdb_total"] = round(sum(ddb.values()), 4)
+
+    if failed:
+        result["failed"] = failed
 
     # The full per-query map (176+ entries, plus the optional DuckDB
     # column) exceeds the driver's stdout tail capture — five rounds of
@@ -153,6 +165,8 @@ def main() -> None:
     }
     if "duckdb_total" in result:
         summary["duckdb_total"] = result["duckdb_total"]
+    if failed:
+        summary["n_failed"] = len(failed)
     sys.stdout.flush()
     print(json.dumps(summary))
 

@@ -69,7 +69,7 @@ def test_global_window_queries_have_no_single_partition_sort(spark, sf_dir):
     range-partitioned operators: their physical plans must not contain
     a single-partition exchange (the 100×-scale killer a bare
     Window.orderBy would introduce)."""
-    for qid in ("q32_rank_dense_rank", "q37_ntile"):
+    for qid in ("q32_rank_dense_rank", "q37_ntile", "q191_equidepth_binning"):
         df = REGISTRY[qid].spark(spark, sf_dir)
         text = inspect.explain_formatted(df)
         assert "SinglePartition" not in text, f"{qid}: {text}"
@@ -320,3 +320,48 @@ def test_q141_pit_join_is_hash_on_equikey(spark, sf_dir):
     for line in plan.splitlines():
         if "NestedLoop" in line:
             assert "custkey" not in line, line
+
+
+def test_q179_cms_probe_join_broadcasts(spark, sf_dir):
+    """The CMS estimate join must broadcast the ≤ depth·topk probe rows
+    against the cell table — a shuffle there would exchange the whole
+    sketch for 40 probe rows."""
+    df = REGISTRY["q179_cms_heavy_hitters"].spark(spark, sf_dir)
+    assert inspect.has_broadcast_join(df)
+
+
+def test_q183_model_join_broadcasts_and_no_rowudf(spark, sf_dir):
+    """The trained trigram profile (|langs|·topk rows) must ride a
+    broadcast onto the document trigram stream, and the whole
+    classifier must stay JVM-side."""
+    df = REGISTRY["q183_trigram_langid_confusion"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    assert "BroadcastHashJoin" in text or "BroadcastExchange" in text, text
+    assert "BatchEvalPython" not in text and "PythonUDF" not in text, text
+
+
+def test_q185_centroid_join_broadcasts(spark, sf_dir):
+    """The (labels × dims) centroid table is fixed-size model state —
+    it must broadcast onto the exploded-dimension stream, never
+    shuffle the N·d dimension rows to meet it."""
+    df = REGISTRY["q185_label_noise_audit"].spark(spark, sf_dir)
+    assert inspect.has_broadcast_join(df)
+
+
+def test_q181_histogram_minmax_broadcasts(spark, sf_dir):
+    """The global min/max 1-row aggregate joins the scan via broadcast
+    nested loop (1-row build side), and the bin groupBy partial
+    aggregates map-side."""
+    df = REGISTRY["q181_equiwidth_histogram"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text
+    assert text.count("HashAggregate") >= 2, "expected partial+final agg"
+
+
+def test_q180_merge_is_single_full_outer_join(spark, sf_dir):
+    """MERGE apply = exactly one full-outer shuffle join; a second join
+    or pass over either side would double the cost of every merge."""
+    df = REGISTRY["q180_merge_upsert_apply"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    assert text.count("SortMergeJoin FullOuter") + text.count(
+        "ShuffledHashJoin FullOuter") == 1, text

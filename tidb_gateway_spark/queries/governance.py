@@ -93,14 +93,18 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
     for label, child, ckey, parent, pkey in _FK_EDGES:
         c = load_table(spark, sf_dir, child)
         p = load_table(spark, sf_dir, parent)
+        # child_rows stays a SEPARATE count(*): parquet answers it from
+        # row-group metadata (empty ReadSchema — no column IO), so it is
+        # cheaper than deriving the total from the per-key aggregate
+        # (measured 1.5 s vs 2.0 s at sf1 for the 4-edge audit).
         total = c.agg(F.count("*").alias("child_rows"))
         per_key = (
             c.filter(F.col(ckey).isNotNull())
-            .groupBy(ckey)
+            .groupBy(F.col(ckey).alias("k"))
             .agg(F.count("*").alias("n"))
         )
         orphans = (
-            per_key.join(p.select(pkey), per_key[ckey] == p[pkey], "left_anti")
+            per_key.join(p.select(pkey), per_key["k"] == p[pkey], "left_anti")
             .agg(
                 F.coalesce(F.count("*"), F.lit(0)).alias("orphan_keys"),
                 F.coalesce(F.sum("n"), F.lit(0)).alias("orphan_rows"),
@@ -482,16 +486,26 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
         "px",
     ).select("doc_id", "lang", F.expr("substring(px, i, 3)").alias("tri"))
 
+    # ONE explode + ONE corpus-sized shuffle: aggregate to per-document
+    # trigram counts first, then derive BOTH the model (sum of counts
+    # per (lang, tri) — a second, vocabulary-sized shuffle) and the
+    # distinct doc-trigram stream from that aggregate.  The naive form
+    # (model from the raw stream + a separate distinct) explodes the
+    # corpus twice and shuffles it twice.
+    per_doc = (
+        tri.groupBy("doc_id", "lang", "tri").agg(F.count("*").alias("c"))
+    )
+
     rk = Window.partitionBy("lang").orderBy(F.desc("cnt"), "tri")
     model = (
-        tri.groupBy("lang", "tri")
-        .agg(F.count("*").alias("cnt"))
+        per_doc.groupBy("lang", "tri")
+        .agg(F.sum("c").alias("cnt"))
         .withColumn("rk", F.row_number().over(rk))
         .filter(F.col("rk") <= _Q183_TOPK)
         .select(F.col("lang").alias("mlang"), "tri")
     )
 
-    dt = tri.select("doc_id", "lang", "tri").distinct()
+    dt = per_doc.select("doc_id", "lang", "tri")
     score = (
         dt.join(F.broadcast(model), "tri")
         .groupBy("doc_id", "lang", "mlang")

@@ -112,6 +112,11 @@ def get_spark(app_name: str = "tidb-gateway-spark", cpus: int | None = None,
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Full-table results (global ranks, as-of joins) legitimately
+        # exceed the 1g default when benched at sf10 — the Arrow
+        # collect is the measured materialization, not an accident.
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
