@@ -111,6 +111,10 @@ _CHANGED_FIRST = (
     "q190_array_function_bank",
     "q191_equidepth_binning",
     "q192_chisq_contingency",
+    "q193_zorder_locality",
+    "q194_dup_ngram_coverage",
+    "q195_incremental_agg_maintenance",
+    "q196_quantile_normalization",
 )
 
 # Queries whose latest green certification predates the current code
