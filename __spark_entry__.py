@@ -90,8 +90,16 @@ _CHANGED_FIRST = (
     "q121_salted_skew_join",       # r6: declared over derived skewed input
     "q53_json_extract",            # r6: single-parse from_json rewrite
     "q73_simhash_clusters",        # r6: shared signed-sum signature path
-    "q122_ttr_quality_battery",    # r6: perf rework, hash unchanged
-    "q98_word_repetition_filter",  # r6: perf rework, hash unchanged
+    "q122_ttr_quality_battery",    # r6: HOF-free tokenizer, hash unchanged
+    "q98_word_repetition_filter",  # r6: HOF-free + unconditional columns
+    "q74_jaccard_verify",          # r6: array-intersect verify rework
+    "q101_dedup_clusters",         # r6: array-intersect verify rework
+    "q103_ngram_decontamination",  # r6: hash-before-distinct shuffle cut
+    # (q160_dataset_card also changed — HOF-free token count — but it
+    # already holds a tier-0 slot as part of the never-certified set)
+    "q72_minhash_lsh_candidates",  # r6: word_shingles HOF-free tokens
+    "q91_contamination_check",     # r6: word_shingles HOF-free tokens
+    "q130_canonical_doc_per_cluster",  # r6: word_shingles HOF-free tokens
     # Tier 2 — NEW registry entries this round (queries/governance.py).
     # They queue behind the certification backlog: window slots drain
     # tier 0 first, these certify in the next round's window (all pass

@@ -874,3 +874,61 @@ def test_temperature_rates_math():
     assert abs(t2["es"] / t2["en"] - 10.0) < 0.05, t2
     assert all(1 <= r <= 10_000 for r in t2.values())
     assert temperature_rates_bps({}, T=2.0) == {}
+
+
+def test_hof_free_tokens_match_filtered_split_on_spark(spark):
+    """The round-6 tokenizer rewrite rests on split(trim(t), ' +') ==
+    filter(split(t, ' '), x -> x != '') — assert the identity on
+    SPARK's own expressions over adversarial whitespace layouts (runs
+    of spaces, edge spaces, tabs/newlines/unicode spaces that trim
+    must NOT strip, empty and all-space strings)."""
+    from pyspark.sql import functions as F
+
+    corpus = [
+        "", " ", "   ", "a", " a", "a ", "  a  b  ", "a b", "a  b",
+        "a\tb", "\ta b\t", "a\nb c", " a b", "a   b",
+        "word " * 5, "  leading", "trailing  ", " x  y   z ",
+    ]
+    df = spark.createDataFrame([(s,) for s in corpus], "t STRING")
+    t = F.trim(F.col("t"))
+    new = F.when(t != "", F.split(t, " +")).otherwise(
+        F.expr("CAST(array() AS array<string>)"))
+    old = F.filter(F.split(F.col("t"), " "), lambda x: x != F.lit(""))
+    rows = df.select(new.alias("n"), old.alias("o")).collect()
+    for s, r in zip(corpus, rows):
+        assert r.n == r.o, (repr(s), r.n, r.o)
+
+
+def test_jaccard_pairs_arrays_matches_explode_join_form(spark, sf_dir):
+    """dedup.jaccard_pairs_arrays (row-local array_intersect) must
+    produce the same (a, b, jac) set as the explode-join jaccard_pairs
+    it replaced in q74/q101."""
+    from pyspark.sql import functions as F
+
+    from tidb_gateway_spark.catalog import load_table
+    from tidb_gateway_spark.operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    shingles = dedup.doc_shingles(d)
+    cand = dedup.minhash_lsh_candidates(d, k=6, bands=3, shingles=shingles)
+    old = {
+        (r.a, r.b): round(r.jac, 9)
+        for r in dedup.jaccard_pairs(cand, shingles).collect()
+    }
+    new = {
+        (r.a, r.b): round(r.jac, 9)
+        for r in dedup.jaccard_pairs_arrays(
+            cand, dedup.doc_shingle_arrays(d)).collect()
+    }
+    assert new == old
+
+
+def test_cms_estimate_never_underestimates(spark, sf_dir):
+    """Count-min guarantee: est >= exact for every probe (the one-sided
+    error CMS promises by construction)."""
+    from tidb_gateway_spark.queries import REGISTRY
+
+    rows = REGISTRY["q179_cms_heavy_hitters"].spark(spark, sf_dir).collect()
+    assert rows, "no heavy hitters returned"
+    for r in rows:
+        assert r.est_n >= r.exact_n, r

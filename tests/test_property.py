@@ -138,3 +138,23 @@ def test_binary_row_null_bitmap_roundtrip(cols):
     assert pos == len(payload)
     for got, want in zip(out, values):
         assert got == want or (got is None and want is None)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 tokenizer rewrite: split(trim(text), ' +') must produce exactly
+# the token list filter(split(text, ' '), x -> x != '') produced — the
+# whole HOF-free family (q98/q122/q160/word_shingles) rests on this
+# identity, so pin it against adversarial whitespace layouts.
+@given(st.lists(
+    st.one_of(
+        st.text(alphabet="ab ", min_size=0, max_size=6),
+        st.text(min_size=0, max_size=4),
+    ),
+    max_size=8,
+).map(" ".join))
+@settings(max_examples=200, deadline=None)
+def test_trim_split_equals_filtered_split(text):
+    old = [t for t in text.split(" ") if t != ""]
+    stripped = text.strip(" ")
+    new = [] if stripped == "" else __import__("re").split(" +", stripped)
+    assert new == old, (text, new, old)

@@ -84,8 +84,16 @@ _Q103_ORACLE = (
 )
 def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    grams = dedup.doc_shingles(d, n=_NGRAM_N).select(
-        "doc_id", F.substring(F.md5("w"), 1, 16).alias("gh")
+    # hash BEFORE the per-doc distinct: a 13-gram is ~110 B of text and
+    # the 16-hex hash is 16 B, so deduping on (doc_id, gh) instead of
+    # (doc_id, gram) cuts the distinct's shuffle ~5× — the exchange
+    # stays the reuse point for all three consumers (bench, semi-join
+    # probe, per-doc totals).  Measured 44 s → 7.4 s at sf10 (and the
+    # 25× sf1→sf10 growth outlier becomes ~4×, i.e. sub-linear).
+    grams = (
+        dedup.doc_shingles(d, n=_NGRAM_N, distinct=False)
+        .select("doc_id", F.substring(F.md5("w"), 1, 16).alias("gh"))
+        .distinct()
     )
     bench = (
         grams.filter(F.col("doc_id") < _BENCH_MAX_ID).select("gh").distinct()
