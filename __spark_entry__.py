@@ -123,6 +123,8 @@ _CHANGED_FIRST = (
     "q194_dup_ngram_coverage",
     "q195_incremental_agg_maintenance",
     "q196_quantile_normalization",
+    "q197_cluster_aware_split",
+    "q198_token_budget_mixing",
 )
 
 # Queries whose latest green certification predates the current code

@@ -484,3 +484,54 @@ def test_checkpoint_restart_recovers_state(spark, tmp_path):
     # recovered state dedups the cross-run duplicate; committed batch
     # b1 is not reprocessed (no re-emission of run-1 pairs)
     assert sorted(run2) == [(3, "view")], run2
+
+
+def test_stateful_ewma_converges(spark, sf_dir, stream_dir):
+    """Streaming EWMA (explicit keyed state, recursion folded per
+    micro-batch in event-time order) must converge to the batch
+    closed-form unrolling of the same recursion (the q182 weight
+    algebra, here per event instead of per day)."""
+    from pyspark.sql.window import Window
+
+    s = jobs.read_events_stream(spark, stream_dir)
+    job = jobs.stateful_ewma(s)
+    emissions: list = []
+
+    q = (
+        job.writeStream.foreachBatch(
+            lambda b, _i: emissions.append(b.collect()))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    last = {}
+    for batch in emissions:
+        for r in batch:
+            last[r["user_id"]] = (r["n"], r["ewma"])
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    rows = e.select(
+        "user_id", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    weight = (
+        F.when(F.col("rn") == 1, F.pow(F.lit(0.5), F.col("n") - 1))
+        .otherwise(F.lit(0.5) * F.pow(F.lit(0.5), F.col("n") - F.col("rn")))
+    )
+    batch_ans = {
+        r["user_id"]: (r["n"], r["ewma"])
+        for r in rows.groupBy("user_id")
+        .agg(F.max("n").alias("n"),
+             F.sum(weight * F.col("value")).alias("ewma"))
+        .collect()
+    }
+    assert set(last) == set(batch_ans)
+    for u, (n, ew) in batch_ans.items():
+        assert last[u][0] == n, u
+        assert abs(last[u][1] - ew) < 1e-9 * max(1.0, abs(ew)), u

@@ -1028,3 +1028,197 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("prev") + 0.5) / 10000 * 10000,
     )
     return r.select("w", "n", "prev", delta.alias("delta_bp")).orderBy("w")
+
+
+# ---------------------------------------------------------------- Q197
+from tidb_gateway_spark.queries.llm_extended import (  # noqa: E402
+    _BANDS, _DDB_BANDS, _DDB_CAND_CHAIN, _DDB_SHINGLES, _DDB_SIGS, _K,
+)
+
+_Q197_SPLIT_BPS = 9_000  # train share (basis points of the hash space)
+
+
+def _q197_split_sql(key_expr: str) -> str:
+    """train/eval decision from the md5-bps hash of ``key_expr`` —
+    identical arithmetic to operators/sampling.hash_bps."""
+    return (
+        "CASE WHEN CAST(('0x' || substr(md5('csplit|' || "
+        f"CAST({key_expr} AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 "
+        f"< {_Q197_SPLIT_BPS} THEN 'train' ELSE 'eval' END"
+    )
+
+
+_Q197_ORACLE = (
+    f"WITH RECURSIVE {_DDB_SHINGLES}, {_DDB_SIGS}, {_DDB_BANDS}, "
+    f"{_DDB_CAND_CHAIN}, "
+    "ver AS (SELECT t.a, t.b FROM inter t "
+    "JOIN sizes sa ON sa.doc_id = t.a JOIN sizes sb ON sb.doc_id = t.b "
+    "WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5), "
+    "edges AS (SELECT a AS u, b AS v FROM ver UNION SELECT b, a FROM ver), "
+    "walk(n, m) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+    "UNION SELECT e.u, w.m FROM edges e JOIN walk w ON w.n = e.v), "
+    "cc AS (SELECT n AS doc_id, MIN(m) AS cluster FROM walk GROUP BY n), "
+    "cmap AS (SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster "
+    "FROM documents d LEFT JOIN cc USING (doc_id)), "
+    "assigned AS (SELECT doc_id, cluster, "
+    + _q197_split_sql("cluster") + " AS cl_split, "
+    + _q197_split_sql("doc_id") + " AS doc_split FROM cmap), "
+    "m1 AS (SELECT 'cluster' AS method, "
+    "CAST(SUM(CASE WHEN cl_split = 'train' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS train_docs, "
+    "CAST(SUM(CASE WHEN cl_split = 'eval' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS eval_docs, "
+    "CAST((SELECT COUNT(*) FROM (SELECT cluster FROM assigned "
+    "GROUP BY cluster HAVING COUNT(DISTINCT cl_split) > 1)) AS BIGINT) "
+    "AS straddling_clusters FROM assigned), "
+    "m2 AS (SELECT 'doc' AS method, "
+    "CAST(SUM(CASE WHEN doc_split = 'train' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS train_docs, "
+    "CAST(SUM(CASE WHEN doc_split = 'eval' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS eval_docs, "
+    "CAST((SELECT COUNT(*) FROM (SELECT cluster FROM assigned "
+    "GROUP BY cluster HAVING COUNT(DISTINCT doc_split) > 1)) AS BIGINT) "
+    "AS straddling_clusters FROM assigned) "
+    "SELECT * FROM m1 UNION ALL SELECT * FROM m2 ORDER BY method"
+)
+
+
+@register(
+    "q197_cluster_aware_split",
+    _Q197_ORACLE,
+    doc="Dedup-aware train/eval split — the leakage guard real "
+        "pretraining pipelines need: hashing the near-dup CLUSTER "
+        "label (q101's connected components; singletons are their own "
+        "cluster) assigns every near-duplicate family to ONE side, "
+        "provably (straddling_clusters = 0 by construction, and "
+        "declared).  The naive doc-hash split is reported alongside "
+        "with its nonzero straddle count — the quantified leak.  Same "
+        "candidate→verify→CC machinery as q101 plus one broadcast "
+        "join of the cluster map; the split decision is a pure row "
+        "hash, stable under any repartitioning.",
+    tags=("llm", "dedup", "sampling", "governance"),
+)
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    shingles = dedup.doc_shingles(d)
+    cand = dedup.minhash_lsh_candidates(
+        d, k=_K, bands=_BANDS, shingles=shingles)
+    ver = (
+        dedup.jaccard_pairs_arrays(cand, dedup.doc_shingle_arrays(d))
+        .filter(F.col("jac") >= 0.5)
+        .select("a", "b")
+    )
+    cc = dedup.connected_components(ver).select(
+        "doc_id", F.col("cluster_id").alias("cluster"))
+    cmap = (
+        d.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+    cl_bps = sampling.hash_bps(F.col("cluster"), "csplit")
+    doc_bps = sampling.hash_bps(F.col("doc_id"), "csplit")
+    assigned = cmap.select(
+        "doc_id", "cluster",
+        F.when(cl_bps < _Q197_SPLIT_BPS, "train").otherwise("eval")
+        .alias("cl_split"),
+        F.when(doc_bps < _Q197_SPLIT_BPS, "train").otherwise("eval")
+        .alias("doc_split"),
+    )
+
+    def method_row(split_col: str, label: str) -> DataFrame:
+        counts = assigned.agg(
+            F.sum((F.col(split_col) == "train").cast("long"))
+            .alias("train_docs"),
+            F.sum((F.col(split_col) == "eval").cast("long"))
+            .alias("eval_docs"),
+        )
+        straddle = (
+            assigned.groupBy("cluster")
+            .agg(F.countDistinct(split_col).alias("ns"))
+            .agg(F.sum((F.col("ns") > 1).cast("long"))
+                 .alias("straddling_clusters"))
+        )
+        return counts.crossJoin(straddle).select(
+            F.lit(label).alias("method"),
+            "train_docs", "eval_docs", "straddling_clusters",
+        )
+
+    return (
+        method_row("cl_split", "cluster")
+        .unionByName(method_row("doc_split", "doc"))
+        .orderBy("method")
+    )
+
+
+# ---------------------------------------------------------------- Q198
+_Q198_BUDGET = 50_000  # whitespace-token budget per language
+
+
+_Q198_ORACLE = (
+    "WITH t AS (SELECT doc_id, lang, "
+    "len(list_filter(string_split(text, ' '), x -> x <> '')) AS toks, "
+    "CAST(('0x' || substr(md5('budget|' || CAST(doc_id AS VARCHAR)), "
+    "1, 8)) AS BIGINT) % 10000 AS bps FROM documents), "
+    "r AS (SELECT lang, toks, SUM(toks) OVER (PARTITION BY lang "
+    "ORDER BY bps, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "CURRENT ROW) AS cum FROM t) "
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS total_docs, "
+    f"CAST(SUM(CASE WHEN cum <= {_Q198_BUDGET} THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS kept_docs, "
+    f"CAST(SUM(CASE WHEN cum <= {_Q198_BUDGET} THEN toks ELSE 0 END) "
+    "AS BIGINT) AS kept_tokens, "
+    f"CAST(SUM(CASE WHEN cum <= {_Q198_BUDGET} THEN toks ELSE 0 END) "
+    f"* 10000 // {_Q198_BUDGET} AS BIGINT) AS utilization_bps "
+    "FROM r GROUP BY lang ORDER BY lang"
+)
+
+
+@register(
+    "q198_token_budget_mixing",
+    _Q198_ORACLE,
+    doc="Token-budgeted corpus mixing — the data-recipe form that "
+        "caps each language at a TOKEN budget instead of a sampling "
+        "rate (q97/q151 are the rate forms): docs ordered by a "
+        "deterministic per-doc hash (stable under repartitioning, no "
+        "seed drift) accumulate whitespace tokens per language until "
+        "the budget; the running sum is ONE per-lang window over "
+        "integer token counts, so the keep frontier is bit-identical "
+        "cross-engine.  Declared output is the per-language audit "
+        "(kept docs/tokens, utilization bps).",
+    tags=("llm", "sampling", "corpus"),
+)
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators import sampling, text as text_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang",
+        text_ops.ws_token_count(F.col("text")).cast("bigint").alias("toks"),
+        sampling.hash_bps(F.col("doc_id"), "budget").alias("bps"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("bps", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = t.select("lang", "toks", F.sum("toks").over(w).alias("cum"))
+    kept = F.col("cum") <= _Q198_BUDGET
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count("*").alias("total_docs"),
+            F.sum(kept.cast("long")).alias("kept_docs"),
+            F.sum(F.when(kept, F.col("toks")).otherwise(F.lit(0)))
+            .alias("kept_tokens"),
+            F.floor(
+                F.sum(F.when(kept, F.col("toks")).otherwise(F.lit(0)))
+                * 10000 / _Q198_BUDGET
+            ).cast("bigint").alias("utilization_bps"),
+        )
+        .orderBy("lang")
+    )

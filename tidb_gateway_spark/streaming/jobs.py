@@ -298,3 +298,48 @@ def run_to_completion(stream_df: DataFrame, query_name: str,
     q.awaitTermination(timeout_sec)
     spark = stream_df.sparkSession
     return spark.table(query_name)
+
+
+def stateful_ewma(events: DataFrame, alpha: float = 0.5,
+                  watermark: str = "10 minutes") -> DataFrame:
+    """Streaming EWMA (q182's twin) via ``applyInPandasWithState``:
+    per-user exponentially weighted value, folded in event-time order
+    within each micro-batch over explicit keyed state.
+
+    The batch form unrolls the recursion into closed-form window
+    weights (queries/statistics_extended.q182); a stream cannot — the
+    state IS the recursion: one (ewma, n) pair per user, O(1) memory
+    regardless of stream length, sharded by key across executors like
+    every built-in stateful operator.  Rows are sorted by (ts,
+    event_id) inside each batch; the file-replay harness delivers
+    batches in event-time order, as a real ingest stream (and any
+    out-of-order remainder is what the watermark bounds).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n long, ewma double"
+    state_schema = "n long, ewma double"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, ew = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=["value"]).sort_values(
+                ["ts", "event_id"])
+            for v in pdf["value"].to_numpy():
+                v = float(v)
+                ew = v if n == 0 else alpha * v + (1.0 - alpha) * ew
+                n += 1
+        state.update((n, ew))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "ewma": [ew]})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
