@@ -365,3 +365,49 @@ def test_q180_merge_is_single_full_outer_join(spark, sf_dir):
     text = inspect.explain_formatted(df)
     assert text.count("SortMergeJoin FullOuter") + text.count(
         "ShuffledHashJoin FullOuter") == 1, text
+
+
+def test_zorder_write_prunes_box_predicates(spark, sf_dir, tmp_path):
+    """Z-order layout (operators/layout.py): a table written
+    partitioned by the Morton bucket of (o_totalprice, o_custkey)
+    must answer a two-column box predicate by scanning only the
+    partitions whose rectangles intersect the box — the derived
+    zbucket IN (...) lands in PartitionFilters — and return exactly
+    the rows the unpruned filter returns."""
+    import re
+
+    from tidb_gateway_spark.operators import layout
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_custkey")
+    mm = o.agg(
+        F.min("o_totalprice"), F.max("o_totalprice"),
+        F.min("o_custkey"), F.max("o_custkey"),
+    ).first()
+    bounds = (mm[0], mm[1], float(mm[2]), float(mm[3]))
+    path = str(tmp_path / "zorders")
+    layout.zorder_write(o, "o_totalprice", "o_custkey", path, bounds)
+
+    x_range = (bounds[0], bounds[0] + (bounds[1] - bounds[0]) * 0.2)
+    y_range = (bounds[2], bounds[2] + (bounds[3] - bounds[2]) * 0.2)
+    pruned = layout.zorder_read(
+        spark, path, "o_totalprice", "o_custkey", x_range, y_range, bounds)
+
+    text = inspect.explain_formatted(pruned)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert m and "zbucket" in m.group(1), text
+
+    cands = layout.zbucket_candidates(x_range, y_range, bounds)
+    n_total = 4**layout.BUCKET_BITS
+    assert 0 < len(cands) < n_total / 2, (
+        f"box should prune most buckets: {len(cands)}/{n_total}")
+
+    expect = sorted(
+        r.o_orderkey
+        for r in o.filter(
+            F.col("o_totalprice").between(*x_range)
+            & F.col("o_custkey").between(*y_range)
+        ).collect()
+    )
+    got = sorted(r.o_orderkey for r in pruned.collect())
+    assert got == expect
