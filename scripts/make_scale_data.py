@@ -77,11 +77,19 @@ def replica_select(table: str, i: int, strides: dict[str, int],
                 "array_to_string(list_transform(string_split(text, ' '), "
                 f"x -> x || '~{i}'), ' ') AS text"
             )
-        elif table == "embeddings" and c == "embedding":
-            # keep the source's FLOAT[] physical type; perturb replicas
+        elif table == "embeddings" and c == "embedding" and i > 0:
+            # keep the source's FLOAT[] physical type; replicas i>0 get
+            # per-DIMENSION deterministic noise with enough magnitude to
+            # break near-duplicate similarity between replicas of one
+            # base vector.  The old constant shift (x + i*1e-3) barely
+            # moved cosine, so N replicas of each base stayed mutual
+            # near-dups and pair-enumerating benchmarks (q93) measured
+            # clone explosion (~quadratic in factor), not corpus scale.
+            amp = 0.05 + 0.02 * (i % 5)
             exprs.append(
-                "CAST(list_transform(embedding, x -> x + "
-                f"{i} * 1e-3) AS FLOAT[]) AS embedding"
+                "CAST(list_transform(range(1, len(embedding) + 1), "
+                f"j -> embedding[j] + {amp} * sin(j * {i} * 2.399963)) "
+                "AS FLOAT[]) AS embedding"
             )
         else:
             exprs.append(c)
