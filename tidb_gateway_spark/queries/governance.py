@@ -126,11 +126,13 @@ _CMS_WIDTH = 2048
 _CMS_TOPK = 10
 
 def _q179_hash_sql(j_expr: str, key_expr: str) -> str:
-    """DuckDB twin of _cms_bucket: first-4-md5-bytes of 'cms{j}|{key}'."""
+    """DuckDB twin of _cms_bucket: the j-th 5-hex-digit (20-bit) slice
+    of ONE md5 of 'cms|{key}' — single-digest row hashing, same
+    construction as minhash_signatures (slices of a cryptographic
+    digest are independent)."""
     return (
-        f"CAST(('0x' || substr(md5('cms' || CAST({j_expr} AS VARCHAR) || "
-        f"'|' || CAST({key_expr} AS VARCHAR)), 1, 8)) AS BIGINT) "
-        f"% {_CMS_WIDTH}"
+        f"CAST(('0x' || substr(md5('cms|' || CAST({key_expr} AS VARCHAR)), "
+        f"1 + CAST({j_expr} AS INT) * 5, 5)) AS BIGINT) % {_CMS_WIDTH}"
     )
 
 
@@ -157,17 +159,20 @@ _Q179_ORACLE = (
 )
 
 
-def _cms_bucket(j: int, key) -> F.Column:
-    """Row j of the CMS: md5-derived bucket in [0, width) — the same
-    first-4-bytes arithmetic as operators/sampling.hash_bps, so DuckDB
-    recomputes identical cells."""
+def _cms_digest(key) -> F.Column:
+    """ONE md5 per row; the depth hash functions are 5-hex (20-bit)
+    slices of it — the single-digest construction minhash_signatures
+    uses, cutting the dominant per-row cost (digesting) by depth×."""
+    return F.md5(F.concat(F.lit("cms|"), key.cast("string")))
+
+
+def _cms_bucket_from_digest(j: int, digest: F.Column) -> F.Column:
+    """Hash row j of the CMS from the shared digest: bucket in
+    [0, width) via the j-th 20-bit slice (DuckDB recomputes the
+    identical substrings)."""
     return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"cms{j}|"), key.cast("string"))), 1, 8
-            ),
-            16, 10,
-        ).cast("bigint") % _CMS_WIDTH
+        F.conv(F.substring(digest, 1 + j * 5, 5), 16, 10)
+        .cast("bigint") % _CMS_WIDTH
     )
 
 
@@ -192,19 +197,22 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     key = F.col("o_custkey")
 
-    # sketch cells: explode depth hash rows per order, count per cell
-    cells = (
-        o.select(
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _cms_bucket(j, key).alias("bucket"),
-                    )
-                    for j in range(_CMS_DEPTH)
-                ])
-            ).alias("c")
+    def depth_buckets(dg: F.Column) -> F.Column:
+        return F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _cms_bucket_from_digest(j, dg).alias("bucket"),
+                )
+                for j in range(_CMS_DEPTH)
+            ])
         )
+
+    # sketch cells: ONE md5 per order (projected so codegen evaluates
+    # it once), depth bucket slices exploded, count per cell
+    cells = (
+        o.select(_cms_digest(key).alias("dg"))
+        .select(depth_buckets(F.col("dg")).alias("c"))
         .select("c.j", "c.bucket")
         .groupBy("j", "bucket")
         .agg(F.count("*").alias("cnt"))
@@ -217,18 +225,13 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_CMS_TOPK)
     )
 
-    probes = exact.select(
-        "custkey", "exact_n",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    _cms_bucket(j, F.col("custkey")).alias("bucket"),
-                )
-                for j in range(_CMS_DEPTH)
-            ])
-        ).alias("c"),
-    ).select("custkey", "exact_n", "c.j", "c.bucket")
+    probes = (
+        exact.select(
+            "custkey", "exact_n",
+            _cms_digest(F.col("custkey")).alias("dg"))
+        .select("custkey", "exact_n", depth_buckets(F.col("dg")).alias("c"))
+        .select("custkey", "exact_n", "c.j", "c.bucket")
+    )
 
     est = (
         F.broadcast(probes)
