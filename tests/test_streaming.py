@@ -535,3 +535,23 @@ def test_stateful_ewma_converges(spark, sf_dir, stream_dir):
     for u, (n, ew) in batch_ans.items():
         assert last[u][0] == n, u
         assert abs(last[u][1] - ew) < 1e-9 * max(1.0, abs(ew)), u
+
+
+def test_streaming_cms_cells_converge_to_batch_sketch(spark, sf_dir,
+                                                      stream_dir):
+    """The streaming CMS must end at exactly the batch sketch: after
+    draining the bounded replay in complete mode, every (j, bucket)
+    cell count equals operators/sketch.cms_cells over the static
+    events table — the update≡merge algebra that makes the sketch a
+    valid incremental aggregate."""
+    from tidb_gateway_spark.operators import sketch
+
+    s = jobs.read_events_stream(spark, stream_dir)
+    res = drain(spark, jobs.streaming_cms_cells(s), "cms_cells")
+    stream_cells = {(r["j"], r["bucket"]): r["cnt"] for r in res.collect()}
+
+    batch = sketch.cms_cells(
+        load_table(spark, sf_dir, "events"), F.col("user_id"))
+    batch_cells = {(r["j"], r["bucket"]): r["cnt"]
+                   for r in batch.collect()}
+    assert stream_cells == batch_cells

@@ -60,3 +60,62 @@ def hex_frac(h: Column) -> Column:
         F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
         / F.lit(4294967296.0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count–min sketch (shared by queries/governance.q179 and the streaming
+# twin in streaming/jobs.py).  The sketch IS a DataFrame of (j, bucket,
+# cnt) cells — fixed ≤ depth·width rows of mergeable state — built from
+# ONE md5 per input row with the j-th hash taken as the j-th 5-hex
+# (20-bit) slice of the digest (single-digest construction, like
+# minhash_signatures; slices of a cryptographic digest are independent).
+# All arithmetic is portable md5/substring/conv, so external engines
+# recompute identical cells (q179's DuckDB oracle does).
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+
+
+def cms_digest(key: Column) -> Column:
+    """ONE md5 per row; all depth hash functions slice it."""
+    return F.md5(F.concat(F.lit("cms|"), key.cast("string")))
+
+
+def cms_bucket_from_digest(j: int, digest: Column,
+                           width: int = CMS_WIDTH) -> Column:
+    """Bucket of hash row j in [0, width): the j-th 20-bit digest slice."""
+    return (
+        F.conv(F.substring(digest, 1 + j * 5, 5), 16, 10)
+        .cast("bigint") % width
+    )
+
+
+def cms_depth_buckets(digest: Column, depth: int = CMS_DEPTH,
+                      width: int = CMS_WIDTH) -> Column:
+    """Exploded (j, bucket) struct stream — one row per hash function."""
+    return F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                cms_bucket_from_digest(j, digest, width).alias("bucket"),
+            )
+            for j in range(depth)
+        ])
+    )
+
+
+def cms_cells(df: DataFrame, key: Column, depth: int = CMS_DEPTH,
+              width: int = CMS_WIDTH) -> DataFrame:
+    """The sketch: (j, bucket, cnt) counter cells.  groupBy partial-
+    aggregates map-side, so the exchange carries ≤ depth·width rows per
+    task.  Works identically on a static frame and a streaming frame —
+    on a stream the SAME aggregation becomes incremental sketch state
+    (streaming/jobs.streaming_cms_cells), which is the point of CMS:
+    update and merge are the same counter addition."""
+    return (
+        df.select(cms_digest(key).alias("dg"))
+        .select(cms_depth_buckets(F.col("dg"), depth, width).alias("c"))
+        .select("c.j", "c.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )

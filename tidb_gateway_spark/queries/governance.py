@@ -159,21 +159,8 @@ _Q179_ORACLE = (
 )
 
 
-def _cms_digest(key) -> F.Column:
-    """ONE md5 per row; the depth hash functions are 5-hex (20-bit)
-    slices of it — the single-digest construction minhash_signatures
-    uses, cutting the dominant per-row cost (digesting) by depth×."""
-    return F.md5(F.concat(F.lit("cms|"), key.cast("string")))
-
-
-def _cms_bucket_from_digest(j: int, digest: F.Column) -> F.Column:
-    """Hash row j of the CMS from the shared digest: bucket in
-    [0, width) via the j-th 20-bit slice (DuckDB recomputes the
-    identical substrings)."""
-    return (
-        F.conv(F.substring(digest, 1 + j * 5, 5), 16, 10)
-        .cast("bigint") % _CMS_WIDTH
-    )
+# CMS hashing/cell construction lives in operators/sketch.py (shared
+# with the streaming twin, streaming/jobs.streaming_cms_cells).
 
 
 @register(
@@ -194,29 +181,14 @@ def _cms_bucket_from_digest(j: int, digest: F.Column) -> F.Column:
     tags=("sketch", "approx", "governance"),
 )
 def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators import sketch
+
     o = load_table(spark, sf_dir, "orders")
     key = F.col("o_custkey")
 
-    def depth_buckets(dg: F.Column) -> F.Column:
-        return F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    _cms_bucket_from_digest(j, dg).alias("bucket"),
-                )
-                for j in range(_CMS_DEPTH)
-            ])
-        )
-
     # sketch cells: ONE md5 per order (projected so codegen evaluates
     # it once), depth bucket slices exploded, count per cell
-    cells = (
-        o.select(_cms_digest(key).alias("dg"))
-        .select(depth_buckets(F.col("dg")).alias("c"))
-        .select("c.j", "c.bucket")
-        .groupBy("j", "bucket")
-        .agg(F.count("*").alias("cnt"))
-    )
+    cells = sketch.cms_cells(o, key, _CMS_DEPTH, _CMS_WIDTH)
 
     exact = (
         o.groupBy(key.alias("custkey"))
@@ -228,8 +200,11 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (
         exact.select(
             "custkey", "exact_n",
-            _cms_digest(F.col("custkey")).alias("dg"))
-        .select("custkey", "exact_n", depth_buckets(F.col("dg")).alias("c"))
+            sketch.cms_digest(F.col("custkey")).alias("dg"))
+        .select(
+            "custkey", "exact_n",
+            sketch.cms_depth_buckets(
+                F.col("dg"), _CMS_DEPTH, _CMS_WIDTH).alias("c"))
         .select("custkey", "exact_n", "c.j", "c.bucket")
     )
 

@@ -343,3 +343,18 @@ def stateful_ewma(events: DataFrame, alpha: float = 0.5,
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_cms_cells(events: DataFrame,
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Streaming count–min sketch over user_id: the SAME cell
+    construction as the batch sketch (operators/sketch.cms_cells) run
+    as an incremental streaming aggregation — each micro-batch's
+    counter increments merge into the grouped state because CMS update
+    and CMS merge are the same addition.  Fixed ≤ depth·width rows of
+    state regardless of stream length; estimates come from joining
+    probes against the final cells exactly as in the batch q179."""
+    from tidb_gateway_spark.operators import sketch
+
+    return sketch.cms_cells(
+        events.withWatermark("ts", watermark), F.col("user_id"))
