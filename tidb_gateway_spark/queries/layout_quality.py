@@ -175,13 +175,17 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter BEFORE shingling so both engines see the same domain
     t = F.trim(F.col("text"))
     d = d.filter((t != "") & (F.size(F.split(t, " +")) >= _Q194_N))
-    # distinct=False keeps within-doc duplicates — the signal measured
-    g = dedup.doc_shingles(d, n=_Q194_N, distinct=False)
-    cnt = (
-        g.groupBy("doc_id", "w")
-        .agg(F.count("*").alias("c"))
-        .withColumn("L", F.length("w").cast("bigint"))
+    # distinct=False keeps within-doc duplicates — the signal measured.
+    # Group on the gram HASH with the char length carried alongside
+    # (the q103 lesson): the (doc, gram) exchange shuffles 16 B + an
+    # int instead of ~35 B of 5-gram text it would only ever count.
+    g = dedup.doc_shingles(d, n=_Q194_N, distinct=False).select(
+        "doc_id",
+        F.substring(F.md5("w"), 1, 16).alias("gh"),
+        F.length("w").cast("bigint").alias("L"),
     )
+    cnt = g.groupBy("doc_id", "gh").agg(
+        F.count("*").alias("c"), F.max("L").alias("L"))
     per = cnt.groupBy("doc_id").agg(
         F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("L"))
               .otherwise(F.lit(0))).alias("dup_chars"),
