@@ -28,82 +28,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # is PRIORITY-ORDERED (tuple position, not qid) and more than ~50
 # entries means the tail defers to the next round by design.
 _CHANGED_FIRST = (
-    # Tier 0 — the 49 registry queries that have never appeared in any
-    # CORRECTNESS_r*.json (rounds 1–5 certified the other 127; none red
-    # on its latest check).  All 49 pass the in-repo driver-equivalent
-    # oracle diff at sf0.01 (tests/test_oracle_diff.py) — this tier
-    # routes them through the real driver window so every registry
-    # query carries a driver certification.  tests/test_cert_window.py
-    # asserts this tier stays inside the next window.
-    "q104_top_ngram_fraction",
-    "q106_pivot_event_matrix",
-    "q107_unpivot_long_form",
-    "q109_video_frame_sampling",
-    "q111_curriculum_quartiles",
-    "q115_distribution_drift_psi",
-    "q116_full_data_recipe",
-    "q117_recursive_cte_month_series",
-    "q118_percent_rank_cume_dist",
-    "q119_lateral_topn_per_key",
-    "q120_range_interval_frame",
-    "q123_csv_source_roundtrip",
-    "q124_jsonl_source_roundtrip",
-    "q125_string_agg_sorted",
-    "q126_map_aggregate_functions",
-    "q128_orc_source_roundtrip",
-    "q131_nth_value_lead_default",
-    "q132_bitwise_bool_aggs",
-    "q138_skew_diagnostics",
-    "q144_asof_join_forward",
-    "q145_ratio_to_report",
-    "q146_grouping_id_rollup",
-    "q147_try_cast_dirty_parse",
-    "q148_union_by_name_missing_cols",
-    "q153_batch_sessionization",
-    "q154_rolling_zscore_anomaly",
-    "q155_k_anonymity_audit",
-    "q156_soft_quality_sampling",
-    "q157_stratified_interleave",
-    "q158_rag_chunking",
-    "q159_touch_attribution",
-    "q160_dataset_card",
-    "q161_nested_struct_ops",
-    "q162_explode_outer_empty_arrays",
-    "q163_string_parsing_family",
-    "q164_keyset_pagination",
-    "q165_session_cooccurrence",
-    "q166_three_step_funnel",
-    "q167_ab_test_zstat",
-    "q168_gini_concentration",
-    "q169_weighted_reservoir",
-    "q170_period_over_period",
-    "q171_gap_latency_report",
-    "q172_geometric_harmonic_means",
-    "q173_deterministic_mode",
-    "q174_adoption_curve",
-    "q175_null_safe_join",
-    "q176_multiset_set_ops",
-    "q177_topk_with_ties",
-    # Tier 1 — r6 implementation changes to previously-certified
-    # queries, riskiest first (window slot 50+; overflow defers to r7
-    # backed by the in-repo oracle diff at sf0.01, which all pass).
-    "q121_salted_skew_join",       # r6: declared over derived skewed input
-    "q53_json_extract",            # r6: single-parse from_json rewrite
-    "q73_simhash_clusters",        # r6: shared signed-sum signature path
-    "q122_ttr_quality_battery",    # r6: HOF-free tokenizer, hash unchanged
-    "q98_word_repetition_filter",  # r6: HOF-free + unconditional columns
-    "q74_jaccard_verify",          # r6: array-intersect verify rework
-    "q101_dedup_clusters",         # r6: array-intersect verify rework
-    "q103_ngram_decontamination",  # r6: hash-before-distinct shuffle cut
-    # (q160_dataset_card also changed — HOF-free token count — but it
-    # already holds a tier-0 slot as part of the never-certified set)
-    "q72_minhash_lsh_candidates",  # r6: word_shingles HOF-free tokens
-    "q91_contamination_check",     # r6: word_shingles HOF-free tokens
-    "q130_canonical_doc_per_cluster",  # r6: word_shingles HOF-free tokens
-    # Tier 2 — NEW registry entries this round (queries/governance.py).
-    # They queue behind the certification backlog: window slots drain
-    # tier 0 first, these certify in the next round's window (all pass
-    # the in-repo oracle diff + driver sim at sf0.01 today).
+    # Tier 0 — the 21 registry entries added in round 6
+    # (q178–q198) that have never appeared in any CORRECTNESS_r*.json.
+    # Rounds 1–6 certified the other 176; none is red on its latest
+    # check.  All 21 pass the in-repo driver-equivalent oracle diff at
+    # sf0.01 (tests/test_oracle_diff.py); this tier routes them through
+    # the real driver window.  tests/test_cert_window.py asserts the
+    # tier stays inside the next window.
     "q178_referential_integrity_audit",
     "q179_cms_heavy_hitters",
     "q180_merge_upsert_apply",
@@ -125,6 +56,23 @@ _CHANGED_FIRST = (
     "q196_quantile_normalization",
     "q197_cluster_aware_split",
     "q198_token_budget_mixing",
+    # Tier 1 — queries whose round-6 rewrites postdate their last green
+    # driver certification (all pass the in-repo oracle diff at sf0.01;
+    # riskiest first).  Round-7 perf reworks (q53/q183/q194) keep their
+    # slots here/above so their current form is what gets certified.
+    "q53_json_extract",            # r6 parse-above-exchange; r7 rework
+    "q73_simhash_clusters",        # r6: shared signed-sum signature path
+    "q122_ttr_quality_battery",    # r6: HOF-free tokenizer
+    "q98_word_repetition_filter",  # r6: HOF-free + unconditional columns
+    "q74_jaccard_verify",          # r6: array-intersect verify rework
+    "q101_dedup_clusters",         # r6: array-intersect verify rework
+    "q103_ngram_decontamination",  # r6: hash-before-distinct shuffle cut
+    "q72_minhash_lsh_candidates",  # r6: word_shingles HOF-free tokens
+    "q91_contamination_check",     # r6: word_shingles HOF-free tokens
+    "q130_canonical_doc_per_cluster",  # r6: word_shingles HOF-free tokens
+    # Tier 2 — NEW registry entries this round (round 7) append below;
+    # 31 backlog slots + new entries must stay <= ~45 so the window
+    # drains completely (VERDICT r6 directive 8).
 )
 
 # Queries whose latest green certification predates the current code

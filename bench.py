@@ -139,7 +139,10 @@ def main() -> None:
     # summary whose `queries` map holds only the headline data-path
     # subset (the queries where the oracle engine itself does real
     # work — BASELINE.md's data-path table).
-    detail_path = os.path.join(
+    # SPARK_GRAFT_BENCH_DETAIL redirects the detail artifact — the test
+    # suite points it at tmp_path so `pytest tests/` can never clobber
+    # the round's bench_detail.json (the file BENCH_r*.json points to).
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
     with open(detail_path, "w") as f:
         json.dump(result, f)

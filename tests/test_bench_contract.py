@@ -1,21 +1,43 @@
 """The driver parses bench.py's FINAL stdout line as JSON (five rounds
 of BENCH_r*.json went parsed:null before round 6 made the last line a
 short summary).  Pin the contract: last line is valid JSON with the
-scoreable fields, and the full map goes to bench_detail.json."""
+scoreable fields, and the full map goes to the detail file.
+
+The detail file is pointed at tmp_path via SPARK_GRAFT_BENCH_DETAIL —
+a pytest run must NEVER rewrite the repo's bench_detail.json, which is
+the artifact BENCH_r*.json's ``detail_file`` references (a round-6
+judge found a green test run silently replacing the round's perf
+record with a one-query stub)."""
 
 from __future__ import annotations
 
+import hashlib
 import importlib
 import io
 import json
 import os
 from contextlib import redirect_stdout
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-def test_bench_final_line_is_short_parseable_summary(spark, monkeypatch):
+
+def _digest(path: str) -> str | None:
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def test_bench_final_line_is_short_parseable_summary(
+        spark, monkeypatch, tmp_path):
+    repo_detail = os.path.join(REPO, "bench_detail.json")
+    before = _digest(repo_detail)
+
+    detail = tmp_path / "bench_detail.json"
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_ONLY", "q01")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_RUNS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", str(detail))
     monkeypatch.setattr("sys.argv", ["bench.py"])
 
     import bench
@@ -34,8 +56,10 @@ def test_bench_final_line_is_short_parseable_summary(spark, monkeypatch):
     # short enough for any stdout tail capture
     assert len(lines[-1]) < 4000, len(lines[-1])
 
-    detail = os.path.join(os.path.dirname(bench.__file__),
-                          "bench_detail.json")
     with open(detail) as f:
         d = json.load(f)
     assert set(d["queries"]) == {"q01_parquet_scan_count"}
+
+    # the round artifact must be byte-identical after the run
+    assert _digest(repo_detail) == before, (
+        "pytest run modified the repo's bench_detail.json")

@@ -101,8 +101,12 @@ def doc_shingles(documents: DataFrame, n: int = 3, id_col: str = "doc_id",
     """
     # HOF-free tokens (text.nonempty_words): split(trim, ' +') ≡
     # filter(split(text,' '), x -> x != '') but whole-stage-codegen'd
-    # (higher-order filter is CodegenFallback).  Blank docs guard to []
-    # so they contribute no shingle, as the filter form did.
+    # (higher-order filter is CodegenFallback).  Blank docs guard to
+    # wlist=[], which _shingle_array_sql's ELSE branch turns into
+    # array(concat_ws(' ', wlist)) = array('') — ONE empty-string
+    # shingle per blank doc, exactly what the old filter form produced
+    # (behavior-identical; blank docs can only band-match each other
+    # and are rejected by the Jaccard verify downstream).
     t = F.trim(F.col(text_col))
     out = (
         ensure_min_partitions(documents)

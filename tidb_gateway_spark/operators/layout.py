@@ -36,10 +36,19 @@ def _interleave_sql(xq: str, yq: str, bits: int) -> str:
 
 
 def _quantize(col: Column, lo: float, hi: float) -> Column:
+    # Clamp BOTH ends (mirroring zbucket_candidates' [0, top] clamp):
+    # a row below the pinned lo bound would otherwise quantize negative
+    # and shift into a garbage Morton code, landing in a bucket the
+    # reader never probes — silently dropped from box-query results.
+    # Clamped rows land in edge buckets where the residual range filter
+    # still excludes them correctly.
     top = 2**ZBITS - 1
-    return F.least(
-        F.lit(top),
-        F.floor((col - F.lit(lo)) * (2**ZBITS) / F.lit(hi - lo)),
+    return F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.lit(top).cast("bigint"),
+            F.floor((col - F.lit(lo)) * (2**ZBITS) / F.lit(hi - lo)),
+        ),
     ).cast("bigint")
 
 

@@ -629,7 +629,12 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.groupBy("label")
         .agg(
             F.count("*").alias("n"),
-            F.sum((margin_q < 0).cast("int")).cast("bigint").alias("flagged"),
+            # count(when(...)) not sum(cast(...)): with a degenerate
+            # single-label input every margin is NULL, and sum over
+            # all-NULL is NULL while the oracle's CASE..ELSE 0 sums to
+            # 0 — count() pins the NULL-free contract in that corner.
+            F.count(F.when(margin_q < 0, F.lit(1)))
+            .cast("bigint").alias("flagged"),
             stable_round(F.avg("own_d2"), 4).alias("avg_own_d2"),
             stable_round(
                 F.avg(F.col("other_d2") - F.col("own_d2")), 4

@@ -307,7 +307,7 @@ def stateful_ewma(events: DataFrame, alpha: float = 0.5,
     within each micro-batch over explicit keyed state.
 
     The batch form unrolls the recursion into closed-form window
-    weights (queries/statistics_extended.q182); a stream cannot — the
+    weights (queries/governance.q182); a stream cannot — the
     state IS the recursion: one (ewma, n) pair per user, O(1) memory
     regardless of stream length, sharded by key across executors like
     every built-in stateful operator.  Rows are sorted by (ts,
