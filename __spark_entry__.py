@@ -60,7 +60,7 @@ _CHANGED_FIRST = (
     # driver certification (all pass the in-repo oracle diff at sf0.01;
     # riskiest first).  Round-7 perf reworks (q53/q183/q194) keep their
     # slots here/above so their current form is what gets certified.
-    "q53_json_extract",            # r6 parse-above-exchange; r7 rework
+    "q53_json_extract",            # r7: VARIANT parse (try_variant_get)
     "q73_simhash_clusters",        # r6: shared signed-sum signature path
     "q122_ttr_quality_battery",    # r6: HOF-free tokenizer
     "q98_word_repetition_filter",  # r6: HOF-free + unconditional columns
@@ -73,6 +73,14 @@ _CHANGED_FIRST = (
     # Tier 2 — NEW registry entries this round (round 7) append below;
     # 31 backlog slots + new entries must stay <= ~45 so the window
     # drains completely (VERDICT r6 directive 8).
+    "q199_zorder_roundtrip",
+    "q200_partitioned_pruning_roundtrip",
+    "q205_bucketed_join_roundtrip",
+    "q206_schema_evolution_roundtrip",
+    "q201_source_upsampling",
+    "q202_domain_doc_cap",
+    "q203_vocab_oov_rate",
+    "q207_padding_waste_report",
 )
 
 # Queries whose latest green certification predates the current code

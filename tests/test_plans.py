@@ -330,13 +330,17 @@ def test_q179_cms_probe_join_broadcasts(spark, sf_dir):
     assert inspect.has_broadcast_join(df)
 
 
-def test_q183_model_join_broadcasts_and_no_rowudf(spark, sf_dir):
-    """The trained trigram profile (|langs|·topk rows) must ride a
-    broadcast onto the document trigram stream, and the whole
-    classifier must stay JVM-side."""
+def test_q183_literal_inset_score_no_join_no_rowudf(spark, sf_dir):
+    """r7 scoring contract: the trained profile is compiled into
+    literal InSet membership flags — the scoring plan has NO join at
+    all (the r6 form broadcast-joined the model onto the trigram
+    stream, shuffling one row per profile hit), reduces map-side to
+    one row per doc (partial+final HashAggregate), and stays
+    JVM-side."""
     df = REGISTRY["q183_trigram_langid_confusion"].spark(spark, sf_dir)
     text = inspect.explain_formatted(df)
-    assert "BroadcastHashJoin" in text or "BroadcastExchange" in text, text
+    assert "Join" not in text, text
+    assert text.count("HashAggregate") >= 2, "expected partial+final agg"
     assert "BatchEvalPython" not in text and "PythonUDF" not in text, text
 
 
@@ -411,3 +415,46 @@ def test_zorder_write_prunes_box_predicates(spark, sf_dir, tmp_path):
     )
     got = sorted(r.o_orderkey for r in pruned.collect())
     assert got == expect
+
+
+def test_q199_declared_box_query_prunes_zbuckets(spark, sf_dir):
+    """The declared z-order round-trip must serve its box predicate
+    with `zbucket IN (…)` in PartitionFilters — i.e. the certified
+    result (oracle vs raw parquet) really travels through the pruned
+    layout, a strict subset of the 64 z-bucket directories."""
+    import re
+
+    df = REGISTRY["q199_zorder_roundtrip"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert m and "zbucket" in m.group(1), text
+
+
+def test_q200_declared_day_filter_prunes_partitions(spark, sf_dir):
+    """q200's 3-day predicate must land in PartitionFilters on the
+    day-partitioned companion (directory pruning, not row filtering)."""
+    import re
+
+    df = REGISTRY["q200_partitioned_pruning_roundtrip"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert m and "day" in m.group(1), text
+
+
+def test_q205_bucketed_layout_joins_without_exchange(spark, sf_dir):
+    """With broadcasting pinned off (the 100 TB condition: neither
+    fact side broadcastable), q205's declared join must read the
+    bucket-aligned tables with NO Exchange below the join — the
+    ingest-time shuffle has replaced the per-query one."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = REGISTRY["q205_bucketed_join_roundtrip"].spark(spark, sf_dir)
+        text = inspect.explain_formatted(df)
+        assert "SortMergeJoin" in text, text
+        # exchanges above the join (for the groupBy) are fine; none may
+        # feed the join's children
+        pre = text.split("SortMergeJoin")[0]
+        assert "Exchange" not in pre.split("HashAggregate")[-1], text
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -555,3 +555,120 @@ def test_streaming_cms_cells_converge_to_batch_sketch(spark, sf_dir,
     batch_cells = {(r["j"], r["bucket"]): r["cnt"]
                    for r in batch.collect()}
     assert stream_cells == batch_cells
+
+
+def test_stateful_ewma_checkpoint_restart_recovers_state(spark, tmp_path):
+    """The r6 stateful ops get the same durability treatment as the
+    q56-era ones: stop stateful_ewma, deliver more data while it is
+    DOWN, restart from the same checkpointLocation — the recovered
+    (n, ewma) keyed state must continue the recursion, not restart it
+    (a lost state would emit n=1, ewma=v for the new row)."""
+    import pandas as pd
+
+    d = tmp_path / "ewma_restart"
+    os.makedirs(d / "in", exist_ok=True)
+
+    def write_batch(name, rows):
+        pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ).to_parquet(d / "in" / name)
+
+    base_ns = 1_700_000_000 * 1_000_000_000
+    m = 60 * 1_000_000_000
+    write_batch("b1.parquet", [
+        (1, base_ns + 0 * m, 1, "click", 10.0, "{}"),
+        (2, base_ns + 1 * m, 1, "click", 20.0, "{}"),
+    ])
+
+    def run_once(emissions):
+        s = jobs.read_events_stream(spark, str(d / "in"))
+        job = jobs.stateful_ewma(s, alpha=0.5)
+        q = (
+            job.writeStream.foreachBatch(
+                lambda bdf, _bid: emissions.extend(bdf.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", str(d / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run1: list = []
+    run_once(run1)
+    got1 = {r["user_id"]: (r["n"], r["ewma"]) for r in run1}
+    # fold of [10, 20] at alpha=.5: ew=10, then .5*20+.5*10 = 15
+    assert got1 == {1: (2, 15.0)}, got1
+
+    # new value arrives while the query is DOWN
+    write_batch("b2.parquet", [
+        (3, base_ns + 2 * m, 1, "click", 30.0, "{}"),
+    ])
+    run2: list = []
+    run_once(run2)
+    got2 = {r["user_id"]: (r["n"], r["ewma"]) for r in run2}
+    # recovered state continues: .5*30 + .5*15 = 22.5 with n=3; a
+    # fresh state would have produced (1, 30.0)
+    assert got2 == {1: (3, 22.5)}, got2
+
+
+def test_streaming_cms_checkpoint_restart_merges_state(spark, tmp_path):
+    """streaming_cms_cells across a stop/restart: the recovered
+    aggregation state must merge batch-2 increments into the batch-1
+    counters, ending at exactly the batch sketch over ALL rows — the
+    update≡merge CMS algebra surviving a checkpoint cycle (a lost
+    state would leave cells counting only the post-restart file)."""
+    import pandas as pd
+
+    from tidb_gateway_spark.operators import sketch
+
+    d = tmp_path / "cms_restart"
+    os.makedirs(d / "in", exist_ok=True)
+
+    def write_batch(name, rows):
+        pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ).to_parquet(d / "in" / name)
+
+    base_ns = 1_700_000_000 * 1_000_000_000
+    m = 60 * 1_000_000_000
+    write_batch("b1.parquet", [
+        (i, base_ns + i * m, uid, "click", 1.0, "{}")
+        for i, uid in enumerate([1, 1, 2, 3])
+    ])
+
+    def run_once():
+        last: list = []
+        s = jobs.read_events_stream(spark, str(d / "in"))
+        job = jobs.streaming_cms_cells(s)
+        q = (
+            job.writeStream.foreachBatch(
+                lambda bdf, _bid: (last.clear(), last.extend(bdf.collect())))
+            .outputMode("complete")
+            .option("checkpointLocation", str(d / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return last
+
+    run_once()
+
+    # more traffic (incl. repeat heavy-hitter user 1) while it is DOWN
+    write_batch("b2.parquet", [
+        (i + 10, base_ns + (i + 10) * m, uid, "click", 1.0, "{}")
+        for i, uid in enumerate([1, 4, 4, 1])
+    ])
+    final = run_once()
+    stream_cells = {(r["j"], r["bucket"]): r["cnt"] for r in final}
+
+    batch = sketch.cms_cells(
+        spark.read.parquet(str(d / "in")).withColumn(
+            "ts", (F.col("ts") / 1e9).cast("timestamp")),
+        F.col("user_id"))
+    batch_cells = {(r["j"], r["bucket"]): r["cnt"]
+                   for r in batch.collect()}
+    assert stream_cells == batch_cells

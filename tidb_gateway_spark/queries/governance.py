@@ -434,19 +434,32 @@ _Q183_ORACLE = (
     "q183_trigram_langid_confusion",
     _Q183_ORACLE,
     doc="Character-trigram language classifier with confusion matrix — "
-        "the train-then-broadcast-score pattern of real language-ID "
-        "pipelines: (1) TRAIN: per-language top-20 trigram profiles "
-        "from the labeled corpus (explode prefix trigrams → "
+        "the train-then-score structure of real language-ID pipelines, "
+        "as TWO jobs like they'd actually ship: (1) TRAIN: per-language "
+        "top-20 trigram profiles (explode prefix trigrams → "
         "vocabulary-keyed counts, map-side combined → per-lang window "
-        "top-k); (2) SCORE: the few-KB model broadcast-joins onto the "
-        "raw trigram stream, prediction = argmax occurrence-weighted "
-        "profile hits (ties lang-ascending, deterministic) — no "
-        "corpus-sized shuffle anywhere; (3) EVALUATE: confusion "
-        "matrix of labeled vs predicted.  Per-doc prefix sampling "
-        "(first 120 chars) bounds the explode at corpus scale — the "
-        "same document sampling fastText-style classifiers use.  The "
-        "fixture corpus is same-language word soup, so the matrix "
-        "degenerates to one predicted class — the mechanism, not the "
+        "top-k → collect the ≤20·|langs|-row model — metadata-sized, "
+        "the same class as rank boundaries and ANN probe vectors); "
+        "(2) SCORE: the model is compiled into per-language literal "
+        "InSet membership flags on the trigram stream — codegen'd, no "
+        "join — and ONE map-side-combined groupBy reduces to a single "
+        "row per doc carrying |langs| hit counts; prediction = array "
+        "argmax (ties lang-ascending via array_position).  The scoring "
+        "exchange carries |docs| rows of ints — nothing corpus×model "
+        "sized ever shuffles (r6's join form shuffled one row per "
+        "(doc, profile-hit): ~4 M rows at sf1; this form shuffles "
+        "120 k).  r7 sweep at sf1, best-of-3 idle: 1.52 s (r6 join "
+        "form) → 1.32 s; HOF-aggregate scoring (no explode) measured "
+        "33 s (CodegenFallback — interpreted) and regex-lookahead "
+        "scoring 4.5 s, both rejected.  MEASURED FLOOR: train job "
+        "0.51 s + score job 0.75 s — the two-phase structure pays "
+        "Spark's per-job fixed cost twice (~0.7 s at sf1), which by "
+        "itself approaches the 1.5×-DuckDB bar (0.81 s); the residual "
+        "ratio (~2.4×) is job overhead, not a plan defect.  Per-doc "
+        "prefix sampling (first 120 chars) bounds the explode at "
+        "corpus scale — the same document sampling fastText-style "
+        "classifiers use.  The fixture corpus is same-language word "
+        "soup, so the matrix degenerates — the mechanism, not the "
         "accuracy, is what is declared.",
     tags=("llm", "text", "classifier"),
 )
@@ -458,40 +471,53 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", px.alias("px"))
         .filter(F.length("px") >= 3)
     )
-    tri = base.select(
-        "doc_id", "lang",
-        F.explode(F.sequence(F.lit(1), F.length("px") - 2)).alias("i"),
-        "px",
-    ).select("doc_id", "lang", F.expr("substring(px, i, 3)").alias("tri"))
 
-    # NO corpus-sized shuffle anywhere: the model aggregate groups by
-    # (lang, tri) — vocabulary-sized keys, crushed by map-side combine
-    # before its exchange — and scoring is occurrence-weighted (the
-    # standard n-gram-frequency classifier): join the few-KB broadcast
-    # model onto the raw trigram stream (selective: only top-k-profile
-    # trigrams survive) and count per (doc, mlang).  The earlier
-    # per-doc-distinct formulation shuffled one row per (doc, trigram)
-    # — corpus-sized — for set-membership scoring that adds nothing on
-    # prefix-sampled trigrams.  2.6 s → sub-1 s class at sf1.
+    def tri_stream(b: DataFrame) -> DataFrame:
+        return b.select(
+            "doc_id", "lang",
+            F.explode(F.sequence(F.lit(1), F.length("px") - 2)).alias("i"),
+            "px",
+        ).select("doc_id", "lang", F.expr("substring(px, i, 3)").alias("tri"))
+
+    # TRAIN: vocabulary-keyed counts (map-side combined), per-lang
+    # top-k, collected — ≤ _Q183_TOPK·|langs| rows of 3-char strings.
     rk = Window.partitionBy("lang").orderBy(F.desc("cnt"), "tri")
-    model = (
-        tri.groupBy("lang", "tri")
+    model_rows = (
+        tri_stream(base).groupBy("lang", "tri")
         .agg(F.count("*").alias("cnt"))
         .withColumn("rk", F.row_number().over(rk))
         .filter(F.col("rk") <= _Q183_TOPK)
-        .select(F.col("lang").alias("mlang"), "tri")
+        .select("lang", "tri")
+        .collect()
     )
+    profiles: dict[str, list[str]] = {}
+    for r in model_rows:
+        profiles.setdefault(r["lang"], []).append(r["tri"])
+    langs = sorted(profiles)
 
-    score = (
-        tri.join(F.broadcast(model), "tri")
-        .groupBy("doc_id", "lang", "mlang")
-        .agg(F.count("*").alias("hits"))
-    )
-    pk = Window.partitionBy("doc_id").orderBy(F.desc("hits"), "mlang")
+    # SCORE: per-trigram membership flags against the literal profiles
+    # (InSet, codegen'd), summed per doc in one map-side-combined agg.
+    tri = tri_stream(base)
+    per_doc = tri.groupBy("doc_id", "lang").agg(*[
+        F.sum(F.col("tri").isin(profiles[L]).cast("int")).alias(f"h_{L}")
+        for L in langs
+    ])
+    hit_arr = F.array(*[F.col(f"h_{L}") for L in langs])
+    lang_arr = F.array(*[F.lit(L) for L in langs])
+    mx = F.array_max(hit_arr)
+    # argmax with ties lang-ascending: array_position returns the FIRST
+    # index holding the max, and lang_arr is sorted ascending.  Docs
+    # with zero profile hits are excluded, matching the oracle's inner
+    # join dropping them.
     pred = (
-        score.withColumn("rk", F.row_number().over(pk))
-        .filter(F.col("rk") == 1)
-        .select("lang", F.col("mlang").alias("pred_lang"))
+        per_doc.select(
+            "lang",
+            F.element_at(
+                lang_arr, F.array_position(hit_arr, mx).cast("int")
+            ).alias("pred_lang"),
+            mx.alias("mx"),
+        )
+        .filter(F.col("mx") > 0)
     )
     return (
         pred.groupBy("lang", "pred_lang")

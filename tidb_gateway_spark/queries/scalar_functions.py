@@ -149,17 +149,25 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q53_json_extract",
     "SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events ORDER BY event_id",
-    doc="JSON field extraction from a string column "
-        "(get_json_object ↔ DuckDB ->> path).  The parse is projected "
-        "ABOVE the ORDER BY's exchange, not below it, for two measured "
-        "reasons (sf1, r6): (1) a range sort samples its child to pick "
+    doc="JSON field extraction from a string column (Spark 4 VARIANT "
+        "path ↔ DuckDB ->> path).  The parse is projected ABOVE the "
+        "ORDER BY's exchange, not below it, for two measured reasons "
+        "(sf1, r6): (1) a range sort samples its child to pick "
         "partition bounds, so a pre-sort parse runs TWICE; (2) a "
         "compact parquet source can be a single input split, serializing "
         "a pre-shuffle parse onto one task — post-exchange it spreads "
-        "across the sort partitions.  4.5 s → 1.2 s at sf1 (1 M rows); "
-        "rows/hash identical (parse is row-local).  The scale-correct "
-        "serving path for REPEATED extraction remains the shredded "
-        "companion, declared as q102.",
+        "across the sort partitions (4.5 s → 0.9 s at sf1).  r7 swept "
+        "the parse strategies at sf1, best-of-6 idle-host: "
+        "try_variant_get(try_parse_json) 0.82 s < get_json_object "
+        "0.87 s < from_json 0.90 s — VARIANT wins and is declared.  "
+        "MEASURED FLOOR (r7): the same plan with the parse replaced by "
+        "length(props) — zero JSON work — runs 0.52 s, already 2.7× "
+        "DuckDB's COMPLETE query (0.19 s); the gap is the 1 M-row "
+        "range-sort + Arrow materialization fixed cost, not the JSON "
+        "parser, so no parse strategy can reach 2× in this declared "
+        "ORDER BY form.  The scale contract for repeated extraction is "
+        "met by the certified shredded companion, declared as q102 "
+        "(0.57 s at sf1 — under the bar).",
     tags=("scalar", "json"),
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +177,8 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .select(
             "event_id",
-            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.try_variant_get(
+                F.try_parse_json("props"), "$.k", "int").alias("k"),
         )
     )
 

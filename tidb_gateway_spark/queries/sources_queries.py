@@ -185,3 +185,195 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
              stable_round(F.sum("o_totalprice"), 2).alias("tp"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------- Q200
+_Q200_DAYS = ("2024-01-10", "2024-01-11", "2024-01-12")
+
+_Q200_ORACLE = (
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    "FLOOR(SUM(value) * 1e4 + 0.5) / 1e4 AS v "
+    "FROM events WHERE strftime(ts, '%Y-%m-%d') IN ("
+    + ", ".join(f"'{d}'" for d in _Q200_DAYS)
+    + ") GROUP BY event_type ORDER BY event_type"
+)
+
+
+@register(
+    "q200_partitioned_pruning_roundtrip",
+    _Q200_ORACLE,
+    doc="Hive-style date partitioning certified end-to-end (the "
+        "layout family's most common member, beside z-order q199 and "
+        "bucketing q205): events is exported once partitioned by "
+        "day=yyyy-MM-dd (mtime-keyed companion, distributed writer — "
+        "the 'fact tables are partitioned by day' catalog.py scale "
+        "note made a declared query), and the declared 3-day query "
+        "filters on the partition column so directory-level pruning "
+        "reads 3 of ~30 partitions before any row group opens.  The "
+        "ORACLE computes the same aggregate from the RAW parquet by "
+        "formatting ts — a hash match certifies the partition "
+        "write→prune→read path loses no rows; the PartitionFilters "
+        "plan assertion lives in tests/test_plans.py.",
+    tags=("source", "layout"),
+)
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _companion(
+        spark, sf_dir, "events", "daypart",
+        lambda df, p: df.withColumn(
+            "day", F.date_format("ts", "yyyy-MM-dd"))
+        .repartition("day")
+        .write.mode("overwrite").partitionBy("day").parquet(p),
+    )
+    e = spark.read.parquet(path)
+    return (
+        e.filter(F.col("day").isin(*_Q200_DAYS))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            stable_round(F.sum("value"), 4).alias("v"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------- Q205
+_Q205_BUCKETS = 8
+
+_Q205_ORACLE = (
+    "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+    "FLOOR(SUM(l_quantity) * 100 + 0.5) / 100 AS qty, "
+    "FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 "
+    "AS revenue "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+def _q205_bucketed(spark: SparkSession, sf_dir: str, table: str,
+                   key: str, cols: list[str]) -> str:
+    """Materialize a hash-bucketed catalog table of ``table`` once per
+    fixture.  Files are mtime-keyed on disk like every companion; the
+    catalog entry is session-scoped (bucket metadata lives in the
+    metastore), so a fresh session re-registers over the same files
+    via write_bucketed_table only when they are stale, else a
+    CREATE TABLE ... CLUSTERED BY pointing at the existing path."""
+    import hashlib
+
+    from tidb_gateway_spark.sources.io import write_bucketed_table
+
+    src = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
+    key8 = hashlib.md5(f"bucketed|{src}".encode()).hexdigest()[:8]
+    name = f"b7_{table}_{key8}"
+    root = os.environ.get("SPARK_GRAFT_DERIVED_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".benchdata", "bucketed")
+    path = os.path.join(root, name)
+    marker = os.path.join(path, "_SUCCESS")
+    with _export_lock:
+        fresh = (os.path.exists(marker)
+                 and os.path.getmtime(marker) >= os.path.getmtime(src))
+        if not fresh:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            write_bucketed_table(
+                load_table(spark, sf_dir, table).select(*cols),
+                name, [key], _Q205_BUCKETS, path=path, sort_cols=[key])
+        elif not spark.catalog.tableExists(name):
+            schema = spark.read.parquet(path).schema
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in schema)
+            spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {_Q205_BUCKETS} BUCKETS LOCATION '{path}'")
+    return name
+
+
+@register(
+    "q205_bucketed_join_roundtrip",
+    _Q205_ORACLE,
+    doc="Co-located (bucketed) join certified end-to-end — promotes "
+        "the write_bucketed_table operator from plan-test-only "
+        "(tests/test_plans.py::test_bucketed_join_needs_no_shuffle) "
+        "to a declared query: orders and lineitem are each written "
+        "ONCE hash-bucketed and per-bucket sorted on the orderkey "
+        "(one ingest-time shuffle replacing a shuffle per query — the "
+        "100 TB answer for fact⋈fact joins repeatedly keyed the same "
+        "way), and the declared TPC-H-Q4-shaped aggregate joins them "
+        "through the bucket-aligned layout.  The ORACLE joins the RAW "
+        "parquet tables — a hash match certifies the bucketed "
+        "write→read→join path drops and duplicates nothing.  The "
+        "no-Exchange plan property stays asserted in tests/test_plans "
+        "(where the broadcast threshold is pinned; at fixture scale "
+        "Catalyst may legitimately broadcast the orders side here).",
+    tags=("source", "layout", "join"),
+)
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bo = _q205_bucketed(spark, sf_dir, "orders", "o_orderkey",
+                        ["o_orderkey", "o_orderpriority"])
+    bl = _q205_bucketed(spark, sf_dir, "lineitem", "l_orderkey",
+                        ["l_orderkey", "l_quantity", "l_extendedprice",
+                         "l_discount"])
+    o = spark.table(bo)
+    li = spark.table(bl)
+    j = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            stable_round(F.sum("l_quantity"), 2).alias("qty"),
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------- Q206
+_Q206_ORACLE = (
+    "SELECT CASE WHEN c_custkey % 2 = 0 THEN 'unknown' "
+    "ELSE c_mktsegment END AS segment, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "FLOOR(SUM(c_acctbal) * 100 + 0.5) / 100 AS bal "
+    "FROM customer GROUP BY 1 ORDER BY segment"
+)
+
+
+@register(
+    "q206_schema_evolution_roundtrip",
+    _Q206_ORACLE,
+    doc="Parquet schema evolution certified end-to-end: the customer "
+        "table is exported once as TWO generations of files in one "
+        "directory — v1 (even custkeys) without c_mktsegment, v2 (odd "
+        "custkeys) with it — and read back with mergeSchema=true, the "
+        "additive-column evolution every long-lived 100 TB table "
+        "undergoes (a footer-union of schemas at planning time; "
+        "missing columns surface as NULL, coalesced to 'unknown').  "
+        "The ORACLE recomputes from the original parquet with the "
+        "same even/odd rule — a hash match certifies that old-file "
+        "NULL semantics and new-file values both survive the merge.",
+    tags=("source", "layout"),
+)
+def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def write_two_generations(df: DataFrame, p: str) -> None:
+        v1 = df.filter(F.col("c_custkey") % 2 == 0).select(
+            "c_custkey", "c_name", "c_acctbal")
+        v2 = df.filter(F.col("c_custkey") % 2 == 1).select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        v1.write.mode("overwrite").parquet(p)
+        v2.write.mode("append").parquet(p)
+
+    path = _companion(
+        spark, sf_dir, "customer", "schemaevo", write_two_generations)
+    c = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        c.groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("unknown"))
+            .alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            stable_round(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+        .orderBy("segment")
+    )
