@@ -81,6 +81,7 @@ _CHANGED_FIRST = (
     "q202_domain_doc_cap",
     "q203_vocab_oov_rate",
     "q207_padding_waste_report",
+    "q208_ann_recall_eval",
 )
 
 # Queries whose latest green certification predates the current code

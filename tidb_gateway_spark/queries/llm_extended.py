@@ -1311,3 +1311,143 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(risky, F.col("m")).otherwise(0)).alias("risky_docs"),
         F.min("m").alias("min_group"),
     )
+
+
+# ---------------------------------------------------------------- Q208
+_Q208_PROBES = (20, 30)   # probe vec_ids [lo, hi) — disjoint from the
+_Q208_NPROBE = 2          # 8 seed centroids (vec_id < 8)
+
+_Q208_ORACLE = (
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+    "FROM embeddings), "
+    f"c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8), "
+    "p AS (SELECT vec_id AS qid, e AS qe FROM v "
+    f"WHERE vec_id >= {_Q208_PROBES[0]} AND vec_id < {_Q208_PROBES[1]}), "
+    # exact NN per probe (dot product, ties vec-ascending)
+    "exact AS (SELECT qid, vec_id AS nn FROM ("
+    "SELECT p.qid, v.vec_id, ROW_NUMBER() OVER (PARTITION BY p.qid "
+    "ORDER BY list_dot_product(v.e, p.qe) DESC, v.vec_id) AS rn "
+    "FROM v CROSS JOIN p WHERE v.vec_id <> p.qid) WHERE rn = 1), "
+    # IVF cell assignment (argmax centroid, as q94)
+    "scored AS (SELECT v.vec_id, v.e, c.cid, list_dot_product(v.e, c.ce) "
+    "AS s FROM v CROSS JOIN c), "
+    "cells AS (SELECT vec_id, e, cid AS cell FROM ("
+    "SELECT vec_id, e, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
+    "ORDER BY s DESC, cid) AS rn FROM scored) WHERE rn = 1), "
+    # per-probe probed cells (top-nprobe centroids)
+    "qc AS (SELECT qid, cid FROM (SELECT p.qid, c.cid, ROW_NUMBER() "
+    "OVER (PARTITION BY p.qid ORDER BY list_dot_product(p.qe, c.ce) "
+    "DESC, c.cid) AS rn FROM c CROSS JOIN p) "
+    f"WHERE rn <= {_Q208_NPROBE}), "
+    # IVF answer: argmax within probed cells only
+    "ivf AS (SELECT qid, vec_id AS nn FROM ("
+    "SELECT p.qid, x.vec_id, ROW_NUMBER() OVER (PARTITION BY p.qid "
+    "ORDER BY list_dot_product(x.e, p.qe) DESC, x.vec_id) AS rn "
+    "FROM cells x JOIN qc ON x.cell = qc.cid "
+    "JOIN p ON p.qid = qc.qid WHERE x.vec_id <> p.qid) WHERE rn = 1) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_probes, "
+    "CAST(SUM(CASE WHEN e.nn = i.nn THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS hits, "
+    "CAST(FLOOR(SUM(CASE WHEN e.nn = i.nn THEN 1 ELSE 0 END) * 10000.0 "
+    "/ COUNT(*)) AS BIGINT) AS recall_bps "
+    "FROM exact e JOIN ivf i USING (qid)"
+)
+
+
+@register(
+    "q208_ann_recall_eval",
+    _Q208_ORACLE,
+    doc="ANN index quality evaluation — recall@1 of the IVF index "
+        "(q94's machinery) against exact search, the audit every ANN "
+        "deployment runs before trusting its index: 10 probe vectors "
+        "answered BOTH ways — exact argmax over the full corpus, and "
+        "IVF argmax over the nprobe=2 probed cells of the "
+        "MATERIALIZED partition-pruned index — and scored by whether "
+        "the ids agree.  Both argmaxes are max(struct(dp, -vec_id)) "
+        "partial aggregates (each corpus partition reduces to "
+        "≤|probes| rows before any exchange, the q75 shape — no "
+        "corpus-sized window partitions); probes and probed-cell ids "
+        "are metadata-sized broadcasts.  At 100 TB the eval runs "
+        "exactly like this over a probe sample: cost = one full scan "
+        "(the exact side — the price of ground truth) + nprobe/cells "
+        "of a scan (the IVF side).",
+    tags=("similarity", "llm", "ann", "governance"),
+)
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import numpy as np
+
+    from tidb_gateway_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_index,
+    )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_index(spark, path, n_cells=8)
+
+    pk = ("q208", id(spark), sf_dir, os.path.getmtime(path))
+    meta = _probe_cache.get(pk)
+    if meta is None:
+        cents = ivf_centroids(spark, path, 8)
+        probes = [
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in e.filter(
+                (F.col("vec_id") >= _Q208_PROBES[0])
+                & (F.col("vec_id") < _Q208_PROBES[1]))
+            .select("vec_id", "embedding").collect()
+        ]
+        C = np.array(cents, dtype=np.float64)
+        qcells = []
+        for qid, qe in probes:
+            s = C @ np.array(qe, dtype=np.float64)
+            order = sorted(range(len(s)), key=lambda j: (-s[j], j))
+            for cid in order[:_Q208_NPROBE]:
+                qcells.append((qid, int(cid)))
+        meta = (probes, qcells)
+        _probe_cache[pk] = meta
+    probes, qcells = meta
+
+    pdf = F.broadcast(spark.createDataFrame(
+        probes, "qid bigint, qe array<double>"))
+    dp = F.expr(
+        "aggregate(zip_with(ce, qe, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    best = F.max(F.struct(F.col("dp").alias("dp"),
+                          (-F.col("nn")).alias("negnn"))).alias("m")
+
+    def argmax(cand: DataFrame) -> DataFrame:
+        scored = (
+            cand.crossJoin(pdf) if "qid" not in cand.columns
+            else cand.join(pdf, "qid")
+        )
+        return (
+            scored.filter(F.col("nn") != F.col("qid"))
+            .select("qid", "nn", dp.alias("dp"))
+            .groupBy("qid").agg(best)
+            .select("qid", (-F.col("m.negnn")).alias("nn"))
+        )
+
+    corpus = e.select(F.col("vec_id").alias("nn"),
+                      F.col("embedding").alias("ce"))
+    exact = argmax(corpus)
+
+    qcell_df = F.broadcast(spark.createDataFrame(
+        qcells, "qid bigint, cell int"))
+    ivf_cand = (
+        idx.select(F.col("vec_id").alias("nn"),
+                   F.col("embedding").alias("ce"), "cell")
+        .join(qcell_df, "cell")
+        .select("qid", "nn", "ce")
+    )
+    ivf = argmax(ivf_cand)
+
+    j = exact.join(ivf.withColumnRenamed("nn", "ivf_nn"), "qid")
+    hit = (F.col("nn") == F.col("ivf_nn")).cast("long")
+    return j.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(hit).alias("hits"),
+        F.floor(F.sum(hit) * 10000.0 / F.count("*"))
+        .cast("bigint").alias("recall_bps"),
+    )
