@@ -155,7 +155,9 @@ def main() -> None:
         "q91_benchmark_contamination", "q94_ivf_ann_search",
         "q98_word_repetition_filter", "q101_cc_dedup_clusters",
         "q114_simhash_multiprobe_pairs", "q130_canonical_doc_per_cluster",
-        "q152_bigram_lm_score",
+        "q152_bigram_lm_score", "q183_trigram_langid_confusion",
+        "q199_zorder_roundtrip", "q205_bucketed_join_roundtrip",
+        "q208_ann_recall_eval",
     )
     summary = {
         "metric": "declared_query_suite_sec",

@@ -458,3 +458,40 @@ def test_q205_bucketed_layout_joins_without_exchange(spark, sf_dir):
         assert "Exchange" not in pre.split("HashAggregate")[-1], text
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_zorder_out_of_bounds_rows_survive_stale_bounds(spark, tmp_path):
+    """Regression (r6 advisory): pinned ANALYZE bounds go stale — new
+    rows can fall BELOW lo or ABOVE hi.  The writer must clamp both
+    ends so such rows land in edge buckets (a below-lo row used to
+    quantize negative and Morton-shift into a bucket the reader never
+    probes, silently vanishing from box results).  Box queries framed
+    at the data edges must return exactly the raw-filter rows."""
+    from tidb_gateway_spark.operators import layout
+
+    rows = [(i, float(x), float(y))
+            for i, (x, y) in enumerate(
+                [(-50.0, 5.0), (0.0, 0.0), (25.0, 25.0), (75.0, 80.0),
+                 (100.0, 100.0), (180.0, 140.0), (60.0, -30.0),
+                 (-10.0, 130.0)])]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    # pinned bounds cover only [0, 100]^2 — six rows are in range,
+    # the others out of bounds on one or both dimensions
+    bounds = (0.0, 100.0, 0.0, 100.0)
+    path = str(tmp_path / "zstale")
+    layout.zorder_write(df, "x", "y", path, bounds)
+
+    for x_range, y_range in [
+        ((-100.0, 30.0), (-100.0, 30.0)),   # below-lo corner
+        ((50.0, 200.0), (50.0, 200.0)),     # above-hi corner
+        ((-100.0, 200.0), (-100.0, 200.0)),  # everything
+        ((20.0, 80.0), (20.0, 80.0)),       # interior
+    ]:
+        got = sorted(
+            r.id for r in layout.zorder_read(
+                spark, path, "x", "y", x_range, y_range, bounds).collect())
+        expect = sorted(
+            r.id for r in df.filter(
+                F.col("x").between(*x_range)
+                & F.col("y").between(*y_range)).collect())
+        assert got == expect, (x_range, y_range, got, expect)

@@ -672,3 +672,59 @@ def test_streaming_cms_checkpoint_restart_merges_state(spark, tmp_path):
     batch_cells = {(r["j"], r["bucket"]): r["cnt"]
                    for r in batch.collect()}
     assert stream_cells == batch_cells
+
+
+def test_partitioned_file_sink_exactly_once_across_restart(spark, tmp_path):
+    """The 100 TB ingest edge: a streaming query writing a
+    DAY-PARTITIONED parquet sink (the q200 layout, fed by a stream)
+    with a file-sink commit log must deliver each input row exactly
+    once across a stop/restart — committed batches are not rewritten,
+    files from the first run are not double-counted, and the day
+    directories are real partitions."""
+    import pandas as pd
+
+    d = tmp_path / "ingest"
+    os.makedirs(d / "in", exist_ok=True)
+    out, ck = str(d / "out"), str(d / "ckpt")
+
+    base_ns = 1_700_000_000 * 1_000_000_000
+    day_ns = 24 * 3600 * 1_000_000_000
+
+    def write_batch(name, rows):
+        pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ).to_parquet(d / "in" / name)
+
+    def run_once():
+        s = jobs.read_events_stream(spark, str(d / "in"))
+        q = (
+            s.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .partitionBy("day")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch("b1.parquet", [
+        (1, base_ns, 1, "click", 1.0, "{}"),
+        (2, base_ns + day_ns, 2, "click", 1.0, "{}"),
+    ])
+    run_once()
+    write_batch("b2.parquet", [
+        (3, base_ns + 2 * day_ns, 3, "view", 1.0, "{}"),
+    ])
+    run_once()
+
+    back = spark.read.parquet(out)
+    got = sorted(r["event_id"] for r in back.select("event_id").collect())
+    assert got == [1, 2, 3], got  # each row exactly once, no re-emission
+    days = sorted(r["day"] for r in back.select("day").distinct().collect())
+    assert len(days) == 3, days
+    # directory layout is a real hive partition per day
+    parts = sorted(p for p in os.listdir(out) if p.startswith("day="))
+    assert len(parts) == 3, parts

@@ -69,9 +69,12 @@ def brute_force_topk(
 
 
 def cosine_nn_arrow(corpus: DataFrame, probes: list[tuple[int, list[float]]],
-                    id_col: str = "nn", vec_col: str = "ce") -> DataFrame:
-    """Exact cosine nearest neighbor of each probe over the corpus, via
+                    id_col: str = "nn", vec_col: str = "ce",
+                    metric: str = "cosine") -> DataFrame:
+    """Exact nearest neighbor of each probe over the corpus, via
     Arrow-batched numpy (``mapInPandas``) with per-batch partial argmax.
+    ``metric``: "cosine" (default) or "dot" (inner product — the IVF
+    family's metric, used by q208's ground-truth side).
 
     ``probes``: small [(qid, vector), ...] list (metadata-sized — the
     probe set is broadcast inside the task closure, like rank.py's bucket
@@ -92,6 +95,7 @@ def cosine_nn_arrow(corpus: DataFrame, probes: list[tuple[int, list[float]]],
     P = np.array([v for _, v in probes], dtype=np.float64).T  # dim × q
     p_norm = np.sqrt((P * P).sum(axis=0))
     qids = [int(q) for q, _ in probes]
+    use_cosine = metric == "cosine"
 
     def partial_nn(batches):
         import pandas as pd
@@ -101,8 +105,10 @@ def cosine_nn_arrow(corpus: DataFrame, probes: list[tuple[int, list[float]]],
                 continue
             M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             ids = pdf[id_col].to_numpy()
-            c_norm = np.sqrt((M * M).sum(axis=1))
-            S = (M @ P) / (c_norm[:, None] * p_norm[None, :])
+            S = M @ P
+            if use_cosine:
+                c_norm = np.sqrt((M * M).sum(axis=1))
+                S = S / (c_norm[:, None] * p_norm[None, :])
             rows = []
             for j, qid in enumerate(qids):
                 col = S[:, j].copy()

@@ -1409,39 +1409,31 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
         _probe_cache[pk] = meta
     probes, qcells = meta
 
-    pdf = F.broadcast(spark.createDataFrame(
-        probes, "qid bigint, qe array<double>"))
-    dp = F.expr(
-        "aggregate(zip_with(ce, qe, (x, y) -> CAST(x AS DOUBLE) * y), "
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-    best = F.max(F.struct(F.col("dp").alias("dp"),
-                          (-F.col("nn")).alias("negnn"))).alias("m")
-
-    def argmax(cand: DataFrame) -> DataFrame:
-        scored = (
-            cand.crossJoin(pdf) if "qid" not in cand.columns
-            else cand.join(pdf, "qid")
-        )
-        return (
-            scored.filter(F.col("nn") != F.col("qid"))
-            .select("qid", "nn", dp.alias("dp"))
-            .groupBy("qid").agg(best)
-            .select("qid", (-F.col("m.negnn")).alias("nn"))
-        )
-
+    # Both argmaxes ride the q75 Arrow path (metric="dot": IVF's inner
+    # product): one BLAS matmul per Arrow batch, ≤|probes| rows out per
+    # batch, self-match excluded inside the kernel.  The JVM
+    # zip_with-aggregate form measured 10.7 s at sf10 vs ~1 s here —
+    # dense linear algebra is the sanctioned Python stage.
     corpus = e.select(F.col("vec_id").alias("nn"),
                       F.col("embedding").alias("ce"))
-    exact = argmax(corpus)
+    exact = cosine_nn_arrow(corpus, probes, metric="dot").select("qid", "nn")
 
-    qcell_df = F.broadcast(spark.createDataFrame(
-        qcells, "qid bigint, cell int"))
-    ivf_cand = (
-        idx.select(F.col("vec_id").alias("nn"),
-                   F.col("embedding").alias("ce"), "cell")
-        .join(qcell_df, "cell")
-        .select("qid", "nn", "ce")
-    )
-    ivf = argmax(ivf_cand)
+    # IVF side: each probe scans only its own probed cells — score it
+    # per probe over the `cell IN (probe's cells)` partition-pruned
+    # subset, then union the ≤|probes| single-row results.
+    per_probe = []
+    qmap: dict[int, list[int]] = {}
+    for qid, cid in qcells:
+        qmap.setdefault(qid, []).append(cid)
+    for qid, qe in probes:
+        cand = idx.filter(F.col("cell").isin(qmap[qid])).select(
+            F.col("vec_id").alias("nn"), F.col("embedding").alias("ce"))
+        per_probe.append(
+            cosine_nn_arrow(cand, [(qid, qe)], metric="dot")
+            .select("qid", "nn"))
+    ivf = per_probe[0]
+    for p in per_probe[1:]:
+        ivf = ivf.unionByName(p)
 
     j = exact.join(ivf.withColumnRenamed("nn", "ivf_nn"), "qid")
     hit = (F.col("nn") == F.col("ivf_nn")).cast("long")
