@@ -166,7 +166,7 @@ def main() -> None:
         "queries": {q: per_query[q] for q in headline if q in per_query},
         "sf": result["sf"],
         "n_queries": len(per_query),
-        "detail_file": "bench_detail.json",
+        "detail_file": detail_path,
     }
     if "duckdb_total" in result:
         summary["duckdb_total"] = result["duckdb_total"]

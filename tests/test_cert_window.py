@@ -53,7 +53,7 @@ def test_window_is_spent_on_never_certified_or_changed():
     last_backlog = max(
         (i for i, q in enumerate(order)
          if q not in certified or q in changed), default=-1)
-    wasted = [q for q in order[:last_backlog]
+    wasted = [q for q in order[:last_backlog + 1]
               if q in certified and q not in changed]
     assert not wasted, (
         f"window slots spent on certified, unchanged queries ahead of "

@@ -284,14 +284,11 @@ def shredded_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = hashlib.md5(
         f"{src}|{spec['schema']}|{spec['prefix']}".encode()
     ).hexdigest()[:16]
-    root = os.environ.get("SPARK_GRAFT_DERIVED_DIR") or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".benchdata", "shredded")
-    path = os.path.join(root, key)
-    marker = os.path.join(path, "_SUCCESS")
+    from tidb_gateway_spark.sources import derived
+
+    path = derived.derived_path("shredded", key)
     with _shred_lock:
-        if (not os.path.exists(marker)
-                or os.path.getmtime(marker) < os.path.getmtime(src)):
+        if not derived.is_fresh(path, src):
             shred_json_column(
                 load_table(spark, sf_dir, name), spec["json_col"],
                 spec["schema"], prefix=spec["prefix"], drop_source=False,

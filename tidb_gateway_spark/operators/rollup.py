@@ -53,12 +53,9 @@ def build_hourly_rollup(events: DataFrame, path: str) -> None:
 
 
 def _rollup_root() -> str:
-    env = os.environ.get("SPARK_GRAFT_DERIVED_DIR")
-    if env:
-        return os.path.join(env, "rollup")
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    return os.path.join(repo, ".benchdata", "rollup")
+    from tidb_gateway_spark.sources.derived import derived_root
+
+    return derived_root("rollup")
 
 
 def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,9 +66,9 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_confs(spark)
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     key = hashlib.md5(f"{src}|hourly-v1".encode()).hexdigest()[:16]
+    from tidb_gateway_spark.sources.derived import is_fresh
+
     path = os.path.join(_rollup_root(), key)
-    marker = os.path.join(path, "_SUCCESS")
-    if (not os.path.exists(marker)
-            or os.path.getmtime(marker) < os.path.getmtime(src)):
+    if not is_fresh(path, src):
         build_hourly_rollup(load_table(spark, sf_dir, "events"), path)
     return spark.read.parquet(path)

@@ -235,9 +235,10 @@ _Q207_ORACLE = (
     "CAST(SUM(mx.mx - toks) AS BIGINT) AS naive_pad, "
     f"CAST(SUM(CEIL(toks / {_Q207_BUCKET}.0) * {_Q207_BUCKET} - toks) "
     "AS BIGINT) AS bucketed_pad, "
-    "CAST(FLOOR((SUM(mx.mx - toks) - "
+    "CAST(CASE WHEN SUM(mx.mx - toks) = 0 THEN 0 ELSE "
+    "FLOOR((SUM(mx.mx - toks) - "
     f"SUM(CEIL(toks / {_Q207_BUCKET}.0) * {_Q207_BUCKET} - toks)) "
-    "* 10000.0 / SUM(mx.mx - toks)) AS BIGINT) AS saving_bps "
+    "* 10000.0 / SUM(mx.mx - toks)) END AS BIGINT) AS saving_bps "
     "FROM t, mx GROUP BY lang ORDER BY lang"
 )
 
@@ -274,10 +275,14 @@ def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "lang", "n_docs", "n_tokens", "naive_pad", "bucketed_pad",
-            F.floor(
+            # naive_pad = 0 (every doc of a lang at the global max, e.g.
+            # a single-doc corpus) leaves the saving undefined — pin 0
+            # so neither engine divides by zero
+            F.when(F.col("naive_pad") == 0, F.lit(0))
+            .otherwise(F.floor(
                 (F.col("naive_pad") - F.col("bucketed_pad")) * 10000.0
                 / F.col("naive_pad")
-            ).cast("bigint").alias("saving_bps"),
+            )).cast("bigint").alias("saving_bps"),
         )
         .orderBy("lang")
     )

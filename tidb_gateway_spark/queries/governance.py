@@ -494,6 +494,11 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in model_rows:
         profiles.setdefault(r["lang"], []).append(r["tri"])
     langs = sorted(profiles)
+    if not langs:
+        # degenerate corpus (no doc with a >=3-char prefix): the oracle's
+        # inner join yields an empty matrix — return the same, typed
+        return spark.createDataFrame(
+            [], "lang string, pred_lang string, n_docs bigint")
 
     # SCORE: per-trigram membership flags against the literal profiles
     # (InSet, codegen'd), summed per doc in one map-side-combined agg.

@@ -372,17 +372,14 @@ def _q199_zcopy(spark: SparkSession, sf_dir: str):
     import os
 
     from tidb_gateway_spark.operators import layout
+    from tidb_gateway_spark.sources import derived
 
     src = os.path.abspath(os.path.join(sf_dir, "orders.parquet"))
     key = hashlib.md5(f"zorder|{src}".encode()).hexdigest()[:16]
-    root = os.environ.get("SPARK_GRAFT_DERIVED_DIR") or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".benchdata", "zorder")
-    path = os.path.join(root, key)
+    path = derived.derived_path("zorder", key)
     stats = os.path.join(path, "_zbounds.json")
     with _q199_lock:
-        if (not os.path.exists(stats)
-                or os.path.getmtime(stats) < os.path.getmtime(src)):
+        if not derived.is_fresh(path, src, marker="_zbounds.json"):
             o = load_table(spark, sf_dir, "orders")
             row = o.agg(
                 F.min("o_totalprice"), F.max("o_totalprice"),

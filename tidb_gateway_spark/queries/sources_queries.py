@@ -42,21 +42,25 @@ _export_lock = threading.Lock()
 
 
 def _companion(spark: SparkSession, sf_dir: str, table: str, fmt: str,
-               write) -> str:
-    """Materialize an mtime-keyed ``fmt`` export of ``table`` (same
-    pattern as catalog.shredded_table / the ANN indexes: build is ingest
-    cost; the query measures the serving path).  Returns the path."""
+               write, atomic: bool = False) -> str:
+    """Materialize an mtime-keyed ``fmt`` export of ``table`` (the
+    sources/derived.py contract: build is ingest cost; the query
+    measures the serving path).  ``atomic=True`` routes a MULTI-JOB
+    build through a temp-dir + rename (sources/derived.build_atomic)
+    so a crash between its write jobs cannot leave a half companion
+    that passes the freshness check.  Returns the path."""
+    from tidb_gateway_spark.sources import derived
+
     src = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
     key = hashlib.md5(f"{fmt}|{src}".encode()).hexdigest()[:16]
-    root = os.environ.get("SPARK_GRAFT_DERIVED_DIR") or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".benchdata", fmt)
-    path = os.path.join(root, key)
-    marker = os.path.join(path, "_SUCCESS")
+    path = derived.derived_path(fmt, key)
     with _export_lock:
-        if (not os.path.exists(marker)
-                or os.path.getmtime(marker) < os.path.getmtime(src)):
-            write(load_table(spark, sf_dir, table), path)
+        if not derived.is_fresh(path, src):
+            df = load_table(spark, sf_dir, table)
+            if atomic:
+                derived.build_atomic(path, lambda tmp: write(df, tmp))
+            else:
+                write(df, path)
     return path
 
 
@@ -261,18 +265,14 @@ def _q205_bucketed(spark: SparkSession, sf_dir: str, table: str,
 
     from tidb_gateway_spark.sources.io import write_bucketed_table
 
+    from tidb_gateway_spark.sources import derived
+
     src = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
     key8 = hashlib.md5(f"bucketed|{src}".encode()).hexdigest()[:8]
     name = f"b7_{table}_{key8}"
-    root = os.environ.get("SPARK_GRAFT_DERIVED_DIR") or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".benchdata", "bucketed")
-    path = os.path.join(root, name)
-    marker = os.path.join(path, "_SUCCESS")
+    path = derived.derived_path("bucketed", name)
     with _export_lock:
-        fresh = (os.path.exists(marker)
-                 and os.path.getmtime(marker) >= os.path.getmtime(src))
-        if not fresh:
+        if not derived.is_fresh(path, src):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             write_bucketed_table(
                 load_table(spark, sf_dir, table).select(*cols),
@@ -365,7 +365,8 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
         v2.write.mode("append").parquet(p)
 
     path = _companion(
-        spark, sf_dir, "customer", "schemaevo", write_two_generations)
+        spark, sf_dir, "customer", "schemaevo", write_two_generations,
+        atomic=True)
     c = spark.read.option("mergeSchema", "true").parquet(path)
     return (
         c.groupBy(
