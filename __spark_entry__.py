@@ -70,6 +70,8 @@ _CHANGED_FIRST = (
     "q72_minhash_lsh_candidates",  # r6: word_shingles HOF-free tokens
     "q91_contamination_check",     # r6: word_shingles HOF-free tokens
     "q130_canonical_doc_per_cluster",  # r6: word_shingles HOF-free tokens
+    "q129_approx_distinct_bounds",  # r7: rsd 0.01->0.02 (4x less state)
+    "q143_approx_percentile_bounds",  # r7: array-form shared sketches
     # Tier 2 — NEW registry entries this round (round 7) append below;
     # 31 backlog slots + new entries must stay <= ~45 so the window
     # drains completely (VERDICT r6 directive 8).

@@ -291,15 +291,41 @@ def test_json_shred_rewrite():
 
 
 def test_collation_rewrite():
+    # accent-folding families → ICU accent-insensitive (r7: the
+    # general_ci accent pairs UTF8_LCASE kept distinct)
     out = dialect.to_spark_sql("SELECT a COLLATE utf8mb4_general_ci = b FROM t")
-    assert out == "SELECT a COLLATE UTF8_LCASE = b FROM t"
+    assert out == "SELECT a COLLATE UNICODE_CI_AI = b FROM t"
+    out = dialect.to_spark_sql("SELECT a COLLATE utf8mb4_unicode_ci FROM t")
+    assert out == "SELECT a COLLATE UNICODE_CI_AI FROM t"
     out = dialect.to_spark_sql("SELECT a COLLATE `utf8mb4_bin` FROM t")
     assert out == "SELECT a COLLATE UTF8_BINARY FROM t"
     out = dialect.to_spark_sql("SELECT a COLLATE utf8mb4_0900_ai_ci FROM t")
     assert out == "SELECT a COLLATE UNICODE_CI_AI FROM t"
+    # language-tailored legacy collations → ICU locale collations
+    out = dialect.to_spark_sql("SELECT a COLLATE utf8mb4_swedish_ci FROM t")
+    assert out == "SELECT a COLLATE sv_CI_AI FROM t"
+    out = dialect.to_spark_sql("SELECT a COLLATE utf8mb4_turkish_ci FROM t")
+    assert out == "SELECT a COLLATE tr_CI_AI FROM t"
+    out = dialect.to_spark_sql("SELECT a COLLATE latin2_czech_cs FROM t")
+    assert out == "SELECT a COLLATE cs FROM t"
     # names outside the advertised collation map pass through
     sql = "SELECT a COLLATE not_a_collation FROM t"
     assert dialect.to_spark_sql(sql) == sql
+
+
+def test_collation_semantics_live(spark):
+    """The r6-documented accent-pair gap, closed: general_ci folds
+    é = e (UTF8_LCASE kept them distinct), and the language-tailored
+    legacy collations get REAL linguistic ordering — Swedish ö sorts
+    after z, which no case-folding approximation can express."""
+    q = dialect.to_spark_sql(
+        "SELECT 'é' COLLATE utf8mb4_general_ci = 'E' AS folds, "
+        "'ö' COLLATE utf8mb4_swedish_ci > 'z' AS sv_order, "
+        "'ö' COLLATE utf8mb4_general_ci < 'z' AS root_order")
+    r = spark.sql(q).collect()[0]
+    assert r["folds"] is True
+    assert r["sv_order"] is True      # Swedish tailoring: ö after z
+    assert r["root_order"] is True    # root collation: ö ≈ o, before z
 
 
 def test_classify():

@@ -218,30 +218,71 @@ _INFORMATION_SCHEMA_RE = re.compile(
 _COLLATE_RE = re.compile(r"\bCOLLATE\s+`?([A-Za-z0-9_]+)`?", re.IGNORECASE)
 
 
+# MySQL language-tailored collation word → ICU locale (all probed
+# available in Spark 4.1's collation registry).  german2/spanish2 are
+# MySQL's phonebook-German / traditional-Spanish variants — mapped to
+# the base locale (the digraph/phonebook tailoring itself has no Spark
+# name); german1 is dictionary German.
+_MYSQL_LANG_LOCALE = {
+    "bulgarian": "bg", "chinese": "zh", "croatian": "hr", "czech": "cs",
+    "danish": "da", "english": "en", "esperanto": "eo", "estonian": "et",
+    "german1": "de", "german2": "de", "hungarian": "hu",
+    "icelandic": "is", "japanese": "ja", "korean": "ko", "latvian": "lv",
+    "lithuanian": "lt", "persian": "fa", "polish": "pl", "romanian": "ro",
+    "sinhala": "si", "slovak": "sk", "slovenian": "sl", "spanish": "es",
+    "spanish2": "es", "swedish": "sv", "thai": "th", "turkish": "tr",
+    "ukrainian": "uk", "vietnamese": "vi",
+}
+
+
 def _spark_collation(mysql_name: str) -> str | None:
     """MySQL collation name → Spark 4 native collation, None if the
     name is not in the server's advertised collation map.
 
     Spark's collation engine applies the comparison semantics to BOTH
     sides of every predicate and to ordering — strictly more correct
-    than a one-sided lower() shim.  Mapping: ``*_bin`` → UTF8_BINARY
-    (codepoint order, MySQL semantics); ``*_ai_ci`` → UNICODE_CI_AI
-    (accent- and case-insensitive, the 8.0 default family);
-    other ``*_ci`` → UTF8_LCASE (case-insensitive, accent-sensitive —
-    utf8mb4_general_ci's behavior for the Latin range; legacy
-    general_ci's fold-everything-unaccented corners are approximated).
+    than a one-sided lower() shim.  Mapping (r7, closing the r6
+    accent-pair gap via Spark's ICU collations):
+
+    * ``*_bin`` / ``binary`` → UTF8_BINARY (codepoint order);
+    * ``*_ai_ci`` → UNICODE_CI_AI (8.0 default family);
+    * language-tailored legacy ``<lang>_ci`` (swedish_ci, turkish_ci,
+      …) → the ICU locale collation ``<loc>_CI_AI`` — real linguistic
+      tailoring (Swedish ö sorts after z, Turkish dotless-ı folds),
+      which UTF8_LCASE could never express;
+    * ``unicode_ci`` / ``unicode_520_ci`` / ``general_ci`` →
+      UNICODE_CI_AI: these fold accents (é = e), which the previous
+      UTF8_LCASE approximation kept distinct — the exact corner the
+      r6 TODO documented.  Residual divergence: legacy general_ci
+      weighs ß = s where UCA (and UNICODE_CI_AI) weighs ß = ss; MySQL
+      itself documents general_ci's weighting as simplified/incorrect
+      there.
+    * ``<lang>_cs`` (latin2_czech_cs, …) → the ICU locale base
+      (case- and accent-sensitive); ``general_cs`` → UNICODE;
+    * any other ``_ci`` → UTF8_LCASE (case-only folding).
     """
     from tidb_gateway_spark.gateway.constants import COLLATIONS
 
     n = mysql_name.lower()
     if n not in COLLATIONS.values():
         return None
-    if n.endswith("_bin"):
+    if n == "binary" or n.endswith("_bin"):
         return "UTF8_BINARY"
     if n.endswith("_ai_ci"):
         return "UNICODE_CI_AI"
+    parts = n.split("_")
     if n.endswith("_ci"):
+        lang = parts[-2] if len(parts) >= 2 else ""
+        if lang in _MYSQL_LANG_LOCALE:
+            return f"{_MYSQL_LANG_LOCALE[lang]}_CI_AI"
+        if lang in ("general", "unicode", "520", "mysql500"):
+            return "UNICODE_CI_AI"
         return "UTF8_LCASE"
+    if n.endswith("_cs"):
+        lang = parts[-2] if len(parts) >= 2 else ""
+        if lang in _MYSQL_LANG_LOCALE:
+            return _MYSQL_LANG_LOCALE[lang]
+        return "UNICODE"
     return "UTF8_BINARY"
 
 

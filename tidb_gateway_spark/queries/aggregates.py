@@ -346,9 +346,14 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+    # rsd=0.02: r7 measured the rsd=0.01 sketches at 1.0 s of the
+    # query's 1.6 s at sf1 (register count grows ~1/rsd²); 0.02 keeps
+    # the declared 5% gate green with margin (measured 1.8%/0.6% error
+    # at sf1) at a quarter of the register state, while the default
+    # 0.05 actually breaches the gate (7.4% on event_id at sf1).
     ap = e.agg(
-        F.approx_count_distinct("event_id", 0.01).alias("a_events"),
-        F.approx_count_distinct("user_id", 0.01).alias("a_users"),
+        F.approx_count_distinct("event_id", 0.02).alias("a_events"),
+        F.approx_count_distinct("user_id", 0.02).alias("a_users"),
     )
     a = ex.crossJoin(ap)
 

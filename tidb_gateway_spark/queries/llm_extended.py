@@ -1205,11 +1205,18 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    # ARRAY forms: percentile(col, array(...)) builds ONE per-partition
+    # counts map / ONE GK sketch serving both quantiles — the separate
+    # per-quantile aggregates each rebuilt that state (r7 measured at
+    # sf1: exact 1.14 s → 0.60 s, approx 0.30 s → 0.18 s).
     a = o.agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("e50"),
-        F.expr("percentile(o_totalprice, 0.95)").alias("e95"),
-        F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("a50"),
-        F.expr("percentile_approx(o_totalprice, 0.95, 10000)").alias("a95"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.95))").alias("ex"),
+        F.expr(
+            "percentile_approx(o_totalprice, array(0.5, 0.95), 10000)"
+        ).alias("ap"),
+    ).select(
+        F.col("ex")[0].alias("e50"), F.col("ex")[1].alias("e95"),
+        F.col("ap")[0].alias("a50"), F.col("ap")[1].alias("a95"),
     )
 
     def ok(approx, exact):
