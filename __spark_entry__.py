@@ -72,6 +72,7 @@ _CHANGED_FIRST = (
     "q130_canonical_doc_per_cluster",  # r6: word_shingles HOF-free tokens
     "q129_approx_distinct_bounds",  # r7: rsd 0.01->0.02 (4x less state)
     "q143_approx_percentile_bounds",  # r7: array-form shared sketches
+    "q114_simhash_multiprobe_pairs",  # r7: persisted int-key signatures
     # Tier 2 — NEW registry entries this round (round 7) append below;
     # 31 backlog slots + new entries must stay <= ~45 so the window
     # drains completely (VERDICT r6 directive 8).
