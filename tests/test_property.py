@@ -158,3 +158,45 @@ def test_trim_split_equals_filtered_split(text):
     stripped = text.strip(" ")
     new = [] if stripped == "" else __import__("re").split(" +", stripped)
     assert new == old, (text, new, old)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    # pinned bounds
+    st.tuples(st.floats(-1e3, 1e3), st.floats(1.0, 1e3),
+              st.floats(-1e3, 1e3), st.floats(1.0, 1e3)),
+    # a point anywhere, INCLUDING outside the pinned bounds
+    st.floats(-2e3, 2e3), st.floats(-2e3, 2e3),
+    # box half-widths
+    st.floats(0.0, 500.0), st.floats(0.0, 500.0),
+)
+def test_zbucket_candidates_never_prune_a_matching_point(
+        b, x, y, wx, wy):
+    """Pruning soundness (pure driver-side arithmetic, no Spark): for
+    ANY pinned bounds, any point — in or out of bounds — and any box
+    containing that point, the point's written bucket must be in the
+    reader's candidate set.  This is the invariant behind the r7
+    lower-clamp fix: an out-of-bounds point must clamp into an edge
+    bucket the reader probes, never shift into an unprobed one."""
+    from tidb_gateway_spark.operators import layout
+
+    xlo, xw, ylo, yw = b
+    bounds = (xlo, xlo + xw, ylo, ylo + yw)
+
+    # writer-side bucket of the point, mirroring _quantize + interleave
+    top = 2**layout.ZBITS - 1
+
+    def q(v, lo, hi):
+        return max(0, min(top, int((v - lo) * (2**layout.ZBITS)
+                                   // (hi - lo))))
+
+    xq, yq = q(x, bounds[0], bounds[1]), q(y, bounds[2], bounds[3])
+    zv = 0
+    for i in range(layout.ZBITS):
+        zv |= ((xq >> i) & 1) << (2 * i)
+        zv |= ((yq >> i) & 1) << (2 * i + 1)
+    bucket = zv >> (2 * (layout.ZBITS - layout.BUCKET_BITS))
+
+    cands = layout.zbucket_candidates(
+        (x - wx, x + wx), (y - wy, y + wy), bounds)
+    assert bucket in cands, (bounds, (x, y), bucket, cands)
