@@ -1468,3 +1468,27 @@ def test_cache_table_via_gateway(gateway):
         await c.quit()
 
     run_with_gateway(gateway, scenario)
+
+
+def test_explain_over_the_wire(gateway):
+    """A MySQL client's EXPLAIN must return a plan result set, not an
+    error.  The reference relays its backend's (TiDB's) engine-specific
+    EXPLAIN columns verbatim — the engine-specific output here is
+    Spark's plan text, same contract.  Both the bare and the FORMATTED
+    form must round-trip as result sets."""
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        cols, rows = (await c.query(
+            "EXPLAIN SELECT o_orderpriority, COUNT(*) FROM orders "
+            "GROUP BY o_orderpriority"))[0]
+        assert rows and any("Aggregate" in r[0] or "Scan" in r[0]
+                            for r in rows), rows
+        cols, rows = (await c.query(
+            "EXPLAIN FORMATTED SELECT * FROM nation WHERE n_nationkey = 3"
+        ))[0]
+        text = "\n".join(r[0] for r in rows)
+        assert "Physical Plan" in text or "Scan" in text, text
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)

@@ -39,7 +39,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from tidb_gateway_spark.catalog import load_table
-from tidb_gateway_spark.functions import stable_round
 from tidb_gateway_spark.operators.partitioning import ensure_min_partitions
 from tidb_gateway_spark.operators import text as text_ops
 from tidb_gateway_spark.queries.registry import register
