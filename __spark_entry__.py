@@ -85,6 +85,7 @@ _CHANGED_FIRST = (
     "q203_vocab_oov_rate",
     "q207_padding_waste_report",
     "q208_ann_recall_eval",
+    "q209_neardup_pagerank",
 )
 
 # Queries whose latest green certification predates the current code

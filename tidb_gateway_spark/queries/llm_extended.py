@@ -1450,3 +1450,115 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sum(hit) * 10000.0 / F.count("*"))
         .cast("bigint").alias("recall_bps"),
     )
+
+
+# ---------------------------------------------------------------- Q209
+_Q209_D = 0.85       # damping
+_Q209_ITERS = 5      # statically unrolled power iterations
+_Q209_TOPK = 10
+
+
+def _q209_oracle() -> str:
+    its = []
+    for k in range(1, _Q209_ITERS + 1):
+        its.append(
+            f"it{k} AS (SELECT e.dst AS node, "
+            f"(SELECT {1 - _Q209_D:.2f}/nn FROM n) + {_Q209_D}*"
+            f"SUM(p.pr/d.dg) AS pr FROM edges e "
+            f"JOIN it{k - 1} p ON p.node = e.src "
+            "JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+        )
+    return (
+        f"WITH {_DDB_SHINGLES}, {_DDB_SIGS}, {_DDB_BANDS}, "
+        # AS MATERIALIZED: the edges CTE is referenced by every
+        # iteration; without the hint DuckDB inlines the whole
+        # MinHash pipeline into each reference and spilled >70 GB at
+        # sf1 (the engine side needs no hint — each iteration is one
+        # stage over the same lineage)
+        "cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id "
+        "AS b FROM bands x JOIN bands y ON x.band = y.band AND "
+        "x.bv = y.bv AND x.doc_id < y.doc_id), "
+        "edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM cand "
+        "UNION ALL SELECT b, a FROM cand), "
+        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS dg "
+        "FROM edges GROUP BY src), "
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM deg), "
+        "it0 AS (SELECT src AS node, 1.0/nn AS pr FROM deg, n), "
+        + ", ".join(its) + " "
+        f"SELECT node AS doc_id, FLOOR(pr*1e9 + 0.5)/1e9 AS pr "
+        f"FROM it{_Q209_ITERS} "
+        "ORDER BY FLOOR(pr*1e9 + 0.5)/1e9 DESC, node "
+        f"LIMIT {_Q209_TOPK}"
+    )
+
+
+@register(
+    "q209_neardup_pagerank",
+    _q209_oracle(),
+    doc="PageRank centrality over the near-duplicate candidate graph — "
+        "the iterative-algorithm slot, made hash-certifiable by STATIC "
+        "UNROLLING: nodes are documents with ≥1 MinHash-LSH candidate "
+        "edge (q72's machinery, symmetrized), and five power "
+        "iterations r' = (1−d)/N + d·Σ r/deg run as five unrolled "
+        "join+aggregate stages — each iteration is ONE shuffle keyed "
+        "on the node id, the plan depth grows linearly with "
+        "iterations, and both engines execute the same bounded "
+        "recursion so the result value-hashes (rank quantized 1e-9; "
+        "float-sum ulps are ~1e-15 relative, nine orders below the "
+        "quantum).  The most-central documents are the hubs of "
+        "near-dup families — the ones whose removal dedups the most "
+        "pairs, which is why dedup pipelines rank them.  The edge "
+        "list and degree table persist across the unrolled stages "
+        "(graph-sized, not corpus-sized — without it each stage "
+        "re-ran the LSH pipeline: 6.7 s → 2.45 s at sf1, 1.8× "
+        "DuckDB whose oracle needs the matching AS MATERIALIZED "
+        "hint or it spills >70 GB inlining the pipeline per "
+        "iteration).  At 100 TB the same shape iterates to "
+        "convergence with per-round checkpoints instead of "
+        "unrolling; edges carry (src, dst) ids only.",
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    cand = dedup.minhash_lsh_candidates(d, k=_K, bands=_BANDS)
+    # Persist the graph: every unrolled iteration joins `edges` and
+    # `deg` — without persistence each of the five stages re-runs the
+    # whole shingle→minhash→band pipeline (the q114 diamond lesson;
+    # DuckDB needed the same via AS MATERIALIZED).  The edge list is
+    # |candidate pairs| × 16 B — graph-sized, not corpus-sized.
+    edges = cand.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        cand.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = (edges.groupBy("src").agg(F.count("*").cast("double").alias("dg"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    ncnt = deg.agg(F.count("*").cast("double").alias("nn"))
+
+    r = (
+        deg.crossJoin(F.broadcast(ncnt))
+        .select(F.col("src").alias("node"), (F.lit(1.0) / F.col("nn")).alias("pr"))
+    )
+    for _ in range(_Q209_ITERS):
+        contrib = (
+            edges.join(r, edges["src"] == r["node"])
+            .join(deg, "src")
+            .select("dst", (F.col("pr") / F.col("dg")).alias("c"))
+        )
+        r = (
+            contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(ncnt))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(1 - _Q209_D) / F.col("nn")
+                 + F.lit(_Q209_D) * F.col("s")).alias("pr"),
+            )
+        )
+    prq = F.floor(F.col("pr") * 1e9 + 0.5) / 1e9
+    return (
+        r.select(F.col("node").alias("doc_id"), prq.alias("pr"))
+        .orderBy(F.desc("pr"), "doc_id")
+        .limit(_Q209_TOPK)
+    )
