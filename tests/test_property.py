@@ -183,12 +183,18 @@ def test_zbucket_candidates_never_prune_a_matching_point(
     xlo, xw, ylo, yw = b
     bounds = (xlo, xlo + xw, ylo, ylo + yw)
 
-    # writer-side bucket of the point, mirroring _quantize + interleave
+    # writer-side bucket of the point, mirroring _quantize + interleave.
+    # NB: true division then floor, matching Spark's floor(Divide(..))
+    # and the reader's int(a/b) EXACTLY — Python's float `//` computes
+    # (x - x%y)/y, which disagrees with floor(x/y) by 1 at values one
+    # ulp under a cell boundary (found by this test's first run).
+    import math
+
     top = 2**layout.ZBITS - 1
 
     def q(v, lo, hi):
-        return max(0, min(top, int((v - lo) * (2**layout.ZBITS)
-                                   // (hi - lo))))
+        return max(0, min(top, math.floor(
+            (v - lo) * (2**layout.ZBITS) / (hi - lo))))
 
     xq, yq = q(x, bounds[0], bounds[1]), q(y, bounds[2], bounds[3])
     zv = 0
