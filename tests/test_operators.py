@@ -932,3 +932,37 @@ def test_cms_estimate_never_underestimates(spark, sf_dir):
     assert rows, "no heavy hitters returned"
     for r in rows:
         assert r.est_n >= r.exact_n, r
+
+
+def test_q209_distributed_path_matches_driver(spark, sf_dir):
+    """The PageRank hybrid's two branches must agree: force the
+    distributed unrolled loop (threshold 0) and compare its quantized
+    ranks to the driver-side numpy path the fixture normally takes —
+    the same certified-equal contract as q101's union-find hybrid."""
+    from pyspark.sql import functions as F
+
+    from tidb_gateway_spark.catalog import load_table
+    from tidb_gateway_spark.operators import dedup
+    from tidb_gateway_spark.queries import llm_extended as lx
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(d, k=lx._K, bands=lx._BANDS)
+    edges = cand.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        cand.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).cache()
+
+    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("dg"))
+    ncnt = deg.agg(F.count("*").cast("double").alias("nn"))
+    dist = lx._q209_rank_distributed(edges, deg, ncnt)
+    drv = lx._q209_rank_driver(spark, edges.collect())
+
+    def quantized(df, node_col):
+        return sorted(
+            (r[node_col], round(r["pr"] * 1e9))
+            for r in df.collect()
+        )
+
+    assert quantized(dist, "node") == quantized(drv, "doc_id")
+    edges.unpersist()

@@ -1492,54 +1492,23 @@ def _q209_oracle() -> str:
     )
 
 
-@register(
-    "q209_neardup_pagerank",
-    _q209_oracle(),
-    doc="PageRank centrality over the near-duplicate candidate graph — "
-        "the iterative-algorithm slot, made hash-certifiable by STATIC "
-        "UNROLLING: nodes are documents with ≥1 MinHash-LSH candidate "
-        "edge (q72's machinery, symmetrized), and five power "
-        "iterations r' = (1−d)/N + d·Σ r/deg run as five unrolled "
-        "join+aggregate stages — each iteration is ONE shuffle keyed "
-        "on the node id, the plan depth grows linearly with "
-        "iterations, and both engines execute the same bounded "
-        "recursion so the result value-hashes (rank quantized 1e-9; "
-        "float-sum ulps are ~1e-15 relative, nine orders below the "
-        "quantum).  The most-central documents are the hubs of "
-        "near-dup families — the ones whose removal dedups the most "
-        "pairs, which is why dedup pipelines rank them.  The edge "
-        "list and degree table persist across the unrolled stages "
-        "(graph-sized, not corpus-sized — without it each stage "
-        "re-ran the LSH pipeline: 6.7 s → 2.45 s at sf1, 1.8× "
-        "DuckDB whose oracle needs the matching AS MATERIALIZED "
-        "hint or it spills >70 GB inlining the pipeline per "
-        "iteration).  At 100 TB the same shape iterates to "
-        "convergence with per-round checkpoints instead of "
-        "unrolling; edges carry (src, dst) ids only.",
-    tags=("llm", "dedup", "graph", "iterative"),
-)
-def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
+# Edge-row threshold below which the power iteration runs driver-side
+# (the q101 union-find hybrid pattern): 2 M edge rows × 16 B is
+# metadata-scale, and five numpy scatter-add rounds beat five Spark
+# stages by ~10× at fixture sizes.  Above it, the distributed unrolled
+# loop takes over (same math, certified equal by
+# tests/test_operators.py::test_q209_distributed_path_matches_driver).
+_Q209_DRIVER_EDGES = 2_000_000
 
-    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    cand = dedup.minhash_lsh_candidates(d, k=_K, bands=_BANDS)
-    # Persist the graph: every unrolled iteration joins `edges` and
-    # `deg` — without persistence each of the five stages re-runs the
-    # whole shingle→minhash→band pipeline (the q114 diamond lesson;
-    # DuckDB needed the same via AS MATERIALIZED).  The edge list is
-    # |candidate pairs| × 16 B — graph-sized, not corpus-sized.
-    edges = cand.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(
-        cand.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    deg = (edges.groupBy("src").agg(F.count("*").cast("double").alias("dg"))
-           .persist(StorageLevel.MEMORY_AND_DISK))
-    ncnt = deg.agg(F.count("*").cast("double").alias("nn"))
 
+def _q209_rank_distributed(edges, deg, ncnt) -> DataFrame:
+    """Unrolled distributed power iteration (the >threshold path):
+    each round is ONE node-keyed join+aggregate shuffle over the
+    persisted graph."""
     r = (
         deg.crossJoin(F.broadcast(ncnt))
-        .select(F.col("src").alias("node"), (F.lit(1.0) / F.col("nn")).alias("pr"))
+        .select(F.col("src").alias("node"),
+                (F.lit(1.0) / F.col("nn")).alias("pr"))
     )
     for _ in range(_Q209_ITERS):
         contrib = (
@@ -1556,6 +1525,89 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + F.lit(_Q209_D) * F.col("s")).alias("pr"),
             )
         )
+    return r
+
+
+def _q209_rank_driver(spark: SparkSession, edge_rows) -> DataFrame:
+    """Driver-side power iteration for sub-threshold graphs: numpy
+    scatter-add over the collected (sorted — collect order is not
+    deterministic) edge list.  Summation-order float deltas vs the
+    oracle are ~1e-15 relative — nine orders under the 1e-9 quantum."""
+    import numpy as np
+
+    pairs = sorted((r["src"], r["dst"]) for r in edge_rows)
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    src = np.array([idx[a] for a, _ in pairs], dtype=np.int64)
+    dst = np.array([idx[b] for _, b in pairs], dtype=np.int64)
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(_Q209_ITERS):
+        out = np.zeros(n)
+        np.add.at(out, dst, pr[src] / deg[src])
+        pr = (1 - _Q209_D) / n + _Q209_D * out
+    rows = [(int(nodes[i]), float(pr[i])) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id bigint, pr double")
+
+
+@register(
+    "q209_neardup_pagerank",
+    _q209_oracle(),
+    doc="PageRank centrality over the near-duplicate candidate graph — "
+        "the iterative-algorithm slot, made hash-certifiable by STATIC "
+        "UNROLLING: nodes are documents with ≥1 MinHash-LSH candidate "
+        "edge (q72's machinery, symmetrized), and five power "
+        "iterations r' = (1−d)/N + d·Σ r/deg run as five unrolled "
+        "join+aggregate stages — each iteration is ONE shuffle keyed "
+        "on the node id, the plan depth grows linearly with "
+        "iterations, and both engines execute the same bounded "
+        "recursion so the result value-hashes (rank quantized 1e-9; "
+        "float-sum ulps are ~1e-15 relative, nine orders below the "
+        "quantum).  The most-central documents are the hubs of "
+        "near-dup families — the ones whose removal dedups the most "
+        "pairs, which is why dedup pipelines rank them.  HYBRID "
+        "execution like q101's union-find: below 2 M edge rows the "
+        "iteration runs driver-side (numpy scatter-add over the "
+        "collected, sorted edge list — metadata-scale), above it the "
+        "distributed unrolled loop takes over; the branches are "
+        "certified equal (tests/test_operators.py).  The persisted "
+        "edge list is graph-sized, never corpus-sized — without the "
+        "persist every consumer re-ran the LSH pipeline (6.7 s "
+        "first-cut → 0.95 s at sf1 = 0.71× DuckDB, whose oracle "
+        "needs matching AS MATERIALIZED hints or it spills >70 GB "
+        "inlining the pipeline per iteration).  At 100 TB the "
+        "distributed shape iterates to convergence with per-round "
+        "checkpoints instead of unrolling; edges carry (src, dst) "
+        "ids only.",
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    cand = dedup.minhash_lsh_candidates(d, k=_K, bands=_BANDS)
+    # Persist the graph: both branches (and every unrolled iteration
+    # of the distributed one) read `edges` — without persistence each
+    # consumer re-runs the whole shingle→minhash→band pipeline (the
+    # q114 diamond lesson; DuckDB needed the same via AS MATERIALIZED).
+    # The edge list is |candidate pairs| × 16 B — graph-sized, never
+    # corpus-sized.
+    edges = cand.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        cand.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    if edges.count() <= _Q209_DRIVER_EDGES:
+        r = _q209_rank_driver(spark, edges.collect())
+        r = r.withColumnRenamed("doc_id", "node")
+    else:
+        deg = edges.groupBy("src").agg(
+            F.count("*").cast("double").alias("dg"))
+        ncnt = deg.agg(F.count("*").cast("double").alias("nn"))
+        r = _q209_rank_distributed(edges, deg, ncnt)
+
     prq = F.floor(F.col("pr") * 1e9 + 0.5) / 1e9
     return (
         r.select(F.col("node").alias("doc_id"), prq.alias("pr"))
