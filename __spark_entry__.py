@@ -86,6 +86,10 @@ _CHANGED_FIRST = (
     "q207_padding_waste_report",
     "q208_ann_recall_eval",
     "q209_neardup_pagerank",
+    "q210_repeated_passage_audit",
+    "q211_semantic_dedup_cells",
+    "q212_minhash_calibration",
+    "q213_neardup_provenance_matrix",
 )
 
 # Queries whose latest green certification predates the current code

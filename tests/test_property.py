@@ -206,3 +206,27 @@ def test_zbucket_candidates_never_prune_a_matching_point(
     cands = layout.zbucket_candidates(
         (x - wx, x + wx), (y - wy, y + wy), bounds)
     assert bucket in cands, (bounds, (x, y), bucket, cands)
+
+
+@given(
+    st.lists(st.integers(-120, 120), min_size=4, max_size=16),
+    st.lists(st.integers(-120, 120), min_size=4, max_size=16),
+    st.sampled_from([1000, 2500, 3500, 5000, 9900]),
+)
+def test_quantized_cosine_predicate_matches_rational_form(qa, qb, tau_bps):
+    """The gcd-reduced integer test in similarity.semantic_neardup_pairs
+    (dot²·lhs ≥ rhs·na·nb with lhs/rhs = 10⁸/g, τ²/g) must equal the
+    exact rational comparison dot²·10⁸ ≥ τ_bps²·na·nb — unbounded-int
+    mirror, catching any bad reduction or overflow-prone scaling."""
+    import math
+
+    m = min(len(qa), len(qb))
+    qa, qb = qa[:m], qb[:m]
+    dot = sum(a * b for a, b in zip(qa, qb))
+    na = sum(a * a for a in qa)
+    nb = sum(b * b for b in qb)
+    t2 = tau_bps * tau_bps
+    g = math.gcd(t2, 10 ** 8)
+    reduced = dot > 0 and dot * dot * ((10 ** 8) // g) >= (t2 // g) * na * nb
+    exact = dot > 0 and dot * dot * 10 ** 8 >= t2 * na * nb
+    assert reduced == exact

@@ -603,3 +603,177 @@ def matryoshka_nn_pairs(corpus: DataFrame, probes: list[tuple[int, list[float]]]
     return f.join(t, "qid").select(
         "qid", "nn_full", "nn_trunc",
         (F.col("nn_full") == F.col("nn_trunc")).alias("agree"))
+
+
+# ------------------------------------------------------------- SemDeDup
+# Semantic deduplication (Abbas et al. 2023, "SemDeDup"): partition the
+# embedding space into cells, flag near-duplicate PAIRS only within a
+# cell, and drop the higher-id member of each flagged pair.  All
+# arithmetic is integer-quantized (q = floor(100·x) per dimension) so an
+# external SQL oracle reproduces the flags bit-for-bit — float dot sums
+# are order-dependent, integer dots are not.
+
+def quantize_int_expr(vec_col: str) -> Column:
+    """array<bigint> quantization q_i = floor(100 · double(x_i)).
+
+    floor (not round) on the double-widened value: floor is defined
+    identically in numpy / Spark / DuckDB, while round's half-way rule
+    differs per engine (banker's vs half-away)."""
+    return F.expr(
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT))"
+    )
+
+
+def semantic_cells(vectors: DataFrame,
+                   seeds: list[tuple[int, list[float]]],
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to argmax_s <q(v), q(seed_s)> over the given
+    seed vectors (ties → lowest seed id); adds a ``cell`` bigint column
+    carrying the winning seed's id.
+
+    ``seeds`` is metadata-sized (collected driver-side, like the IVF
+    centroids and the rank boundaries): at 100 TB the seed table is a
+    few KB broadcast into the Arrow closure while the corpus streams
+    through one numpy int64 matmul per batch."""
+    import numpy as np
+
+    sorted_seeds = sorted(seeds)
+    sid = np.array([s[0] for s in sorted_seeds], dtype=np.int64)
+    S = np.floor(
+        np.array([s[1] for s in sorted_seeds], dtype=np.float64) * 100
+    ).astype(np.int64).T  # dim × k
+    narrow = vectors.select(id_col, vec_col)
+    out_schema = T.StructType(
+        list(narrow.schema.fields)
+        + [T.StructField("cell", T.LongType(), False)]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.floor(
+                np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * 100
+            ).astype(np.int64)
+            pdf = pdf.copy()
+            # seed ids ascend with the column index, so argmax's
+            # first-max tie rule IS "lowest seed id" — the oracle's
+            # ROW_NUMBER (dot DESC, sid ASC)
+            pdf["cell"] = sid[(Q @ S).argmax(axis=1)]
+            yield pdf
+
+    return narrow.mapInPandas(assign, schema=out_schema)
+
+
+def semantic_neardup_pairs(assigned: DataFrame, tau_bps: int = 3500,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Within-cell near-duplicate pairs (a < b) under the quantized
+    cosine test  dot > 0  AND  dot²·10⁴ ≥ tau_bps²/10⁴ · |a|²·|b|²
+    (i.e. cos_q ≥ tau_bps/10⁴) — exact integer arithmetic end-to-end.
+
+    One ``applyInPandas`` matmul per cell: total work Σ|cell|² instead
+    of n², the SemDeDup scale contract (cells from k-means in the
+    paper; any fixed assignment — here argmax-over-seeds — gives the
+    same shape).  Magnitudes: |q_i| ≤ 100·|x| keeps dot²·10⁴ and
+    1225-style right sides far inside int64 for unit-scale embeddings.
+    """
+    import numpy as np
+
+    # tau_bps² / 10⁴ reduced to integers: dot²·10⁴ ≥ (tau_bps²/10⁴)·na·nb
+    # holds iff dot²·10⁴·10⁴ ≥ tau_bps²·na·nb; divide both sides by 10⁴
+    # exactly when tau_bps² is a multiple of 10⁴ — keep the general
+    # exact form dot²·10⁸ ≥ tau_bps²·na·nb out of int64 range instead:
+    # compare via Python ints in the numpy object fallback?  No: use the
+    # reduced form with g = gcd(tau_bps², 10⁸).
+    import math
+    t2 = tau_bps * tau_bps
+    g = math.gcd(t2, 10 ** 8)
+    lhs_scale = (10 ** 8) // g   # multiplies dot²
+    rhs_scale = t2 // g          # multiplies na·nb
+
+    def cell_pairs(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame({
+            "cell": pd.Series(dtype="int64"),
+            "a": pd.Series(dtype="int64"),
+            "b": pd.Series(dtype="int64"),
+        })
+        if len(pdf) < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        Q = np.floor(
+            np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64) * 100
+        ).astype(np.int64)
+        D = Q @ Q.T
+        n = (Q * Q).sum(axis=1)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        d = D[iu, ju]
+        keep = (d > 0) & (
+            d * d * lhs_scale >= rhs_scale * n[iu] * n[ju])
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            "cell": np.full(int(keep.sum()), int(pdf["cell"].iloc[0]),
+                            dtype="int64"),
+            "a": ids[iu[keep]].astype("int64"),
+            "b": ids[ju[keep]].astype("int64"),
+        })
+
+    return assigned.groupBy("cell").applyInPandas(
+        cell_pairs, schema="cell long, a long, b long")
+
+
+def semantic_dedup_report(assigned: DataFrame, tau_bps: int = 3500,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Per-cell SemDeDup report in ONE pass: (cell, n_vecs, n_pairs,
+    n_dropped) computed inside the same per-cell numpy stage that
+    scores the pairs — the multi-branch form (count cells, count
+    pairs, join) re-executes the Arrow assignment subtree once per
+    branch; this shape is scan → assign → one cell exchange → one
+    grouped report, nothing reused, nothing recomputed.  Same flags as
+    :func:`semantic_neardup_pairs` (kept for pipelines that need the
+    pairs themselves); n_dropped counts the distinct higher-id members
+    a keep-lowest-id policy would remove."""
+    import math
+
+    import numpy as np
+
+    t2 = tau_bps * tau_bps
+    g = math.gcd(t2, 10 ** 8)
+    lhs_scale = (10 ** 8) // g
+    rhs_scale = t2 // g
+
+    def cell_report(pdf):
+        import pandas as pd
+
+        cell = int(pdf["cell"].iloc[0])
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"cell": [cell], "n_vecs": [len(pdf)],
+                 "n_pairs": [0], "n_dropped": [0]})
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        Q = np.floor(
+            np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64) * 100
+        ).astype(np.int64)
+        D = Q @ Q.T
+        n = (Q * Q).sum(axis=1)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        d = D[iu, ju]
+        keep = (d > 0) & (d * d * lhs_scale >= rhs_scale * n[iu] * n[ju])
+        return pd.DataFrame({
+            "cell": [cell],
+            "n_vecs": [len(ids)],
+            "n_pairs": [int(keep.sum())],
+            "n_dropped": [int(np.unique(ju[keep]).size)],
+        })
+
+    return assigned.groupBy("cell").applyInPandas(
+        cell_report, schema="cell long, n_vecs long, n_pairs long, n_dropped long")

@@ -25,5 +25,6 @@ try:  # extended ops (Q72+) — registered when present
     from tidb_gateway_spark.queries import statistics_extended  # noqa: F401
     from tidb_gateway_spark.queries import layout_quality  # noqa: F401
     from tidb_gateway_spark.queries import curation_extended  # noqa: F401
+    from tidb_gateway_spark.queries import pipeline_audit  # noqa: F401
 except ImportError:
     pass

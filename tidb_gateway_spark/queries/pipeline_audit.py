@@ -1,0 +1,372 @@
+"""Q210–Q213: pipeline-audit operators — the governance reports a
+large-scale training-data curation run produces AFTER its dedup passes:
+cross-document repeated-passage rates, semantic (embedding-space) dedup,
+sketch-calibration evidence, and near-dup provenance across sources.
+
+The reference relays these workloads as opaque SQL to its backends
+(/root/reference/gateway/relay.go:47-66); each is declared here as a
+DataFrame plan with a DuckDB oracle twin.
+
+Scale design notes (100 TB):
+
+* q210 (repeated passages) shuffles only md5 chunk hashes — never
+  chunk text — through two hash exchanges (chunk→doc-count, then the
+  flag join back).  This is RefinedWeb's line-dedup shape with
+  fixed-width 8-token chunks standing in for lines (the fixture corpus
+  has no line structure); chunk-hash cardinality grows with the corpus
+  so both exchanges spread evenly.
+* q211 (SemDeDup) is the Abbas-et-al. semantic-dedup contract: cell
+  assignment is one Arrow/numpy int64 matmul per batch against a
+  metadata-sized seed table, and all-pairs scoring happens only WITHIN
+  a cell (Σ|cell|² ≪ n²).  Integer-quantized dots make the flags
+  engine-reproducible — float dot sums are order-dependent, integer
+  dots are not.
+* q212 (MinHash calibration) audits the sketch the q72/q74 pipeline
+  trusts: per signature-match count, how far the estimated Jaccard
+  (matches/k) sits from the exact shingle-set Jaccard — computed only
+  on the candidate set, all integer bps.  This is the measurement that
+  justifies a chosen (k, bands) operating point before a 100 TB run.
+* q213 (provenance matrix) joins the verified near-dup pairs back to
+  their sources — dimension-sized output, candidate-sized shuffles;
+  the matrix is what tells a curation run WHICH crawls/feeds overlap.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tidb_gateway_spark.catalog import load_table
+from tidb_gateway_spark.operators import dedup
+from tidb_gateway_spark.operators import similarity
+from tidb_gateway_spark.operators.partitioning import ensure_min_partitions
+from tidb_gateway_spark.queries import llm_extended as _llm
+from tidb_gateway_spark.queries.registry import register
+
+# ---------------------------------------------------------------- Q210
+_Q210_W = 8  # chunk width in tokens
+
+# DuckDB: non-overlapping 8-token chunks; docs shorter than one chunk
+# contribute no chunk rows (but still count in n_docs).
+_Q210_ORACLE = (
+    "WITH wl AS (SELECT doc_id, source, "
+    "list_filter(string_split(text, ' '), x -> x <> '') AS wl "
+    "FROM documents), "
+    "ch AS (SELECT doc_id, source, "
+    f"UNNEST(list_transform(range(0, CAST(floor(len(wl) / {_Q210_W}) AS INT)), "
+    f"i -> array_to_string(wl[i * {_Q210_W} + 1 : i * {_Q210_W} + {_Q210_W}], ' '))) "
+    f"AS chunk FROM wl WHERE len(wl) >= {_Q210_W}), "
+    "cd AS (SELECT DISTINCT doc_id, source, md5(chunk) AS h FROM ch), "
+    "sh AS (SELECT h FROM cd GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2), "
+    "fl AS (SELECT cd.doc_id, cd.source, "
+    "CASE WHEN sh.h IS NULL THEN 0 ELSE 1 END AS f "
+    "FROM cd LEFT JOIN sh ON sh.h = cd.h), "
+    "rep AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS chunk_rows, "
+    "CAST(SUM(f) AS BIGINT) AS shared_chunk_rows, "
+    "CAST(COUNT(DISTINCT CASE WHEN f = 1 THEN doc_id END) AS BIGINT) "
+    "AS docs_flagged FROM fl GROUP BY source), "
+    "ds AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY source) "
+    "SELECT ds.source, ds.n_docs, "
+    "COALESCE(rep.docs_flagged, 0) AS docs_flagged, "
+    "COALESCE(rep.chunk_rows, 0) AS chunk_rows, "
+    "COALESCE(rep.shared_chunk_rows, 0) AS shared_chunk_rows, "
+    "CAST(CASE WHEN COALESCE(rep.chunk_rows, 0) = 0 THEN 0 ELSE "
+    "FLOOR(rep.shared_chunk_rows * 10000.0 / rep.chunk_rows) END AS BIGINT) "
+    "AS shared_bps "
+    "FROM ds LEFT JOIN rep USING (source) ORDER BY source"
+)
+
+# Spark: same chunking as a codegen'd SQL expression over the HOF-free
+# token list (transform/sequence matches dedup._shingle_array_sql's
+# idiom; ~n/8 chunks per doc, far lighter than the 3-gram shingling).
+_Q210_CHUNKS_SQL = (
+    f"CASE WHEN size(wlist) >= {_Q210_W} THEN "
+    f"transform(sequence(0, CAST(floor(size(wlist) / {_Q210_W}) AS INT) - 1), "
+    f"i -> concat_ws(' ', slice(wlist, i * {_Q210_W} + 1, {_Q210_W}))) "
+    "ELSE CAST(array() AS array<string>) END"
+)
+
+
+@register(
+    "q210_repeated_passage_audit",
+    _Q210_ORACLE,
+    doc="Cross-document repeated-passage audit (RefinedWeb line-dedup "
+        "shape with fixed 8-token chunks as the passage unit): chunk "
+        "each doc non-overlapping, md5 the chunks, a chunk is SHARED "
+        "when ≥2 distinct docs carry it; per-source report of docs "
+        "touched and shared-chunk share in integer bps.  Both "
+        "exchanges carry 32-char hashes only — never passage text — "
+        "so the shuffles stay body-free at corpus scale.",
+    tags=("llm", "dedup", "governance"),
+)
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    t = F.trim(F.col("text"))
+    cd = (
+        d.select(
+            "doc_id", "source",
+            F.when(t != "", F.split(t, " +"))
+            .otherwise(F.expr("CAST(array() AS array<string>)"))
+            .alias("wlist"),
+        )
+        .select("doc_id", "source",
+                F.explode(F.expr(_Q210_CHUNKS_SQL)).alias("chunk"))
+        .select("doc_id", "source", F.md5("chunk").alias("h"))
+        .distinct()
+    )
+    shared = (
+        cd.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("f"))
+    )
+    fl = cd.join(shared, "h", "left").select(
+        "doc_id", "source", F.coalesce(F.col("f"), F.lit(0)).alias("f"))
+    rep = fl.groupBy("source").agg(
+        F.count("*").alias("chunk_rows"),
+        F.sum("f").alias("shared_chunk_rows"),
+        F.countDistinct(
+            F.when(F.col("f") == 1, F.col("doc_id"))).alias("docs_flagged"),
+    )
+    ds = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        ds.join(rep, "source", "left")
+        .select(
+            "source", "n_docs",
+            F.coalesce("docs_flagged", F.lit(0)).alias("docs_flagged"),
+            F.coalesce("chunk_rows", F.lit(0)).alias("chunk_rows"),
+            F.coalesce(
+                "shared_chunk_rows", F.lit(0)).alias("shared_chunk_rows"),
+            F.when(F.coalesce("chunk_rows", F.lit(0)) == 0, F.lit(0))
+            .otherwise(F.floor(
+                F.col("shared_chunk_rows") * 10000.0 / F.col("chunk_rows")))
+            .cast("bigint").alias("shared_bps"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------- Q211
+_Q211_SEEDS = 8
+_Q211_TAU_BPS = 3500  # same τ = 0.35 operating point as q93's float path
+_T2 = _Q211_TAU_BPS * _Q211_TAU_BPS
+_G = math.gcd(_T2, 10 ** 8)
+_LHS = (10 ** 8) // _G  # multiplies dot²   (400 for τ = 0.35)
+_RHS = _T2 // _G        # multiplies na·nb  (49  for τ = 0.35)
+
+_Q211_QV = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT))"
+_Q211_DOT = "CAST(list_sum(list_transform(list_zip({a}, {b}), t -> t[1] * t[2])) AS BIGINT)"
+
+_Q211_ORACLE = (
+    f"WITH v AS (SELECT vec_id, {_Q211_QV} AS qv FROM embeddings), "
+    f"s AS (SELECT vec_id AS sid, qv AS sv FROM v ORDER BY vec_id LIMIT {_Q211_SEEDS}), "
+    "d AS (SELECT v.vec_id, s.sid, "
+    + _Q211_DOT.format(a="v.qv", b="s.sv") + " AS dot FROM v CROSS JOIN s), "
+    "cell AS (SELECT vec_id, sid AS cell FROM ("
+    "SELECT vec_id, sid, ROW_NUMBER() OVER (PARTITION BY vec_id "
+    "ORDER BY dot DESC, sid) AS rk FROM d) WHERE rk = 1), "
+    "vc AS (SELECT v.vec_id, c.cell, v.qv, "
+    "CAST(list_sum(list_transform(v.qv, x -> x * x)) AS BIGINT) AS nrm "
+    "FROM v JOIN cell c USING (vec_id)), "
+    "p0 AS (SELECT a.cell, a.vec_id AS a, b.vec_id AS b, "
+    + _Q211_DOT.format(a="a.qv", b="b.qv") + " AS dot, "
+    "a.nrm * b.nrm AS nn FROM vc a JOIN vc b "
+    "ON a.cell = b.cell AND a.vec_id < b.vec_id), "
+    f"p AS (SELECT cell, a, b FROM p0 WHERE dot > 0 "
+    f"AND dot * dot * {_LHS} >= {_RHS} * nn), "
+    "rep AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+    "CAST(COUNT(DISTINCT b) AS BIGINT) AS n_dropped FROM p GROUP BY cell), "
+    "cnt AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs "
+    "FROM vc GROUP BY cell) "
+    "SELECT cnt.cell, cnt.n_vecs, COALESCE(rep.n_pairs, 0) AS n_pairs, "
+    "COALESCE(rep.n_dropped, 0) AS n_dropped "
+    "FROM cnt LEFT JOIN rep USING (cell) ORDER BY cell"
+)
+
+
+@register(
+    "q211_semantic_dedup_cells",
+    _Q211_ORACLE,
+    doc="SemDeDup (Abbas et al. 2023) over the embeddings table: "
+        "integer-quantized cell assignment (argmax dot against the 8 "
+        "lowest-id seed vectors — operators/similarity.semantic_cells, "
+        "one Arrow int64 matmul per batch) and within-cell near-dup "
+        "pairs under the exact integer cosine test cos_q ≥ 0.35 "
+        "(semantic_neardup_pairs).  Per-cell report: vectors, flagged "
+        "pairs, and vectors a keep-lowest-id policy would drop.  "
+        "Σ|cell|² work instead of n² — the paper's scale contract.",
+    tags=("llm", "similarity", "dedup"),
+)
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    seeds = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.select("vec_id", "embedding")
+        .orderBy("vec_id").limit(_Q211_SEEDS).collect()
+    ]  # metadata-sized, like the IVF centroids
+    assigned = similarity.semantic_cells(e, seeds)
+    # one-pass per-cell report: the multi-branch count/pairs/join form
+    # re-executed the Arrow assignment subtree once per branch
+    return (
+        similarity.semantic_dedup_report(assigned, tau_bps=_Q211_TAU_BPS)
+        .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------- Q212
+_K, _BANDS = 6, 3  # must match q72's operating point (llm_extended)
+
+_Q212_MATCHES = " + ".join(
+    f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)" for j in range(_K)
+)
+
+_Q212_ORACLE = (
+    f"WITH {_llm._DDB_SHINGLES}, {_llm._DDB_SIGS}, {_llm._DDB_BANDS}, "
+    "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
+    "FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv "
+    "AND x.doc_id < y.doc_id), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id), "
+    "inter AS (SELECT c.a, c.b, COUNT(*) AS i FROM cand c "
+    "JOIN shingles wa ON wa.doc_id = c.a "
+    "JOIN shingles wb ON wb.doc_id = c.b AND wb.w = wa.w GROUP BY c.a, c.b), "
+    f"m AS (SELECT c.a, c.b, {_Q212_MATCHES} AS matches "
+    "FROM cand c JOIN sigs sa ON sa.doc_id = c.a "
+    "JOIN sigs sb ON sb.doc_id = c.b), "
+    "j AS (SELECT m.matches, "
+    f"CAST(FLOOR(m.matches * 10000.0 / {_K}) AS BIGINT) AS est_bps, "
+    "CAST(FLOOR(COALESCE(i.i, 0) * 10000.0 / "
+    "(sa.sz + sb.sz - COALESCE(i.i, 0))) AS BIGINT) AS jac_bps "
+    "FROM m LEFT JOIN inter i ON i.a = m.a AND i.b = m.b "
+    "JOIN sizes sa ON sa.doc_id = m.a JOIN sizes sb ON sb.doc_id = m.b) "
+    "SELECT CAST(matches AS INT) AS matches, est_bps, "
+    "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+    "CAST(SUM(jac_bps) AS BIGINT) AS sum_jac_bps, "
+    "CAST(MAX(ABS(est_bps - jac_bps)) AS BIGINT) AS max_abs_err_bps "
+    "FROM j GROUP BY matches, est_bps ORDER BY matches"
+)
+
+
+@register(
+    "q212_minhash_calibration",
+    _Q212_ORACLE,
+    doc="MinHash sketch calibration audit on the q72 candidate set: "
+        "per signature-match count (0..6 of the shared single-digest "
+        "slices — operators/dedup.minhash_signatures), the estimated "
+        "Jaccard matches/k vs the exact shingle-set Jaccard "
+        "(row-local array_intersect), as integer bps with the worst "
+        "absolute error per bucket.  Cost ∝ candidates — the sketch "
+        "audits itself without touching non-candidate pairs; this is "
+        "the evidence for a (k, bands) operating point before a "
+        "100 TB dedup run.",
+    tags=("llm", "dedup", "minhash", "governance"),
+)
+def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shingles = dedup.doc_shingles(d)
+    sigs = dedup.minhash_signatures(shingles, k=_K)
+    bl = dedup.lsh_bands(sigs, _BANDS, _K // _BANDS)
+    x, y = bl.alias("x"), bl.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(_K)])
+    sb = sigs.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(_K)])
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(_K)
+    )
+    arrs = dedup.doc_shingle_arrays(d)
+    aa = arrs.select(F.col("doc_id").alias("a"), F.col("sharr").alias("sa"))
+    ab = arrs.select(F.col("doc_id").alias("b"), F.col("sharr").alias("sb"))
+    i = F.size(F.array_intersect("sa", "sb")).cast("bigint")
+    u = (F.size("sa") + F.size("sb")).cast("bigint") - i
+    j = (
+        cand.join(sa, "a").join(sb, "b")
+        .select("a", "b", matches.alias("matches"))
+        .join(aa, "a").join(ab, "b")
+        .select(
+            "matches",
+            F.floor(F.col("matches") * 10000.0 / _K)
+            .cast("bigint").alias("est_bps"),
+            F.floor(i * 10000.0 / u).cast("bigint").alias("jac_bps"),
+        )
+    )
+    return (
+        j.groupBy(F.col("matches").cast("int").alias("matches"), "est_bps")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("jac_bps").alias("sum_jac_bps"),
+            F.max(F.abs(F.col("est_bps") - F.col("jac_bps")))
+            .alias("max_abs_err_bps"),
+        )
+        .orderBy("matches")
+    )
+
+
+# ---------------------------------------------------------------- Q213
+_Q213_ORACLE = (
+    f"WITH {_llm._DDB_SHINGLES}, {_llm._DDB_SIGS}, {_llm._DDB_BANDS}, "
+    f"{_llm._DDB_CAND_CHAIN}, "
+    "ver AS (SELECT t.a, t.b FROM inter t "
+    "JOIN sizes sa ON sa.doc_id = t.a JOIN sizes sb ON sb.doc_id = t.b "
+    "WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5), "
+    "lab AS (SELECT LEAST(da.source, db.source) AS source_lo, "
+    "GREATEST(da.source, db.source) AS source_hi "
+    "FROM ver JOIN documents da ON da.doc_id = ver.a "
+    "JOIN documents db ON db.doc_id = ver.b) "
+    "SELECT source_lo, source_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs "
+    "FROM lab GROUP BY source_lo, source_hi ORDER BY source_lo, source_hi"
+)
+
+
+@register(
+    "q213_neardup_provenance_matrix",
+    _Q213_ORACLE,
+    doc="Near-duplicate provenance matrix: the verified near-dup pairs "
+        "(q72 LSH candidates → exact Jaccard ≥ 0.5, the q74 contract) "
+        "joined back to each member's source, reported as an unordered "
+        "source-pair overlap matrix (LEAST/GREATEST canonicalization). "
+        "Dimension-sized output over candidate-sized shuffles — the "
+        "report that tells a curation run WHICH crawls/feeds duplicate "
+        "each other before it weights or drops them.",
+    tags=("llm", "dedup", "governance"),
+)
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shingles = dedup.doc_shingles(d)
+    cand = dedup.minhash_lsh_candidates(d, k=_K, bands=_BANDS,
+                                        shingles=shingles)
+    ver = (
+        dedup.jaccard_pairs_arrays(cand, dedup.doc_shingle_arrays(d))
+        .filter(F.col("jac") >= 0.5)
+    )
+    src = d.select("doc_id", "source")
+    lab = (
+        ver.join(src.select(F.col("doc_id").alias("a"),
+                            F.col("source").alias("src_a")), "a")
+        .join(src.select(F.col("doc_id").alias("b"),
+                         F.col("source").alias("src_b")), "b")
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+    )
+    return (
+        lab.groupBy("source_lo", "source_hi")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("source_lo", "source_hi")
+    )
