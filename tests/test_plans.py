@@ -509,3 +509,32 @@ def test_zorder_out_of_bounds_rows_survive_stale_bounds(spark, tmp_path):
                 F.col("x").between(*x_range)
                 & F.col("y").between(*y_range)).collect())
         assert got == expect, (x_range, y_range, got, expect)
+
+
+def test_q211_semdedup_single_exchange_arrow_only(spark, sf_dir):
+    """SemDeDup's declared plan is scan → Arrow assignment
+    (MapInPandas) → ONE cell exchange → grouped numpy report
+    (FlatMapGroupsInPandas).  A second exchange or a row-at-a-time
+    Python node means the multi-branch form (which re-executes the
+    Arrow subtree once per branch) crept back in."""
+    df = REGISTRY["q211_semantic_dedup_cells"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    tree = _plan_tree(text)
+    # one hash-partitioning exchange (the cell shuffle); the global
+    # orderBy adds one rangepartitioning — nothing else
+    assert tree.count("Exchange") <= 2, tree
+    assert tree.count("MapInPandas") == 1, tree
+    assert tree.count("FlatMapGroupsInPandas") == 1, tree
+    assert "BatchEvalPython" not in text, text
+
+
+def test_q210_chunk_exchanges_carry_hashes_not_text(spark, sf_dir):
+    """The repeated-passage audit must aggregate/join on md5 chunk
+    hashes: no exchange schema may carry the chunk text itself (the
+    32-char digest column `h` replaces it before the first shuffle)."""
+    df = REGISTRY["q210_repeated_passage_audit"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    for line in text.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "chunk#" not in line, line
+    assert "BatchEvalPython" not in text and "PythonUDF" not in text, text
