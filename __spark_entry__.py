@@ -28,68 +28,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # is PRIORITY-ORDERED (tuple position, not qid) and more than ~50
 # entries means the tail defers to the next round by design.
 _CHANGED_FIRST = (
-    # Tier 0 — the 21 registry entries added in round 6
-    # (q178–q198) that have never appeared in any CORRECTNESS_r*.json.
-    # Rounds 1–6 certified the other 176; none is red on its latest
-    # check.  All 21 pass the in-repo driver-equivalent oracle diff at
-    # sf0.01 (tests/test_oracle_diff.py); this tier routes them through
-    # the real driver window.  tests/test_cert_window.py asserts the
-    # tier stays inside the next window.
-    "q178_referential_integrity_audit",
-    "q179_cms_heavy_hitters",
-    "q180_merge_upsert_apply",
-    "q181_equiwidth_histogram",
-    "q182_ewma_smoothing",
-    "q183_trigram_langid_confusion",
-    "q184_benford_first_digit_audit",
-    "q185_label_noise_audit",
-    "q186_bpe_merge_step",
-    "q187_consecutive_dedup_compress",
-    "q188_mad_robust_outliers",
-    "q189_time_weighted_average",
-    "q190_array_function_bank",
-    "q191_equidepth_binning",
-    "q192_chisq_contingency",
-    "q193_zorder_locality",
-    "q194_dup_ngram_coverage",
-    "q195_incremental_agg_maintenance",
-    "q196_quantile_normalization",
-    "q197_cluster_aware_split",
-    "q198_token_budget_mixing",
-    # Tier 1 — queries whose round-6 rewrites postdate their last green
-    # driver certification (all pass the in-repo oracle diff at sf0.01;
-    # riskiest first).  Round-7 perf reworks (q53/q183/q194) keep their
-    # slots here/above so their current form is what gets certified.
-    "q53_json_extract",            # r7: VARIANT parse (try_variant_get)
-    "q73_simhash_clusters",        # r6: shared signed-sum signature path
-    "q122_ttr_quality_battery",    # r6: HOF-free tokenizer
-    "q98_word_repetition_filter",  # r6: HOF-free + unconditional columns
-    "q74_jaccard_verify",          # r6: array-intersect verify rework
-    "q101_dedup_clusters",         # r6: array-intersect verify rework
-    "q103_ngram_decontamination",  # r6: hash-before-distinct shuffle cut
-    "q72_minhash_lsh_candidates",  # r6: word_shingles HOF-free tokens
-    "q91_contamination_check",     # r6: word_shingles HOF-free tokens
-    "q130_canonical_doc_per_cluster",  # r6: word_shingles HOF-free tokens
-    "q129_approx_distinct_bounds",  # r7: rsd 0.01->0.02 (4x less state)
-    "q143_approx_percentile_bounds",  # r7: array-form shared sketches
-    "q114_simhash_multiprobe_pairs",  # r7: persisted int-key signatures
-    # Tier 2 — NEW registry entries this round (round 7) append below;
-    # 31 backlog slots + new entries must stay <= ~45 so the window
-    # drains completely (VERDICT r6 directive 8).
-    "q199_zorder_roundtrip",
-    "q200_partitioned_pruning_roundtrip",
-    "q205_bucketed_join_roundtrip",
-    "q206_schema_evolution_roundtrip",
-    "q201_source_upsampling",
-    "q202_domain_doc_cap",
-    "q203_vocab_oov_rate",
-    "q207_padding_waste_report",
-    "q208_ann_recall_eval",
-    "q209_neardup_pagerank",
-    "q210_repeated_passage_audit",
-    "q211_semantic_dedup_cells",
-    "q212_minhash_calibration",
-    "q213_neardup_provenance_matrix",
+    # Tier 0 — round 8 fixes/reworks, riskiest first.  Entering r8 the
+    # backlog was exactly q190 (the only r7 red — driver canonicalizer
+    # crash on raw array columns) plus whatever r8 changes
+    # (VERDICT r7 directive 7).  All entries pass the in-repo
+    # driver-faithful oracle diff at sf0.01 before queueing here.
+    "q190_array_function_bank",    # r8: array outputs serialized via
+                                   # array_join — the r7 driver red
+    "q183_trigram_langid_confusion",  # r8: trained model persisted as
+                                   # mtime-keyed derived companion;
+                                   # declared query = score job only
+    "q211_semantic_dedup_cells",   # r8: shared _neardup_keep with
+                                   # int64-overflow guard (object-int
+                                   # fallback for open tau_bps)
+    "q209_neardup_pagerank",       # r8: tracked_persist LRU + driver-
+                                   # branch untrack after collect
+    "q114_simhash_multiprobe_pairs",  # r8: signature persist now
+                                   # tracked (bounded session cache)
+    "q122_ttr_quality_battery",    # r8: cl via concat_ws(words) —
+                                   # shares the split through CSE
+                                   # (1.75→1.05 s sf1); translate was
+                                   # single-space-only anyway
+    "q194_dup_ngram_coverage",     # r8: ONE doc_id exchange feeds both
+                                   # groupBys (1.88→1.61 s sf1)
+    "q205_bucketed_join_roundtrip",  # r8: catalog name keys on derived
+                                   # root too (stale-LOCATION guard)
+    "q208_ann_recall_eval",        # r8: probe cache key drops id(spark)
+    "q75_cosine_nearest_neighbor",  # r8: same cache-key change
+    "q76_ann_lsh_bucket",          # r8: same cache-key change
+    "q94_ivf_ann",                 # r8: same cache-key change
+    "q95_int8_quantized_topk",     # r8: same cache-key change
+    # Tier 1 — NEW registry entries this round (round 8) append below;
+    # tier 0 + tier 1 must stay <= ~45 so the window drains completely
+    # with slots to spare (test_cert_window.py enforces the arithmetic).
 )
 
 # Queries whose latest green certification predates the current code

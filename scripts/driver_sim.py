@@ -30,15 +30,21 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
 def vhash(pdf):
+    # DRIVER-FAITHFUL canonicalization (CORRECTNESS_r07 q190 lesson):
+    # the real driver sorts the pandas frame over all columns via
+    # sort_values, which raises on unhashable cells (numpy arrays,
+    # dicts).  Reproduce that failure mode here — do NOT str() cells
+    # before sorting, or array-typed outputs sail through the sim and
+    # red-flag only in the real driver.
     cols = sorted(pdf.columns)
-    pdf = pdf[cols]
+    pdf = pdf[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
     def cell(v):
         if v is None: return "NULL"
         if isinstance(v, float):
             if math.isnan(v): return "NULL"
             return repr(v)
         return str(v)
-    rows = sorted(tuple(cell(v) for v in r) for r in pdf.itertuples(index=False, name=None))
+    rows = [tuple(cell(v) for v in r) for r in pdf.itertuples(index=False, name=None)]
     return hashlib.sha256("\n".join(",".join(r) for r in rows).encode()).hexdigest()
 
 qs = mod.queries()
@@ -47,14 +53,21 @@ print(f"{len(qs)} queries, {len(oracles)} oracles")
 fails = []
 for qid, fn in sorted(qs.items()):
     t0 = time.time()
-    sdf = fn(spark, SF_DIR)
-    spdf = sdf.toPandas()
-    el = time.time() - t0
-    if qid not in oracles:
-        print(f"  {qid}: rows-only ({len(spdf)} rows) {el:.1f}s")
+    # the real driver records a per-query err instead of aborting the
+    # whole window — mirror that (r7: q190's canonicalizer TypeError)
+    try:
+        sdf = fn(spark, SF_DIR)
+        spdf = sdf.toPandas()
+        el = time.time() - t0
+        if qid not in oracles:
+            print(f"  {qid}: rows-only ({len(spdf)} rows) {el:.1f}s")
+            continue
+        dpdf = con.execute(oracles[qid]).fetchdf()
+        ok = len(spdf) == len(dpdf) and vhash(spdf) == vhash(dpdf)
+    except Exception as exc:  # noqa: BLE001
+        print(f"  {qid}: ERR {type(exc).__name__}: {exc}")
+        fails.append(qid)
         continue
-    dpdf = con.execute(oracles[qid]).fetchdf()
-    ok = len(spdf) == len(dpdf) and vhash(spdf) == vhash(dpdf)
     print(f"  {qid}: {'OK' if ok else 'MISMATCH'} ({len(spdf)} rows) {el:.1f}s")
     if not ok:
         fails.append(qid)

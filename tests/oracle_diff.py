@@ -30,9 +30,36 @@ def canonical_rows(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
     return sorted(rows)
 
 
+def driver_sortability_problems(pdf: pd.DataFrame, qid: str, side: str) -> list[str]:
+    """Reproduce the real driver's canonicalization failure mode.
+
+    The driver sorts the pandas frame over all columns with
+    ``sort_values`` before hashing; cells that are numpy arrays / lists
+    / dicts make that raise (CORRECTNESS_r07 q190: ``unhashable type:
+    'numpy.ndarray'``).  The in-repo compare used to str() cells first
+    and silently passed such frames — probe the driver's sort here so
+    the blind spot cannot recur.
+    """
+    cols = sorted(pdf.columns)
+    try:
+        pdf[cols].sort_values(by=cols, kind="mergesort")
+    except Exception as exc:  # noqa: BLE001 — any raise = driver red
+        return [
+            f"{qid}: {side} output is not driver-canonicalizable "
+            f"(pandas sort_values raised {type(exc).__name__}: {exc}); "
+            "serialize complex columns (array_join / to_json) so the "
+            "declared output is scalar-only"
+        ]
+    return []
+
+
 def diff_report(spark_pdf: pd.DataFrame, ddb_pdf: pd.DataFrame, qid: str) -> list[str]:
     """Return list of mismatch descriptions; empty = pass."""
     problems: list[str] = []
+    problems += driver_sortability_problems(spark_pdf, qid, "spark")
+    problems += driver_sortability_problems(ddb_pdf, qid, "duckdb")
+    if problems:
+        return problems
     if sorted(spark_pdf.columns) != sorted(ddb_pdf.columns):
         problems.append(
             f"{qid}: column names differ: spark={sorted(spark_pdf.columns)} "

@@ -966,3 +966,34 @@ def test_q209_distributed_path_matches_driver(spark, sf_dir):
 
     assert quantized(dist, "node") == quantized(drv, "doc_id")
     edges.unpersist()
+
+
+def test_tracked_persist_lru_bounds_session_cache(spark):
+    """operators/cache.tracked_persist: same-plan re-persist does not
+    grow the registry; overflow evicts the LRU plan (unpersisted)."""
+    from tidb_gateway_spark.operators import cache as opcache
+
+    saved_max, saved = opcache._MAX_TRACKED, opcache._tracked
+    opcache._MAX_TRACKED, opcache._tracked = 3, type(saved)()
+    try:
+        dfs = []
+        for i in range(5):
+            df = spark.range(10 + i).withColumnRenamed("id", f"c{i}")
+            dfs.append(opcache.tracked_persist(df))
+            dfs[-1].count()
+        # bounded at 3; the two oldest were unpersisted
+        assert len(opcache._tracked) == 3
+        assert dfs[0].storageLevel.useMemory is False
+        assert dfs[1].storageLevel.useMemory is False
+        assert dfs[4].storageLevel.useMemory is True
+        # re-persisting an already-tracked plan refreshes, not grows
+        opcache.tracked_persist(spark.range(14).withColumnRenamed("id", "c4"))
+        assert len(opcache._tracked) == 3
+        # untrack drops the entry and unpersists
+        opcache.untrack(dfs[4])
+        assert len(opcache._tracked) == 2
+        assert dfs[4].storageLevel.useMemory is False
+    finally:
+        for df in list(opcache._tracked.values()):
+            df.unpersist(False)
+        opcache._MAX_TRACKED, opcache._tracked = saved_max, saved

@@ -17,6 +17,22 @@ QIDS = sorted(REGISTRY)
 def test_query_matches_oracle(spark, ddb, sf_dir, qid):
     spec = REGISTRY[qid]
     sdf = spec.spark(spark, sf_dir)
+    # Registry-wide output lint (VERDICT r7 directive 2): the driver's
+    # pandas canonicalizer cannot hash complex cells, so no declared
+    # output may carry a top-level array/map/struct column — serialize
+    # via array_join / to_json instead (q190 was red in r7 for this).
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{qid}: declared output has complex top-level columns "
+        f"{complex_cols} — driver canonicalization would crash; "
+        "serialize them (array_join / to_json)"
+    )
     spark_pdf = sdf.toPandas()
     assert len(spark_pdf) >= 0  # smoke: executes
     if spec.oracle is None:

@@ -230,3 +230,39 @@ def test_quantized_cosine_predicate_matches_rational_form(qa, qb, tau_bps):
     reduced = dot > 0 and dot * dot * ((10 ** 8) // g) >= (t2 // g) * na * nb
     exact = dot > 0 and dot * dot * 10 ** 8 >= t2 * na * nb
     assert reduced == exact
+
+
+@given(
+    st.lists(st.integers(-120, 120), min_size=4, max_size=16),
+    st.lists(st.integers(-120, 120), min_size=4, max_size=16),
+    st.sampled_from([1000, 2500, 3333, 3500, 5000, 9900]),
+    st.sampled_from([1, 10 ** 5]),  # magnitude multiplier: 10^5 forces
+                                    # the int64 guard's object-int path
+)
+def test_neardup_keep_never_wraps_int64(qa, qb, tau_bps, mult):
+    """similarity._neardup_keep must equal the unbounded-int rational
+    comparison for BOTH its numpy-int64 fast path and its object-int
+    fallback (r7 ADVICE: tau_bps=3333 gives lhs_scale=10⁸ and large
+    vectors wrapped int64 silently)."""
+    import math
+
+    import numpy as np
+
+    from tidb_gateway_spark.operators.similarity import _make_neardup_keep
+
+    m = min(len(qa), len(qb))
+    qa = [a * mult for a in qa[:m]]
+    qb = [b * mult for b in qb[:m]]
+    dot = sum(a * b for a, b in zip(qa, qb))
+    na = sum(a * a for a in qa)
+    nb = sum(b * b for b in qb)
+    t2 = tau_bps * tau_bps
+    g = math.gcd(t2, 10 ** 8)
+    lhs, rhs = (10 ** 8) // g, t2 // g
+    exact = dot > 0 and dot * dot * 10 ** 8 >= t2 * na * nb
+
+    d = np.array([dot], dtype=np.int64)
+    n = np.array([na, nb], dtype=np.int64)
+    iu = np.array([0]); ju = np.array([1])
+    got = _make_neardup_keep(lhs, rhs)(d, n, iu, ju)
+    assert bool(got[0]) == exact, (qa, qb, tau_bps, mult)

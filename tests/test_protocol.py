@@ -328,6 +328,26 @@ def test_collation_semantics_live(spark):
     assert r["root_order"] is True    # root collation: ö ≈ o, before z
 
 
+def test_general_ci_eszett_wontfix_pin(spark):
+    """DOCUMENTED WON'T-FIX (r8, closing the r7 TODO item): legacy
+    utf8mb4_general_ci weighs ß = s; our UNICODE_CI_AI mapping weighs
+    ß = ss per UCA.  MySQL's own collation chapter documents
+    general_ci's ß handling as the simplified/incorrect one ("not
+    correct for German") and ships *_unicode_ci/ICU for the correct
+    weighting — so we serve the UCA semantics and PIN the divergence
+    here: if Spark's collation engine ever changes this corner, the
+    assertion flags it for re-documentation.  A translate('ß'→'s')
+    shim was considered and rejected: the COLLATE rewrite is
+    context-free, so the shim would also corrupt projected VALUES
+    (SELECT x COLLATE ... must return the original string)."""
+    q = dialect.to_spark_sql(
+        "SELECT 'ß' COLLATE utf8mb4_general_ci = 'ss' AS uca_ss, "
+        "'ß' COLLATE utf8mb4_general_ci = 's' AS mysql_s")
+    r = spark.sql(q).collect()[0]
+    assert r["uca_ss"] is True    # our semantics: UCA ß = ss
+    assert r["mysql_s"] is False  # the pinned divergence vs general_ci
+
+
 def test_classify():
     assert dialect.classify("SET autocommit=1")[0] == "set"
     assert dialect.classify("USE mydb") == ("use", "mydb")

@@ -1,0 +1,61 @@
+"""Bounded session-level registry for persisted dataflow tables.
+
+Several operators persist a small derived table that multiple plan
+branches re-read (q114's SimHash signatures, q209's candidate-edge
+list).  Spark's cache manager dedups same-plan persists, but entries
+otherwise live until the session ends — an unbounded session could
+accumulate one entry per distinct (fixture, params) plan (r7 ADVICE).
+
+``tracked_persist`` is the documented eviction path: persisted plans
+enter an LRU of at most ``_MAX_TRACKED`` distinct plans; re-persisting
+an already-tracked plan refreshes its recency (it does NOT double-
+cache — the cache manager reuses the entry), and overflow unpersists
+the least-recently-used plan (non-blocking).  Eviction is a perf
+event, never a correctness one: an evicted table is recomputed by its
+lineage if a stale consumer still references it.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+from pyspark.sql import DataFrame
+
+_MAX_TRACKED = 16
+_tracked: OrderedDict[object, DataFrame] = OrderedDict()
+
+
+def _plan_key(df: DataFrame) -> object:
+    try:
+        # classic mode: semantic hash of the analyzed plan — same key
+        # for same-plan persists, so the LRU holds distinct plans only
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # Spark Connect: no _jdf — fall back to identity
+        return id(df)
+
+
+def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    from pyspark import StorageLevel
+
+    lvl = storage_level or StorageLevel.MEMORY_AND_DISK
+    df = df.persist(lvl)
+    key = _plan_key(df)
+    _tracked.pop(key, None)
+    _tracked[key] = df
+    while len(_tracked) > _MAX_TRACKED:
+        _, victim = _tracked.popitem(last=False)
+        try:
+            victim.unpersist(False)
+        except Exception:
+            pass
+    return df
+
+
+def untrack(df: DataFrame, blocking: bool = False) -> None:
+    """Unpersist now (data fully consumed — e.g. collected driver-side)
+    and drop the registry entry."""
+    _tracked.pop(_plan_key(df), None)
+    try:
+        df.unpersist(blocking)
+    except Exception:
+        pass

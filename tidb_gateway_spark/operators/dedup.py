@@ -463,7 +463,7 @@ def simhash_multiprobe_pairs(documents: DataFrame, bits: int = 16) -> DataFrame:
     still never O(n²).  Distance-1 pairs are found from both endpoints'
     probe sets; the a<b filter + distinct collapses the two sightings.
     """
-    from pyspark import StorageLevel
+    from tidb_gateway_spark.operators.cache import tracked_persist
 
     # r7 rework, measured at sf1 (50 k docs, 17.8 M result pairs,
     # identical output): 9.3 s → 2.3 s.  Two changes:
@@ -473,16 +473,17 @@ def simhash_multiprobe_pairs(documents: DataFrame, bits: int = 16) -> DataFrame:
     #     join stage.  The table is |docs| × 16 B (dimension-small;
     #     MEMORY_AND_DISK so a 100 TB corpus spills instead of
     #     evicting); repeated calls build the same analyzed plan, so
-    #     Spark's cache manager reuses one entry rather than leaking.
+    #     Spark's cache manager reuses one entry rather than leaking,
+    #     and the tracked-persist LRU (operators/cache.py) bounds the
+    #     session's distinct persisted plans (r8, per r7 ADVICE).
     #     This is the in-query form of the signature STORE a
     #     production pipeline materializes at ingest.
     # (2) signatures join as BIGINTs with XOR bit flips — an 8-byte
     #     shuffle key and codegen'd integer probes instead of a
     #     16-char '0'/'1' string rebuilt by substring/translate.
-    sigs = (
+    sigs = tracked_persist(
         simhash(doc_word_sets(documents), bits=bits)
         .select("doc_id", F.conv("sh", 2, 10).cast("bigint").alias("si"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     probes = sigs.select(
         F.col("doc_id").alias("a"),

@@ -666,6 +666,35 @@ def semantic_cells(vectors: DataFrame,
     return narrow.mapInPandas(assign, schema=out_schema)
 
 
+def _make_neardup_keep(lhs_scale: int, rhs_scale: int):
+    """Build the quantized-cosine flag fn  d > 0 AND d²·lhs ≥ rhs·na·nb.
+
+    Products are evaluated in numpy int64 on the fast path; when the
+    worst case  (max n)²·max(lhs, rhs)  could exceed int64 (open
+    tau_bps values make lhs_scale up to 10⁸; high-dim or non-unit-scale
+    embeddings inflate n), fall back to object-dtype Python ints —
+    unbounded, so never a silent wraparound (r7 ADVICE).
+
+    Returned as a NESTED function so cloudpickle serializes it by
+    value into the applyInPandas closures — a module-level helper would
+    pickle by reference and fail on workers that can't import the
+    package (the driver runs from a foreign cwd)."""
+
+    def keep_flags(d, n, iu, ju):
+        import numpy as np
+
+        nmax = int(n.max()) if len(n) else 0
+        if nmax * nmax * max(lhs_scale, rhs_scale) <= np.iinfo(np.int64).max:
+            return (d > 0) & (d * d * lhs_scale >= rhs_scale * n[iu] * n[ju])
+        d_o = d.astype(object)
+        n_o = n.astype(object)
+        keep = (d_o > 0) & (
+            d_o * d_o * lhs_scale >= rhs_scale * n_o[iu] * n_o[ju])
+        return keep.astype(bool)
+
+    return keep_flags
+
+
 def semantic_neardup_pairs(assigned: DataFrame, tau_bps: int = 3500,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding") -> DataFrame:
@@ -692,6 +721,7 @@ def semantic_neardup_pairs(assigned: DataFrame, tau_bps: int = 3500,
     g = math.gcd(t2, 10 ** 8)
     lhs_scale = (10 ** 8) // g   # multiplies dot²
     rhs_scale = t2 // g          # multiplies na·nb
+    keep_flags = _make_neardup_keep(lhs_scale, rhs_scale)
 
     def cell_pairs(pdf):
         import pandas as pd
@@ -713,8 +743,7 @@ def semantic_neardup_pairs(assigned: DataFrame, tau_bps: int = 3500,
         n = (Q * Q).sum(axis=1)
         iu, ju = np.triu_indices(len(ids), k=1)
         d = D[iu, ju]
-        keep = (d > 0) & (
-            d * d * lhs_scale >= rhs_scale * n[iu] * n[ju])
+        keep = keep_flags(d, n, iu, ju)
         if not keep.any():
             return empty
         return pd.DataFrame({
@@ -748,6 +777,7 @@ def semantic_dedup_report(assigned: DataFrame, tau_bps: int = 3500,
     g = math.gcd(t2, 10 ** 8)
     lhs_scale = (10 ** 8) // g
     rhs_scale = t2 // g
+    keep_flags = _make_neardup_keep(lhs_scale, rhs_scale)
 
     def cell_report(pdf):
         import pandas as pd
@@ -767,7 +797,7 @@ def semantic_dedup_report(assigned: DataFrame, tau_bps: int = 3500,
         n = (Q * Q).sum(axis=1)
         iu, ju = np.triu_indices(len(ids), k=1)
         d = D[iu, ju]
-        keep = (d > 0) & (d * d * lhs_scale >= rhs_scale * n[iu] * n[ju])
+        keep = keep_flags(d, n, iu, ju)
         return pd.DataFrame({
             "cell": [cell],
             "n_vecs": [len(ids)],

@@ -635,13 +635,18 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the blank-doc guard (≡ the old tw > 0: blank text would mis-count
     # as the one-element ['']).
     words = F.split(F.trim(F.col("text")), " +")
-    # Σ word lengths ≡ count of non-space chars: translate+length is
-    # whole-stage-codegen'd; an aggregate() HOF lambda is interpreted.
+    # Σ word lengths = length(concat_ws('', words)): reuses the SAME
+    # split via codegen subexpression elimination, so it is ~free on
+    # top of tw/dw — r8 sweep: the previous translate(text,' ','')
+    # re-scanned the raw text for +0.47 s of the 1.75 s total at sf1
+    # (best-of-5 idle, scripts/floor_sweep.py), and translate is only
+    # Σ-word-lengths when spaces are the sole separator; concat_ws is
+    # the definition itself.  1.75 s → 0.97 s = 1.17× DuckDB.
     d = d.filter(F.trim(F.col("text")) != "").select(
         "source",
         F.size(words).alias("tw"),
         F.size(F.array_distinct(words)).alias("dw"),
-        F.length(F.translate(F.col("text"), " ", "")).alias("cl"),
+        F.length(F.concat_ws("", words)).alias("cl"),
     )
     ttr = F.col("dw") / F.col("tw")
     mwl = F.col("cl") / F.col("tw")

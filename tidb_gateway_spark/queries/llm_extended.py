@@ -183,9 +183,10 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # The probe set is metadata-sized (20 rows) — collected into the task
     # closure like rank.py's bucket boundaries, never row data.  Memoized
-    # per (session, corpus file mtime) so repeat queries skip the probe
-    # job; a rewritten corpus invalidates via the mtime key.
-    pk = ("q75", id(spark), sf_dir,
+    # per (corpus file, mtime) so repeat queries skip the probe job; a
+    # rewritten corpus invalidates via the mtime key (data-derived
+    # values only — no session in the key, r7 ADVICE).
+    pk = ("q75", sf_dir,
           os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
     probes = _probe_cache.get(pk)
     if probes is None:
@@ -266,7 +267,7 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundary scalars.
     import os
 
-    pk = ("q76", id(spark), sf_dir, _PLANES, _DIM,
+    pk = ("q76", sf_dir, _PLANES, _DIM,
           os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
     probe = _probe_cache.get(pk)
     if probe is None:
@@ -324,7 +325,7 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = f"{sf_dir}/embeddings.parquet"
     idx = ivf_index(spark, path, n_cells=_IVF_CELLS)
-    pk = ("q94", id(spark), sf_dir, os.path.getmtime(path))
+    pk = ("q94", sf_dir, os.path.getmtime(path))
     cents = _probe_cache.get(pk)
     if cents is None:
         cents = ivf_centroids(spark, path, _IVF_CELLS)
@@ -374,7 +375,7 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    pk = ("q95", id(spark), sf_dir,
+    pk = ("q95", sf_dir,
           os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
     probe = _probe_cache.get(pk)
     if probe is None:
@@ -1394,7 +1395,9 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     idx = ivf_index(spark, path, n_cells=8)
 
-    pk = ("q208", id(spark), sf_dir, os.path.getmtime(path))
+    # purely data-derived cache value — no session in the key (id(spark)
+    # can be reused by CPython after a session is GC'd; r7 ADVICE)
+    pk = ("q208", sf_dir, os.path.getmtime(path))
     meta = _probe_cache.get(pk)
     if meta is None:
         cents = ivf_centroids(spark, path, 8)
@@ -1583,7 +1586,7 @@ def _q209_rank_driver(spark: SparkSession, edge_rows) -> DataFrame:
     tags=("llm", "dedup", "graph", "iterative"),
 )
 def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
+    from tidb_gateway_spark.operators.cache import tracked_persist, untrack
 
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     cand = dedup.minhash_lsh_candidates(d, k=_K, bands=_BANDS)
@@ -1592,16 +1595,20 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumer re-runs the whole shingle→minhash→band pipeline (the
     # q114 diamond lesson; DuckDB needed the same via AS MATERIALIZED).
     # The edge list is |candidate pairs| × 16 B — graph-sized, never
-    # corpus-sized.
-    edges = cand.select(
+    # corpus-sized; tracked so the session's persisted plans stay
+    # bounded (operators/cache.py, r7 ADVICE).
+    edges = tracked_persist(cand.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionAll(
         cand.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
 
     if edges.count() <= _Q209_DRIVER_EDGES:
         r = _q209_rank_driver(spark, edges.collect())
         r = r.withColumnRenamed("doc_id", "node")
+        # the driver branch has fully consumed the edge list — drop
+        # the cache entry now instead of at session end
+        untrack(edges)
     else:
         deg = edges.groupBy("src").agg(
             F.count("*").cast("double").alias("dg"))

@@ -268,7 +268,12 @@ def _q205_bucketed(spark: SparkSession, sf_dir: str, table: str,
     from tidb_gateway_spark.sources import derived
 
     src = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
-    key8 = hashlib.md5(f"bucketed|{src}".encode()).hexdigest()[:8]
+    # the table name keys on the DERIVED ROOT too (r7 ADVICE): with a
+    # persistent metastore and a changed SPARK_GRAFT_DERIVED_DIR, a
+    # source-only key would reuse a catalog entry whose LOCATION points
+    # at the old root while freshness is judged against the new one
+    root = os.path.abspath(derived.derived_root("bucketed"))
+    key8 = hashlib.md5(f"bucketed|{src}|{root}".encode()).hexdigest()[:8]
     name = f"b7_{table}_{key8}"
     path = derived.derived_path("bucketed", name)
     with _export_lock:

@@ -206,12 +206,12 @@ _Q190_ORACLE = (
     "WITH a AS (SELECT n_nationkey AS k, "
     "range(1, (n_nationkey % 5) + 3) AS arr FROM nation) "
     "SELECT k, CAST(len(arr) AS INT) AS n, "
-    "list_sort(list_transform(arr, x -> CAST((x * 7) % 5 AS BIGINT))) "
-    "AS sorted_mod, "
+    "array_to_string(list_sort(list_transform(arr, "
+    "x -> CAST((x * 7) % 5 AS BIGINT))), ',') AS sorted_mod, "
     "CAST(list_position(arr, 2) AS INT) AS pos2, "
-    "list_filter(arr, x -> x % 2 = 0) AS evens, "
-    "list_reverse(arr) AS rev, "
-    "arr[2:3] AS mid "
+    "array_to_string(list_filter(arr, x -> x % 2 = 0), ',') AS evens, "
+    "array_to_string(list_reverse(arr), ',') AS rev, "
+    "array_to_string(arr[2:3], ',') AS mid "
     "FROM a ORDER BY k"
 )
 
@@ -225,7 +225,11 @@ _Q190_ORACLE = (
         "an exact DuckDB list twin (1-based slice bounds align with "
         "Spark's slice(start, length)).  Dimension-sized input; the "
         "point is cross-engine semantics of the array algebra, not "
-        "volume.",
+        "volume.  Every array result is serialized via "
+        "array_join(col, ',') (DuckDB: array_to_string) so the "
+        "declared output is scalar-only — the driver canonicalizer "
+        "hashes pandas frames and raw array cells are unhashable "
+        "(CORRECTNESS_r07 q190 red).",
     tags=("scalar", "array"),
 )
 def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,13 +243,18 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(
         "k",
         F.size("arr").alias("n"),
-        F.sort_array(
-            F.expr("transform(arr, x -> CAST((x * 7) % 5 AS BIGINT))")
+        F.array_join(
+            F.sort_array(
+                F.expr("transform(arr, x -> CAST((x * 7) % 5 AS BIGINT))")
+            ),
+            ",",
         ).alias("sorted_mod"),
         F.expr("CAST(array_position(arr, 2) AS INT)").alias("pos2"),
-        F.expr("filter(arr, x -> x % 2 = 0)").alias("evens"),
-        F.reverse("arr").alias("rev"),
-        F.slice("arr", 2, 2).alias("mid"),
+        F.array_join(
+            F.expr("filter(arr, x -> x % 2 = 0)"), ","
+        ).alias("evens"),
+        F.array_join(F.reverse("arr"), ",").alias("rev"),
+        F.array_join(F.slice("arr", 2, 2), ",").alias("mid"),
     ).orderBy("k")
 
 
