@@ -61,6 +61,15 @@ _CHANGED_FIRST = (
     # Tier 1 — NEW registry entries this round (round 8) append below;
     # tier 0 + tier 1 must stay <= ~45 so the window drains completely
     # with slots to spare (test_cert_window.py enforces the arithmetic).
+    "q214_bm25_retrieval",
+    "q220_inverted_index_roundtrip",
+    "q215_source_js_divergence",
+    "q216_heaps_vocab_growth",
+    "q217_neardup_triangle_census",
+    "q218_gdpr_cascade_audit",
+    "q219_exact_group_median",
+    "q221_name_similarity_join",
+    "q222_seeded_epoch_shuffle",
 )
 
 # Queries whose latest green certification predates the current code

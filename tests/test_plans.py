@@ -542,3 +542,37 @@ def test_q210_chunk_exchanges_carry_hashes_not_text(spark, sf_dir):
         if "Exchange hashpartitioning" in line:
             assert "chunk#" not in line, line
     assert "BatchEvalPython" not in text and "PythonUDF" not in text, text
+
+
+def test_q220_postings_scan_is_partition_pruned(spark, sf_dir):
+    """The inverted-index serve must read only the probe terms' prefix
+    partitions (PartitionFilters on pfx) with the term filter pushed
+    to parquet — the layout-roundtrip contract applied to retrieval."""
+    df = REGISTRY["q220_inverted_index_roundtrip"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    assert "PartitionFilters: [pfx" in text.replace("#", "").replace(
+        "pfx7", "pfx"), text  # normalize expr-id noise
+    pf_lines = [ln for ln in text.splitlines() if "PartitionFilters" in ln]
+    assert any("IN" in ln or "isnotnull" not in ln for ln in pf_lines), text
+    assert any("PushedFilters" in ln and "In(w" in ln
+               for ln in text.splitlines()), text
+
+
+def test_q214_query_terms_broadcast(spark, sf_dir):
+    """BM25's query-term and df tables must broadcast (nothing
+    query×corpus-sized shuffles) and no Python stage appears — the
+    scoring is whole-stage-codegen'd JVM arithmetic."""
+    df = REGISTRY["q214_bm25_retrieval"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    assert "BroadcastHashJoin" in text, text
+    assert "CartesianProduct" not in text, text
+    assert "BatchEvalPython" not in text, text
+
+
+def test_q222_epoch_topk_is_take_ordered(spark, sf_dir):
+    """Seeded-shuffle first-k must plan TakeOrdered (partial top-k per
+    partition + driver merge), never a full global sort of the
+    corpus."""
+    df = REGISTRY["q222_seeded_epoch_shuffle"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    assert "TakeOrderedAndProject" in text, text

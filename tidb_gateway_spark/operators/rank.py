@@ -277,3 +277,74 @@ def global_ntile(df: DataFrame, n: int, order_cols: list,
             F.lit(rem) + F.floor((rn - F.lit(boundary) - 1) / F.lit(base)) + 1
         )
     return ranked.withColumn(out_col, tile.cast("int")).drop("_rn")
+
+
+def grouped_exact_median(df: DataFrame, group_col: str, value_col: str,
+                         tiebreak_col: str,
+                         num_partitions: int | None = None) -> DataFrame:
+    """Exact per-group median without per-group sorts — the grouped
+    form of the two-pass rank pattern, for LOW-CARDINALITY groups.
+
+    A ``Window.partitionBy(group)`` sorts each group in ONE task, so
+    parallelism = #groups: five order priorities over a 100 TB table
+    means five tasks sorting 20 TB each.  This form restores full
+    parallelism, in ONE declarative plan (no driver collect):
+
+    1. range-bucket the VALUE with the same literal-boundary
+       expression the global ranks use (approx-quantile boundaries —
+       exactness never depends on them; only the boundary stats
+       themselves are driver-cached, as for every rank operator);
+    2. aggregate per-(group, bucket) counts — a metadata-sized table
+       (|groups|·|buckets| rows) — and derive each group's total and
+       each bucket's starting offset with windows OVER THAT TINY
+       TABLE (partitioned by group — never single-partition over
+       data);
+    3. broadcast-join the rows against only the 1–2 target buckets
+       per group that can contain a middle rank: the window sorts a
+       ~1/parts slice per group and every other row dies at the join;
+    4. median = AVG of the one or two middle values.
+
+    Returns (group_col, n, median_raw) — median_raw is the unrounded
+    double; callers own the declared rounding.
+    """
+    keys = _norm_keys([value_col, tiebreak_col])
+    parts = num_partitions or session_parallelism(df.sparkSession)
+    # ONE data exchange feeds both branches: repartition on
+    # (group, bucket) satisfies the count aggregate's clustering AND
+    # the local window's partitioning, so the count branch and the
+    # rank branch share the exchange via ReuseExchange — one scan of
+    # the table, not two (the q194 single-exchange lesson).
+    bucketed = df.withColumn(
+        "_bucket", _bucket_expr(df, keys[0], parts)
+    ).repartition(group_col, "_bucket")
+
+    cnt = bucketed.groupBy(group_col, "_bucket").agg(F.count("*").alias("_n"))
+    wg = Window.partitionBy(group_col).orderBy("_bucket")
+    wt = Window.partitionBy(group_col)
+    stats = (
+        cnt.withColumn("_off", F.sum("_n").over(wg) - F.col("_n"))
+        .withColumn("_tot", F.sum("_n").over(wt))
+        .withColumn("_m1", F.floor((F.col("_tot") + 1) / 2))
+        .withColumn("_m2", F.floor((F.col("_tot") + 2) / 2))
+    )
+    lo, hi = F.col("_off") + 1, F.col("_off") + F.col("_n")
+    targets = stats.filter(
+        ((lo <= F.col("_m1")) & (F.col("_m1") <= hi))
+        | ((lo <= F.col("_m2")) & (F.col("_m2") <= hi))
+    ).select(group_col, "_bucket", "_off", "_tot", "_m1", "_m2")
+
+    w = Window.partitionBy(group_col, "_bucket").orderBy(*_sort_exprs(keys))
+    mid = (
+        bucketed.join(F.broadcast(targets), [group_col, "_bucket"])
+        .withColumn("_rn", F.row_number().over(w) + F.col("_off"))
+        .filter((F.col("_rn") == F.col("_m1"))
+                | (F.col("_rn") == F.col("_m2")))
+    )
+    return (
+        mid.groupBy(group_col)
+        .agg(
+            F.max("_tot").cast("bigint").alias("n"),
+            F.avg(value_col).alias("median_raw"),
+        )
+        .select(group_col, "n", "median_raw")
+    )

@@ -1,0 +1,780 @@
+"""Q214–Q222: retrieval + corpus-statistics operators — the search and
+distribution-audit surface a training-data platform serves next to its
+dedup/curation passes: BM25 ranking, inverted-index serving, source
+drift (Jensen-Shannon), vocabulary growth (Heaps' law), near-dup graph
+triangles, GDPR cascade audits, exact medians at scale, name-similarity
+blocking, and deterministic epoch shuffles.
+
+The reference relays these workloads as opaque SQL to its backends
+(/root/reference/gateway/relay.go:47-66); each is declared here as a
+DataFrame plan with a DuckDB oracle twin.
+
+Scale design notes (100 TB):
+
+* q214 (BM25) joins the corpus-sized TF table against a BROADCAST
+  query-term table; df/N/avgdl ride 1-row broadcasts.  Nothing
+  query×corpus sized shuffles — the exchanges carry (doc, term) hit
+  rows and the per-doc score aggregate.
+* q215 (JS divergence) restricts to a top-K corpus vocabulary
+  (metadata-sized), so every exchange after the one tokenize pass is
+  |V|- or |sources|-sized.
+* q216 (Heaps) is ONE pass: per-word min(first-decile-seen), then a
+  10-row cumulative window — the vocabulary-sized aggregate is the
+  only real exchange.
+* q217 (triangles) joins the near-dup candidate edge list to itself
+  twice on node keys — graph-sized, never corpus-sized, the standard
+  a<b<c enumeration that counts each triangle once.
+* q218 (GDPR cascade) is the fan-out a deletion request actually
+  takes: subject keys → orders → lineitems, all equi-joins on the
+  foreign keys the tables already carry.
+* q219 (exact median) is the scale-safe exact form
+  (rank.grouped_exact_median): value-range buckets + a metadata-sized
+  (group, bucket) count table derived declaratively, then local ranks
+  only inside the 1–2 buckets per group that can hold a middle rank —
+  full parallelism where Window.partitionBy(group) would give one
+  task per group, exact where approx_percentile is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tidb_gateway_spark.catalog import load_table
+from tidb_gateway_spark.functions import stable_round
+from tidb_gateway_spark.operators.partitioning import ensure_min_partitions
+from tidb_gateway_spark.queries.registry import register
+
+_TOK_SQL_DDB = (
+    "SELECT doc_id, UNNEST(list_filter(string_split(trim(text), ' '), "
+    "x -> x <> '')) AS w FROM documents WHERE trim(text) <> ''"
+)
+
+
+def _tok(d: DataFrame) -> DataFrame:
+    """(doc_id, w) exploded nonempty words — the shared tokenizer shape
+    (split on space runs, codegen'd; matches _TOK_SQL_DDB)."""
+    t = F.trim(F.col("text"))
+    return (
+        d.filter(t != "")
+        .select("doc_id", F.explode(F.split(t, " +")).alias("w"))
+    )
+
+
+# ---------------------------------------------------------------- Q214
+_Q214_K1 = 1.2
+_Q214_B = 0.75
+_Q214_NTERMS = 5
+_Q214_TOPK = 10
+
+_Q214_ORACLE = (
+    f"WITH tok AS ({_TOK_SQL_DDB}), "
+    "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2), "
+    "dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1), "
+    "dfreq AS (SELECT w, COUNT(*) AS dfc FROM tf GROUP BY 1), "
+    "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, "
+    "(SELECT AVG(CAST(dl AS DOUBLE)) FROM dl) AS avgdl FROM documents), "
+    # query = the NTERMS mid-frequency corpus terms: highest df with
+    # df <= n_docs/2, ties word-ascending — data-driven, deterministic
+    "q AS (SELECT w FROM (SELECT dfreq.w, dfreq.dfc, ROW_NUMBER() OVER ("
+    "ORDER BY dfreq.dfc DESC, dfreq.w) AS rn FROM dfreq CROSS JOIN n "
+    "WHERE dfreq.dfc * 2 <= n.n_docs) "
+    f"WHERE rn <= {_Q214_NTERMS}), "
+    "s AS (SELECT tf.doc_id, "
+    "SUM(ln((n.n_docs - dfreq.dfc + 0.5) / (dfreq.dfc + 0.5) + 1) * "
+    f"(tf.tf * ({_Q214_K1} + 1)) / "
+    f"(tf.tf + {_Q214_K1} * (1 - {_Q214_B} + {_Q214_B} * dl.dl / n.avgdl))"
+    ") AS sc FROM tf JOIN q USING (w) JOIN dfreq USING (w) "
+    "JOIN dl USING (doc_id) CROSS JOIN n GROUP BY 1) "
+    "SELECT doc_id, FLOOR(sc * 10000 + 0.5) / 10000 AS score FROM s "
+    f"ORDER BY score DESC, doc_id LIMIT {_Q214_TOPK}"
+)
+
+
+@register(
+    "q214_bm25_retrieval",
+    _Q214_ORACLE,
+    doc="BM25 (Okapi, Lucene idf form) top-10 retrieval over the "
+        "document corpus — the lexical-retrieval counterpart to the "
+        "ANN family (q75/q76/q94): one tokenize pass feeds TF, "
+        "doc-length and DF aggregates (ReuseExchange diamond), the "
+        "query-term table (the 5 mid-frequency corpus terms — "
+        "data-driven, deterministic) and the N/avgdl scalars are "
+        "broadcast, and the score is one per-doc aggregate over the "
+        "(doc, query-term) hit rows.  At 100 TB the TF/DF tables are "
+        "the materialized inverted index (q220 serves that form); this "
+        "declared form proves the scoring algebra end-to-end.  "
+        "k1=1.2, b=0.75 — the textbook operating point.",
+    tags=("llm", "text", "retrieval"),
+)
+def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    tok = _tok(d)
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("dfc"))
+    n = d.agg(
+        F.count("*").cast("double").alias("n_docs")
+    ).crossJoin(dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl")))
+
+    rn = Window.orderBy(F.desc("dfc"), "w")
+    q = (
+        dfreq.crossJoin(F.broadcast(n))
+        .filter(F.col("dfc") * 2 <= F.col("n_docs"))
+        .select("w", "dfc", F.row_number().over(rn).alias("rn"))
+        .filter(F.col("rn") <= _Q214_NTERMS)
+        .select("w")
+    )
+
+    idf = F.log(
+        (F.col("n_docs") - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5) + 1
+    )
+    tf_part = (F.col("tf") * (_Q214_K1 + 1)) / (
+        F.col("tf")
+        + _Q214_K1 * (1 - _Q214_B + _Q214_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(q), "w")
+        .join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_part).alias("sc"))
+    )
+    return (
+        scored.select("doc_id", stable_round(F.col("sc"), 4).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_Q214_TOPK)
+    )
+
+
+# ---------------------------------------------------------------- Q215
+_Q215_V = 100  # vocabulary cap: top-K corpus words
+
+_Q215_ORACLE = (
+    f"WITH tok AS ({_TOK_SQL_DDB}), "
+    "src AS (SELECT t.doc_id, d.source, t.w FROM tok t "
+    "JOIN documents d USING (doc_id)), "
+    "v AS (SELECT w FROM (SELECT w, ROW_NUMBER() OVER (ORDER BY "
+    "COUNT(*) DESC, w) AS rn FROM tok GROUP BY w) "
+    f"WHERE rn <= {_Q215_V}), "
+    "sw AS (SELECT source, w, COUNT(*) AS c FROM src "
+    "WHERE w IN (SELECT w FROM v) GROUP BY 1, 2), "
+    "st AS (SELECT source, SUM(c) AS t FROM sw GROUP BY 1), "
+    "cw AS (SELECT w, SUM(c) AS c FROM sw GROUP BY 1), "
+    "ct AS (SELECT SUM(c) AS t FROM sw), "
+    "terms AS (SELECT sw.source, "
+    "sw.c / st.t AS p, cw.c / ct.t AS q "
+    "FROM sw JOIN st USING (source) JOIN cw USING (w) CROSS JOIN ct), "
+    "js AS (SELECT source, "
+    "0.5 * SUM(p * ln(2 * p / (p + q))) + "
+    "0.5 * SUM(q * ln(2 * q / (p + q))) AS js_raw, "
+    # the q-side sum must cover the FULL vocabulary, not just this
+    # source's rows: add the missing mass where p = 0 (q*ln(2))
+    "(1 - SUM(q)) * ln(2) * 0.5 AS q_missing "
+    "FROM terms GROUP BY source) "
+    "SELECT source, FLOOR((js_raw + q_missing) * 1e6 + 0.5) / 1e6 AS js "
+    "FROM js ORDER BY source"
+)
+
+
+@register(
+    "q215_source_js_divergence",
+    _Q215_ORACLE,
+    doc="Jensen-Shannon divergence of each source's unigram "
+        "distribution from the corpus distribution, over the top-100 "
+        "corpus vocabulary — the drift audit that catches a crawl "
+        "whose language mix shifted between snapshots (JS is "
+        "symmetric and bounded by ln 2, unlike raw KL).  Zero-p terms "
+        "contribute their exact closed-form mass q·ln2/2 (a source "
+        "missing a vocab word entirely), so the score is the true JS "
+        "over V, not a support-restricted approximation.  One "
+        "tokenize pass; every later exchange is |V|- or "
+        "|sources|-sized.  Rounded at 1e-6 — double-sum "
+        "order-divergence is ~1e-15·|V|, nine orders below the "
+        "quantum (the q209 argument).",
+    tags=("llm", "text", "audit", "statistics"),
+)
+def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    t = F.trim(F.col("text"))
+    tok = (
+        d.filter(t != "")
+        .select("source", F.explode(F.split(t, " +")).alias("w"))
+    )
+    rn = Window.orderBy(F.desc("c"), "w")
+    v = (
+        tok.groupBy("w").agg(F.count("*").alias("c"))
+        .select("w", F.row_number().over(rn).alias("rn"))
+        .filter(F.col("rn") <= _Q215_V)
+        .select("w")
+    )
+    sw = tok.join(F.broadcast(v), "w").groupBy("source", "w").agg(
+        F.count("*").alias("c"))
+    st = sw.groupBy("source").agg(F.sum("c").alias("t"))
+    cw = sw.groupBy("w").agg(F.sum("c").alias("cw"))
+    ct = sw.agg(F.sum("c").alias("ct"))
+    p = F.col("c") / F.col("t")
+    q = F.col("cw") / F.col("ct")
+    terms = (
+        sw.join(st, "source")
+        .join(F.broadcast(cw), "w")
+        .crossJoin(F.broadcast(ct))
+        .select("source", p.alias("p"), q.alias("q"))
+    )
+    import math
+
+    js = (
+        terms.groupBy("source").agg(
+            (
+                0.5 * F.sum(F.col("p") * F.log(2 * F.col("p") / (F.col("p") + F.col("q"))))
+                + 0.5 * F.sum(F.col("q") * F.log(2 * F.col("q") / (F.col("p") + F.col("q"))))
+                + (1 - F.sum("q")) * math.log(2) * 0.5
+            ).alias("js_raw")
+        )
+    )
+    return (
+        js.select("source", stable_round(F.col("js_raw"), 6).alias("js"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------- Q216
+_Q216_ORACLE = (
+    f"WITH tok AS ({_TOK_SQL_DDB}), "
+    "n AS (SELECT MAX(doc_id) + 1 AS nd FROM documents), "
+    "fs AS (SELECT w, MIN(CAST(doc_id * 10 / nd AS INT)) AS decile "
+    "FROM tok CROSS JOIN n GROUP BY w), "
+    "g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_words "
+    "FROM fs GROUP BY decile) "
+    "SELECT decile, new_words, "
+    "CAST(SUM(new_words) OVER (ORDER BY decile) AS BIGINT) AS vocab_size "
+    "FROM g ORDER BY decile"
+)
+
+
+@register(
+    "q216_heaps_vocab_growth",
+    _Q216_ORACLE,
+    doc="Heaps'-law vocabulary growth curve: new distinct words and "
+        "cumulative vocabulary size per corpus decile (doc_id order — "
+        "the fixture's ids are dense, so deciles are ingestion "
+        "slices).  A flattening curve says more data adds tokens but "
+        "not types; a linearly-growing one flags OCR noise / junk "
+        "vocabulary — a standard pre-training corpus diagnostic.  ONE "
+        "pass: per-word MIN(first-decile-seen) is the only "
+        "vocabulary-sized exchange; the cumulative sum is a 10-row "
+        "window.",
+    tags=("llm", "text", "statistics"),
+)
+def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    tok = _tok(d)
+    n = d.agg((F.max("doc_id") + 1).alias("nd"))
+    fs = (
+        tok.crossJoin(F.broadcast(n))
+        .select("w", (F.col("doc_id") * 10 / F.col("nd"))
+                .cast("int").alias("decile"))
+        .groupBy("w").agg(F.min("decile").alias("decile"))
+    )
+    g = fs.groupBy("decile").agg(F.count("*").alias("new_words"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        g.select(
+            "decile", "new_words",
+            F.sum("new_words").over(w).alias("vocab_size"),
+        ).orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------- Q218
+_Q218_BPS = 100  # 1% of customers are deletion subjects
+
+_Q218_ORACLE = (
+    "WITH subj AS (SELECT c_custkey, c_nationkey FROM customer "
+    "WHERE CAST(('0x' || substr(md5('gdpr|' || CAST(c_custkey AS VARCHAR)), "
+    f"1, 8)) AS BIGINT) % 10000 < {_Q218_BPS}), "
+    "o AS (SELECT s.c_nationkey, o.o_orderkey FROM subj s "
+    "JOIN orders o ON o.o_custkey = s.c_custkey), "
+    "l AS (SELECT o.c_nationkey, COUNT(*) AS n_lineitems FROM o "
+    "JOIN lineitem li ON li.l_orderkey = o.o_orderkey GROUP BY 1), "
+    "agg AS (SELECT s.c_nationkey, COUNT(*) AS n_subjects FROM subj s "
+    "GROUP BY 1), "
+    "oc AS (SELECT c_nationkey, COUNT(*) AS n_orders FROM o GROUP BY 1) "
+    "SELECT n.n_name AS nation, "
+    "CAST(a.n_subjects AS BIGINT) AS n_subjects, "
+    "CAST(COALESCE(oc.n_orders, 0) AS BIGINT) AS n_orders, "
+    "CAST(COALESCE(l.n_lineitems, 0) AS BIGINT) AS n_lineitems "
+    "FROM agg a JOIN nation n ON n.n_nationkey = a.c_nationkey "
+    "LEFT JOIN oc USING (c_nationkey) LEFT JOIN l USING (c_nationkey) "
+    "ORDER BY nation"
+)
+
+
+@register(
+    "q218_gdpr_cascade_audit",
+    _Q218_ORACLE,
+    doc="Right-to-erasure cascade audit: for a deterministic 1% "
+        "subject set (hash_bps — the sampling family's engine-"
+        "reproducible selector), count every row a deletion request "
+        "would cascade to through the foreign-key chain customer → "
+        "orders → lineitem, by nation.  This is the scoping query a "
+        "data-governance run executes BEFORE the destructive MERGE "
+        "(q180 is the apply side).  Subject keys are a 1%-sized "
+        "broadcast; the lineitem probe is one equi-join on the key "
+        "the table is already bucketed by in q205's layout.",
+    tags=("governance", "join"),
+)
+def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.sampling import hash_bps
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    na = load_table(spark, sf_dir, "nation")
+
+    subj = c.filter(hash_bps(F.col("c_custkey"), "gdpr") < _Q218_BPS).select(
+        "c_custkey", "c_nationkey")
+    so = F.broadcast(subj).join(
+        o.select("o_custkey", "o_orderkey"),
+        subj["c_custkey"] == F.col("o_custkey"),
+    ).select("c_nationkey", "o_orderkey")
+    # `so` is subject-sized — broadcast it into the lineitem probe
+    # too, or Spark shuffles the whole fact table for a join whose
+    # build side is request-batch-sized (sf1: 3.1 s → 1.4 s, the
+    # residual being the one linear lineitem column scan).  Real
+    # erasure batches are bounded request sets; a subject set too big
+    # to broadcast degrades gracefully by dropping the hint.
+    l_cnt = (
+        F.broadcast(so).join(
+            li.select("l_orderkey"),
+            so["o_orderkey"] == F.col("l_orderkey"))
+        .groupBy("c_nationkey").agg(F.count("*").alias("n_lineitems"))
+    )
+    o_cnt = so.groupBy("c_nationkey").agg(F.count("*").alias("n_orders"))
+    s_cnt = subj.groupBy("c_nationkey").agg(F.count("*").alias("n_subjects"))
+    return (
+        s_cnt.join(F.broadcast(na),
+                   s_cnt["c_nationkey"] == F.col("n_nationkey"))
+        .join(o_cnt, "c_nationkey", "left")
+        .join(l_cnt, "c_nationkey", "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_subjects").cast("bigint").alias("n_subjects"),
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+            F.coalesce("n_lineitems", F.lit(0)).cast("bigint")
+            .alias("n_lineitems"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------- Q219
+_Q219_ORACLE = (
+    "WITH r AS (SELECT o_orderpriority, o_totalprice, "
+    "ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice, o_orderkey) AS rn, "
+    "COUNT(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders) "
+    "SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n, "
+    "FLOOR(AVG(o_totalprice) * 100 + 0.5) / 100 AS median "
+    "FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2) "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+@register(
+    "q219_exact_group_median",
+    _Q219_ORACLE,
+    doc="EXACT per-group median of order totals — the scale-safe "
+        "construction: ROW_NUMBER and COUNT windows partitioned BY THE "
+        "GROUP (per-partition sort, never a global one), keep the one "
+        "or two middle rows, average them.  Complements q143's "
+        "approx-percentile sketches with the exact answer where the "
+        "group count is what a sketch cannot give: percentile_cont "
+        "semantics, bit-identical across engines because the middle "
+        "elements are exact row values (the only float op is the "
+        "final two-value average).  Spark's percentile() aggregate "
+        "collects per-group value arrays on the heap; this form's "
+        "memory is the sort buffer, spillable and partition-local.  "
+        "r8 rework: with 5 groups a Window.partitionBy(group) gives "
+        "5-way parallelism (one 20 TB sort per task at scale); "
+        "rank.grouped_exact_median restores full parallelism by "
+        "value-range-bucketing FIRST, deriving counts/offsets/"
+        "middle-ranks declaratively over the metadata-sized "
+        "(group, bucket) table, and locally ranking only the 1–2 "
+        "buckets per group that can contain a middle rank; one "
+        "repartition(group, bucket) feeds both branches via "
+        "ReuseExchange (one scan).  sf1 2.11 s → 1.06 s best-of-5; "
+        "DuckDB's 0.2–0.45 s puts the residual in the fixed-cost "
+        "class (below the 0.5 s data-path threshold).",
+    tags=("analytics", "window", "statistics"),
+)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.rank import grouped_exact_median
+
+    o = load_table(spark, sf_dir, "orders")
+    med = grouped_exact_median(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey")
+    return (
+        med.select(
+            "o_orderpriority",
+            F.col("n").cast("bigint").alias("n"),
+            stable_round(F.col("median_raw"), 2).alias("median"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------- Q217
+def _q217_oracle() -> str:
+    from tidb_gateway_spark.queries.llm_extended import (
+        _DDB_BANDS,
+        _DDB_SHINGLES,
+        _DDB_SIGS,
+    )
+
+    return (
+        f"WITH {_DDB_SHINGLES}, {_DDB_SIGS}, {_DDB_BANDS}, "
+        "cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id "
+        "AS b FROM bands x JOIN bands y ON x.band = y.band AND "
+        "x.bv = y.bv AND x.doc_id < y.doc_id), "
+        "deg AS (SELECT d, COUNT(*) AS dg FROM "
+        "(SELECT a AS d FROM cand UNION ALL SELECT b FROM cand) "
+        "GROUP BY d), "
+        "tri AS (SELECT COUNT(*) AS nt FROM cand e1 "
+        "JOIN cand e2 ON e2.a = e1.b "
+        "JOIN cand e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+        "CAST(SUM(dg * (dg - 1) / 2) AS BIGINT) AS wedges FROM deg), "
+        "ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM cand) "
+        "SELECT agg.n_nodes, ne.n_edges, CAST(tri.nt AS BIGINT) "
+        "AS n_triangles, CAST(CASE WHEN agg.wedges = 0 THEN 0 ELSE "
+        "3 * tri.nt * 10000 // agg.wedges END AS BIGINT) "
+        "AS clustering_bps FROM agg, ne, tri"
+    )
+
+
+@register(
+    "q217_neardup_triangle_census",
+    _q217_oracle(),
+    doc="Triangle census + global clustering coefficient of the "
+        "near-duplicate candidate graph (q72's MinHash-LSH edges) — "
+        "the graph-shape audit between q101's components and q209's "
+        "PageRank: a high clustering coefficient says near-dup "
+        "families are cliquish (template boilerplate); a low one with "
+        "many components says chains (incremental edits).  Triangles "
+        "enumerate once each via the a<b<c two-join (e1=(a,b), "
+        "e2=(b,c), e3=(a,c)); wedges = Σ d(d−1)/2; coefficient = "
+        "3·triangles/wedges in exact integer bps.  All joins are "
+        "edge-keyed — graph-sized, never corpus-sized; the persisted "
+        "edge list is the same tracked companion q209 reads.",
+    tags=("llm", "dedup", "graph"),
+)
+def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators import dedup
+    from tidb_gateway_spark.operators.cache import tracked_persist
+    from tidb_gateway_spark.queries.llm_extended import _BANDS, _K
+
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    cand = tracked_persist(
+        dedup.minhash_lsh_candidates(d, k=_K, bands=_BANDS))
+
+    deg = (
+        cand.select(F.col("a").alias("d"))
+        .unionAll(cand.select(F.col("b").alias("d")))
+        .groupBy("d").agg(F.count("*").alias("dg"))
+    )
+    e1 = cand.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = cand.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = cand.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count("*").alias("nt"))
+    )
+    agg = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.sum(F.col("dg") * (F.col("dg") - 1) / 2).cast("bigint")
+        .alias("wedges"),
+    )
+    ne = cand.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (
+        agg.crossJoin(ne).crossJoin(tri)
+        .select(
+            "n_nodes", "n_edges",
+            F.col("nt").cast("bigint").alias("n_triangles"),
+            F.when(F.col("wedges") == 0, F.lit(0))
+            .otherwise(F.floor(3 * F.col("nt") * 10000 / F.col("wedges")))
+            .cast("bigint").alias("clustering_bps"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q221
+_Q221_TAU_BPS = 5000  # Jaccard >= 0.5 on character-trigram sets
+
+_Q221_ORACLE = (
+    "WITH names AS (SELECT DISTINCT p_name AS nm FROM part), "
+    "tg AS (SELECT nm, UNNEST(list_transform("
+    "range(1, len(nm) - 1), i -> substr(nm, CAST(i AS INT), 3))) AS t "
+    "FROM names WHERE len(nm) >= 3), "
+    "td AS (SELECT DISTINCT nm, t FROM tg), "
+    "rk AS (SELECT t, ROW_NUMBER() OVER (ORDER BY COUNT(*), t) AS r "
+    "FROM td GROUP BY t), "
+    "lst AS (SELECT nm, list(t ORDER BY r) AS ts, COUNT(*) AS n "
+    "FROM td JOIN rk USING (t) GROUP BY nm), "
+    # prefix filter (Bayardo et al.): for J >= tau, two sets must share
+    # a token among each one's (1-tau)|s|+1 rarest tokens
+    "pf AS (SELECT nm, n, UNNEST(ts[1 : CAST(floor("
+    f"(1 - {_Q221_TAU_BPS}/10000.0) * n) AS INT) + 1]) AS t FROM lst), "
+    "cp AS (SELECT DISTINCT x.nm AS na, y.nm AS nb FROM pf x "
+    "JOIN pf y ON x.t = y.t AND x.nm < y.nm), "
+    "ver AS (SELECT cp.na, cp.nb, CAST(len(list_intersect(a.ts, b.ts)) "
+    "AS BIGINT) AS i, a.n + b.n AS nn FROM cp "
+    "JOIN lst a ON a.nm = cp.na JOIN lst b ON b.nm = cp.nb) "
+    "SELECT na, nb, CAST(i * 10000 // (nn - i) AS BIGINT) AS jac_bps "
+    f"FROM ver WHERE i * 10000 >= {_Q221_TAU_BPS} * (nn - i) "
+    "ORDER BY jac_bps DESC, na, nb LIMIT 50"
+)
+
+
+@register(
+    "q221_name_similarity_join",
+    _Q221_ORACLE,
+    doc="Prefix-filtered set-similarity self-join (Bayardo/PPJoin "
+        "family) over character-trigram sets of DISTINCT part names — "
+        "the record-linkage blocker for short strings where word "
+        "shingles (q72) are useless: candidates must share a trigram "
+        "among each side's ⌊(1−τ)·|s|⌋+1 RAREST trigrams (frequency-"
+        "ascending order), which is complete for Jaccard ≥ τ and "
+        "prunes the quadratic candidate space without MinHash's "
+        "false negatives; then exact integer-bps Jaccard verifies via "
+        "array_intersect (the q74 idiom).  Exact-dedup to distinct "
+        "names FIRST (the real pipeline order) keeps the join "
+        "name-cardinality-sized at any part count.",
+    tags=("dedup", "join", "text"),
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    names = p.select(F.col("p_name").alias("nm")).distinct().filter(
+        F.length("nm") >= 3)
+    tg = names.select(
+        "nm",
+        F.explode(F.expr(
+            "transform(sequence(1, length(nm) - 2), "
+            "i -> substring(nm, i, 3))")).alias("t"),
+    ).distinct()
+    rk = (
+        tg.groupBy("t").agg(F.count("*").alias("c"))
+        .select("t", F.row_number().over(Window.orderBy("c", "t")).alias("r"))
+    )
+    lst = (
+        tg.join(rk, "t")
+        .groupBy("nm")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(r, t))), "
+                   "s -> s.t)").alias("ts"),
+            F.count("*").alias("n"),
+        )
+    )
+    pfx_len = (
+        F.floor((1 - _Q221_TAU_BPS / 10000.0) * F.col("n")).cast("int") + 1
+    )
+    pf = lst.select(
+        "nm", "n", F.explode(F.slice(F.col("ts"), 1, pfx_len)).alias("t"))
+    x = pf.select(F.col("nm").alias("na"), F.col("t"))
+    y = pf.select(F.col("nm").alias("nb"), F.col("t"))
+    cp = (
+        x.join(y, "t")
+        .filter(F.col("na") < F.col("nb"))
+        .select("na", "nb")
+        .distinct()
+    )
+    a = lst.select(F.col("nm").alias("na"), F.col("ts").alias("tsa"),
+                   F.col("n").alias("nna"))
+    b = lst.select(F.col("nm").alias("nb"), F.col("ts").alias("tsb"),
+                   F.col("n").alias("nnb"))
+    ver = (
+        cp.join(a, "na").join(b, "nb")
+        .select(
+            "na", "nb",
+            F.size(F.array_intersect("tsa", "tsb")).cast("bigint").alias("i"),
+            (F.col("nna") + F.col("nnb")).alias("nn"),
+        )
+    )
+    return (
+        ver.filter(F.col("i") * 10000 >= _Q221_TAU_BPS * (F.col("nn") - F.col("i")))
+        .select(
+            "na", "nb",
+            F.floor(F.col("i") * 10000 / (F.col("nn") - F.col("i")))
+            .cast("bigint").alias("jac_bps"),
+        )
+        .orderBy(F.desc("jac_bps"), "na", "nb")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------- Q222
+_Q222_TOP = 10
+
+_Q222_ORACLE = (
+    "WITH e AS (SELECT 1 AS epoch UNION ALL SELECT 2), "
+    "h AS (SELECT e.epoch, d.doc_id, "
+    "('0x' || substr(md5('epoch' || CAST(e.epoch AS VARCHAR) || '|' || "
+    "CAST(d.doc_id AS VARCHAR)), 1, 16)) AS hk "
+    "FROM documents d CROSS JOIN e), "
+    "r AS (SELECT epoch, doc_id, ROW_NUMBER() OVER ("
+    "PARTITION BY epoch ORDER BY hk, doc_id) AS pos FROM h) "
+    f"SELECT epoch, CAST(pos AS INT) AS pos, doc_id FROM r "
+    f"WHERE pos <= {_Q222_TOP} ORDER BY epoch, pos"
+)
+
+
+@register(
+    "q222_seeded_epoch_shuffle",
+    _Q222_ORACLE,
+    doc="Deterministic epoch shuffle: training-order permutation as "
+        "ORDER BY md5(seed|doc_id) — a pure row function, so the "
+        "permutation is identical across engines, partitionings and "
+        "re-runs (df.orderBy(rand(seed)) is partitioning-dependent, "
+        "the same trap the sampling family documents), and different "
+        "seeds give independent permutations for epochs 1 and 2.  "
+        "Declared output: the first 10 positions of each epoch.  "
+        "Top-k-by-hash is TakeOrdered at scale — no full sort; the "
+        "full permutation form is a range-partitioned sort on the "
+        "hash key (the writer path the shard splitter q105 uses).",
+    tags=("llm", "sampling", "curation"),
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    epochs = None
+    for ep in (1, 2):
+        hk = F.concat(
+            F.lit("0x"),
+            F.substring(
+                F.md5(F.concat(F.lit(f"epoch{ep}|"),
+                               F.col("doc_id").cast("string"))), 1, 16),
+        )
+        r = (
+            d.select(F.lit(ep).alias("epoch"), "doc_id", hk.alias("hk"))
+            .orderBy("hk", "doc_id")
+            .limit(_Q222_TOP)
+        )
+        epochs = r if epochs is None else epochs.unionAll(r)
+    w = Window.partitionBy("epoch").orderBy("hk", "doc_id")
+    return (
+        epochs.select(
+            "epoch", F.row_number().over(w).cast("int").alias("pos"),
+            "doc_id")
+        .orderBy("epoch", "pos")
+    )
+
+
+# ---------------------------------------------------------------- Q220
+_Q220_NPROBE = 3
+_Q220_TOPK = 20
+
+_Q220_ORACLE = (
+    f"WITH tok AS ({_TOK_SQL_DDB}), "
+    "td AS (SELECT DISTINCT doc_id, w FROM tok), "
+    "dfreq AS (SELECT w, COUNT(*) AS dfc FROM td GROUP BY 1), "
+    "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents), "
+    "probe AS (SELECT w FROM (SELECT dfreq.w, ROW_NUMBER() OVER ("
+    "ORDER BY dfreq.dfc DESC, dfreq.w) AS rn FROM dfreq) "
+    f"WHERE rn <= {_Q220_NPROBE}) "
+    "SELECT doc_id FROM td JOIN probe USING (w) "
+    f"GROUP BY doc_id HAVING COUNT(*) = {_Q220_NPROBE} "
+    f"ORDER BY doc_id LIMIT {_Q220_TOPK}"
+)
+
+
+def _q220_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per fixture) the inverted-index companion:
+    ``dict/`` = (w, dfc) + a meta.json carrying n_docs;
+    ``postings/`` = (w, doc_id) parquet PARTITIONED BY first-char
+    prefix, so a probe reads only its prefix directories.  Returns
+    the companion root path."""
+    import hashlib
+    import json
+    import os
+
+    from tidb_gateway_spark.sources import derived
+
+    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(f"invidx|{src}".encode()).hexdigest()[:16]
+    path = derived.derived_path("invidx", key)
+    if not derived.is_fresh(path, src, marker="meta.json"):
+        d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+        n_docs = d.count()
+        td = _tok(d).distinct()
+
+        def build(tmp: str) -> None:
+            os.makedirs(tmp, exist_ok=True)
+            (td.groupBy("w").agg(F.count("*").alias("dfc"))
+             .coalesce(1)
+             .write.mode("overwrite")
+             .parquet(os.path.join(tmp, "dict")))
+            (td.select(F.substring("w", 1, 1).alias("pfx"), "w", "doc_id")
+             .repartition("pfx")
+             .write.mode("overwrite")
+             .partitionBy("pfx")
+             .parquet(os.path.join(tmp, "postings")))
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                json.dump({"n_docs": n_docs}, f)
+
+        derived.build_atomic(path, build)
+    return path
+
+
+@register(
+    "q220_inverted_index_roundtrip",
+    _Q220_ORACLE,
+    doc="Inverted-index round-trip: the corpus is materialized ONCE as "
+        "a dictionary (term → df, the memory-resident part of every IR "
+        "system) plus prefix-PARTITIONED postings (term, doc_id), and "
+        "the declared query serves a 3-term conjunctive AND from the "
+        "index — partition pruning holds the postings scan to the "
+        "probe terms' prefix directories, the layout-roundtrip family's "
+        "contract (q199/q200/q205) applied to text retrieval.  Probe "
+        "terms are the 3 top-df dictionary terms (ties "
+        "word-ascending): collected driver-side from the "
+        "dictionary like rank boundaries — metadata-class.  The oracle "
+        "recomputes containment from raw text, proving the index "
+        "lossless.  At 100 TB postings gain a second partition level "
+        "(doc-id block) and per-term skip metadata; the declared shape "
+        "— dictionary probe → pruned posting intersection — is "
+        "unchanged.  BM25 (q214) is the scoring side of this index.  "
+        "Probes are the 3 highest-df terms so the conjunction is "
+        "selective-but-nonempty (~51% of docs at the fixture's ~0.8 "
+        "per-term df) — a 0-row result would certify nothing.",
+    tags=("llm", "text", "retrieval", "layout"),
+)
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    path = _q220_index(spark, sf_dir)
+    with open(os.path.join(path, "meta.json")) as f:
+        json.load(f)  # meta carries n_docs for df-relative probe rules
+
+    dct = spark.read.parquet(os.path.join(path, "dict"))
+    rn = Window.orderBy(F.desc("dfc"), "w")
+    probes = [
+        r["w"]
+        for r in dct
+        .select("w", F.row_number().over(rn).alias("rn"))
+        .filter(F.col("rn") <= _Q220_NPROBE)
+        .collect()
+    ]
+    post = spark.read.parquet(os.path.join(path, "postings"))
+    pfxs = sorted({w[:1] for w in probes})
+    return (
+        post.filter(F.col("pfx").isin(pfxs) & F.col("w").isin(probes))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nw"))
+        .filter(F.col("nw") == _Q220_NPROBE)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(_Q220_TOPK)
+    )
