@@ -70,6 +70,8 @@ _CHANGED_FIRST = (
     "q219_exact_group_median",
     "q221_name_similarity_join",
     "q222_seeded_epoch_shuffle",
+    "q223_interval_bucket_join",
+    "q224_incremental_cluster_merge_audit",
 )
 
 # Queries whose latest green certification predates the current code

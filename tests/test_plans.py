@@ -576,3 +576,13 @@ def test_q222_epoch_topk_is_take_ordered(spark, sf_dir):
     df = REGISTRY["q222_seeded_epoch_shuffle"].spark(spark, sf_dir)
     text = inspect.explain_formatted(df)
     assert "TakeOrderedAndProject" in text, text
+
+
+def test_q223_interval_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The bucketized interval join must plan as a hash join on the
+    bucket key — the naive no-equi-key range join would be
+    BroadcastNestedLoop, which is O(rows x windows) at scale."""
+    df = REGISTRY["q223_interval_bucket_join"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    assert "NestedLoop" not in text, text
+    assert "Join" in text, text

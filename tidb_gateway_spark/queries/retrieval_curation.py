@@ -778,3 +778,179 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(_Q220_TOPK)
     )
+
+
+# ---------------------------------------------------------------- Q223
+_Q223_BPS = 50      # 0.5% of orders define audit windows
+_Q223_DAYS = 7      # window length = bucket width (intervals span <= 2 buckets)
+_Q223_TOPK = 20
+
+_Q223_ORACLE = (
+    "WITH win AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS ws, "
+    f"CAST(o_orderdate AS DATE) + {_Q223_DAYS} AS we FROM orders "
+    "WHERE CAST(('0x' || substr(md5('win|' || CAST(o_orderkey AS VARCHAR)), "
+    f"1, 8)) AS BIGINT) % 10000 < {_Q223_BPS}) "
+    "SELECT w.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_shipped "
+    "FROM win w JOIN lineitem l "
+    "ON CAST(l.l_shipdate AS DATE) >= w.ws "
+    "AND CAST(l.l_shipdate AS DATE) < w.we "
+    "GROUP BY w.o_orderkey "
+    f"ORDER BY n_shipped DESC, w.o_orderkey LIMIT {_Q223_TOPK}"
+)
+
+
+@register(
+    "q223_interval_bucket_join",
+    _Q223_ORACLE,
+    doc="PURE interval join (no equi-key): shipments falling inside "
+        "per-order audit windows [orderdate, orderdate+7d), counted "
+        "per window — the range-join class (q19 has an equi component; "
+        "q20/q144 are as-of) that a naive plan executes as "
+        "BroadcastNestedLoop with an O(rows×windows) probe.  The "
+        "scale rewrite is BUCKETIZATION (the technique behind "
+        "dedicated range-join optimizers): bucket width = window "
+        "length, so each fact row has exactly ONE bucket and each "
+        "interval overlaps ≤2 — explode the interval side to its "
+        "buckets, equi-join on the bucket id, post-filter the exact "
+        "bounds.  No dedup pass is needed: a fact row's single bucket "
+        "makes each (window, row) pair matchable exactly once.  The "
+        "plan is a plain hash join that shuffles on the bucket key — "
+        "works at any scale where the nested loop cannot.",
+    tags=("join", "analytics"),
+)
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.sampling import hash_bps
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    day0 = F.lit("1990-01-01").cast("date")
+
+    win = (
+        o.filter(hash_bps(F.col("o_orderkey"), "win") < _Q223_BPS)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("ws"),
+            F.date_add(F.col("o_orderdate").cast("date"), _Q223_DAYS)
+            .alias("we"),
+        )
+    )
+    # interval → its ≤2 overlapped buckets (bucket width == window
+    # length makes the explode factor exactly 2, independent of data)
+    wb0 = F.floor(F.datediff(F.col("ws"), day0) / _Q223_DAYS)
+    wb1 = F.floor(F.datediff(F.date_sub(F.col("we"), 1), day0) / _Q223_DAYS)
+    winx = win.select(
+        "o_orderkey", "ws", "we",
+        F.explode(F.array_distinct(F.array(wb0, wb1))).alias("bkt"),
+    )
+    ship = li.select(F.col("l_shipdate").cast("date").alias("sd")).select(
+        "sd", F.floor(F.datediff(F.col("sd"), day0) / _Q223_DAYS).alias("bkt"))
+    return (
+        ship.join(winx, "bkt")
+        .filter((F.col("sd") >= F.col("ws")) & (F.col("sd") < F.col("we")))
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_shipped"))
+        .orderBy(F.desc("n_shipped"), "o_orderkey")
+        .limit(_Q223_TOPK)
+    )
+
+
+# ---------------------------------------------------------------- Q224
+_Q224_BASE_BPS = 8000  # 80% of docs form the base snapshot
+
+
+def _q224_oracle() -> str:
+    from tidb_gateway_spark.queries.llm_extended import (
+        _DDB_BANDS,
+        _DDB_CAND_CHAIN,
+        _DDB_SHINGLES,
+        _DDB_SIGS,
+    )
+
+    base_pred = (
+        "CAST(('0x' || substr(md5('ivmbase|' || CAST({c} AS VARCHAR)), "
+        f"1, 8)) AS BIGINT) % 10000 < {_Q224_BASE_BPS}"
+    )
+    return (
+        f"WITH RECURSIVE {_DDB_SHINGLES}, {_DDB_SIGS}, {_DDB_BANDS}, "
+        f"{_DDB_CAND_CHAIN}, "
+        "ver AS MATERIALIZED (SELECT t.a, t.b FROM inter t "
+        "JOIN sizes sa ON sa.doc_id = t.a JOIN sizes sb ON sb.doc_id = t.b "
+        "WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5), "
+        "edges AS (SELECT a AS u, b AS v FROM ver UNION SELECT b, a FROM ver), "
+        "walk(n, m) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+        "UNION SELECT e.u, w.m FROM edges e JOIN walk w ON w.n = e.v), "
+        "cc_full AS (SELECT n AS doc_id, MIN(m) AS cid FROM walk GROUP BY n), "
+        "bedges AS (SELECT u, v FROM edges WHERE "
+        + base_pred.format(c="u") + " AND " + base_pred.format(c="v") + "), "
+        "bwalk(n, m) AS (SELECT u, u FROM (SELECT DISTINCT u FROM bedges) "
+        "UNION SELECT e.u, w.m FROM bedges e JOIN bwalk w ON w.n = e.v), "
+        "cc_base AS (SELECT n AS doc_id, MIN(m) AS cid FROM bwalk GROUP BY n), "
+        "per AS (SELECT f.cid, COUNT(*) AS n_docs, "
+        "COUNT(DISTINCT b.cid) AS n_base_clusters FROM cc_full f "
+        "LEFT JOIN cc_base b ON b.doc_id = f.doc_id GROUP BY f.cid) "
+        "SELECT CAST(n_base_clusters AS BIGINT) AS n_base_clusters, "
+        "CAST(COUNT(*) AS BIGINT) AS n_clusters, "
+        "CAST(SUM(n_docs) AS BIGINT) AS n_docs "
+        "FROM per GROUP BY 1 ORDER BY 1"
+    )
+
+
+@register(
+    "q224_incremental_cluster_merge_audit",
+    _q224_oracle(),
+    doc="Incremental-dedup maintenance audit: with an 80% hash-defined "
+        "base snapshot and the remaining 20% arriving as a delta, how "
+        "do near-dup clusters change?  Per FULL-corpus cluster, count "
+        "the distinct BASE clusters it absorbs: n_base_clusters = 0 → "
+        "a brand-new cluster of delta docs, 1 → an existing cluster "
+        "(possibly grown), ≥2 → the delta MERGED formerly-separate "
+        "clusters (the case that forces canonical-doc reassignment in "
+        "a production dedup store, and the reason incremental dedup "
+        "cannot just append).  The verified pair set is computed ONCE "
+        "(persisted); base edges are a pure hash filter of it (base "
+        "membership is a pure function of doc_id), so the second "
+        "closure runs on a subgraph, not a recomputed pipeline.  "
+        "Output: histogram over n_base_clusters.",
+    tags=("dedup", "llm", "graph", "cdc"),
+)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators import dedup
+    from tidb_gateway_spark.operators.cache import tracked_persist
+    from tidb_gateway_spark.operators.sampling import hash_bps
+    from tidb_gateway_spark.queries.llm_extended import _BANDS, _K
+
+    d = load_table(spark, sf_dir, "documents")
+    shingles = dedup.doc_shingles(d)
+    cand = dedup.minhash_lsh_candidates(
+        d, k=_K, bands=_BANDS, shingles=shingles)
+    ver = tracked_persist(
+        dedup.jaccard_pairs_arrays(cand, dedup.doc_shingle_arrays(d))
+        .filter(F.col("jac") >= 0.5)
+        .select("a", "b")
+    )
+    cc_full = dedup.connected_components(ver).select(
+        "doc_id", F.col("cluster_id").alias("cid"))
+    in_base = lambda c: hash_bps(F.col(c), "ivmbase") < _Q224_BASE_BPS  # noqa: E731
+    bver = ver.filter(in_base("a") & in_base("b"))
+    cc_base = dedup.connected_components(bver).select(
+        F.col("doc_id").alias("bdoc"), F.col("cluster_id").alias("bcid"))
+    per = (
+        cc_full.join(cc_base, cc_full["doc_id"] == cc_base["bdoc"], "left")
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("bcid").alias("n_base_clusters"),
+        )
+    )
+    return (
+        per.groupBy("n_base_clusters")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .select(
+            F.col("n_base_clusters").cast("bigint").alias("n_base_clusters"),
+            "n_clusters", "n_docs",
+        )
+        .orderBy("n_base_clusters")
+    )
