@@ -72,6 +72,8 @@ _CHANGED_FIRST = (
     "q222_seeded_epoch_shuffle",
     "q223_interval_bucket_join",
     "q224_incremental_cluster_merge_audit",
+    "q225_compaction_roundtrip",
+    "q226_zipf_slope",
 )
 
 # Queries whose latest green certification predates the current code

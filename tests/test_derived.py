@@ -99,3 +99,23 @@ def test_derived_root_env_is_per_kind(tmp_path, monkeypatch):
     assert a.startswith(str(tmp_path)) and b.startswith(str(tmp_path))
     monkeypatch.delenv("SPARK_GRAFT_DERIVED_DIR")
     assert ".benchdata" in derived.derived_root("csv")
+
+
+def test_q225_compaction_file_counts(spark, sf_dir):
+    """The compaction companion's mechanics (not SQL-observable in the
+    declared query): the fragmented generation has the configured
+    small-file count, the compacted one the target count, and both
+    carry identical row counts."""
+    import glob
+    import os
+
+    from tidb_gateway_spark.queries import retrieval_curation as rc
+
+    path = rc._q225_compacted(spark, sf_dir)
+    n_small = len(glob.glob(os.path.join(path, "small", "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(path, "compacted", "*.parquet")))
+    assert n_small == rc._Q225_SMALL_FILES, n_small
+    assert n_comp == rc._Q225_TARGET_FILES, n_comp
+    a = spark.read.parquet(os.path.join(path, "small")).count()
+    b = spark.read.parquet(os.path.join(path, "compacted")).count()
+    assert a == b

@@ -954,3 +954,146 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_base_clusters")
     )
+
+
+# ---------------------------------------------------------------- Q225
+_Q225_SMALL_FILES = 64    # fragmented generation: 64 tiny files
+_Q225_TARGET_FILES = 4    # compacted generation
+
+_Q225_ORACLE = (
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(CAST(doc_id AS BIGINT)) AS BIGINT) AS id_sum, "
+    "CAST(SUM(len(text)) AS BIGINT) AS chars "
+    "FROM documents GROUP BY source ORDER BY source"
+)
+
+
+def _q225_compacted(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture) a FRAGMENTED copy of documents
+    (64 tiny files — the shape a streaming ingest or over-parallel
+    writer leaves behind) and its COMPACTED generation (4 target-size
+    files via one coalesce-free repartition).  Returns the companion
+    root; the declared query reads the compacted generation."""
+    import hashlib
+    import os
+
+    from tidb_gateway_spark.sources import derived
+
+    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(f"compact|{src}".encode()).hexdigest()[:16]
+    path = derived.derived_path("compact", key)
+    if not derived.is_fresh(path, src, marker="_COMPACT_DONE"):
+        d = load_table(spark, sf_dir, "documents")
+
+        def build(tmp: str) -> None:
+            os.makedirs(tmp, exist_ok=True)
+            (d.repartition(_Q225_SMALL_FILES)
+             .write.mode("overwrite")
+             .parquet(os.path.join(tmp, "small")))
+            frag = spark.read.parquet(os.path.join(tmp, "small"))
+            (frag.repartition(_Q225_TARGET_FILES)
+             .write.mode("overwrite")
+             .parquet(os.path.join(tmp, "compacted")))
+            with open(os.path.join(tmp, "_COMPACT_DONE"), "w"):
+                pass
+
+        derived.build_atomic(path, build)
+    return path
+
+
+@register(
+    "q225_compaction_roundtrip",
+    _Q225_ORACLE,
+    doc="Small-file compaction round-trip — the table-maintenance "
+        "operation every long-lived 100 TB table needs (streaming "
+        "ingest and over-parallel writers leave thousands of tiny "
+        "files; footer and task-scheduling overhead then dominates "
+        "scans): a 64-tiny-file generation of documents is rewritten "
+        "into 4 target-size files (one repartition — the OPTIMIZE/"
+        "compact primitive), and the declared query serves per-source "
+        "aggregates WITH AN ID-SUM AND CHAR-COUNT CHECKSUM from the "
+        "compacted generation while the oracle recomputes them from "
+        "the RAW fixture — the hash match proves compaction lost and "
+        "duplicated nothing.  File-count mechanics are asserted in "
+        "tests/test_derived.py (not SQL-observable).  At scale the "
+        "repartition keys on the table's layout columns so compaction "
+        "preserves partition/bucket structure.",
+    tags=("layout", "sources"),
+)
+def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    path = _q225_compacted(spark, sf_dir)
+    c = spark.read.parquet(os.path.join(path, "compacted"))
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("doc_id").cast("bigint")).cast("bigint")
+            .alias("id_sum"),
+            F.sum(F.length("text")).cast("bigint").alias("chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------- Q226
+_Q226_RANKS = 1000  # fit over the top-1000 rank-frequency points
+
+_Q226_ORACLE = (
+    f"WITH tok AS ({_TOK_SQL_DDB}), "
+    "cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w), "
+    "rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r "
+    f"FROM cnt QUALIFY r <= {_Q226_RANKS}), "
+    "pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, "
+    "ln(CAST(c AS DOUBLE)) AS y FROM rk), "
+    "m AS (SELECT AVG(x) AS mx, AVG(y) AS my, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM pts), "
+    "f AS (SELECT m.n, "
+    "SUM((x - mx) * (y - my)) / SUM((x - mx) * (x - mx)) AS slope "
+    "FROM pts, m GROUP BY m.n) "
+    "SELECT n, FLOOR(slope * 1e6 + 0.5) / 1e6 AS zipf_slope FROM f"
+)
+
+
+@register(
+    "q226_zipf_slope",
+    _Q226_ORACLE,
+    doc="Zipf exponent of the corpus word distribution: OLS slope of "
+        "ln(frequency) on ln(rank) over the top-1000 rank-frequency "
+        "points — natural text sits near −1; a flat slope flags "
+        "word-soup/templated corpora and a cliff flags boilerplate "
+        "(the rank-frequency counterpart to q216's Heaps curve; "
+        "together they are the two classic corpus-statistics "
+        "diagnostics).  One tokenize pass → vocabulary-sized count "
+        "aggregate → top-1000 ranks → a 1000-point regression whose "
+        "sums are metadata-sized.  Rounded at 1e-6 (double-sum "
+        "order-divergence is ~1e-13, the q215 argument).",
+    tags=("llm", "text", "statistics"),
+)
+def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    cnt = _tok(d).groupBy("w").agg(F.count("*").alias("c"))
+    rk = (
+        cnt.select("c", F.row_number().over(
+            Window.orderBy(F.desc("c"), "w")).alias("r"))
+        .filter(F.col("r") <= _Q226_RANKS)
+    )
+    pts = rk.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.avg("x").alias("mx"), F.avg("y").alias("my"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    f = (
+        pts.crossJoin(F.broadcast(m))
+        .groupBy("n")
+        .agg(
+            (F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
+             / F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))))
+            .alias("slope")
+        )
+    )
+    return f.select("n", stable_round(F.col("slope"), 6).alias("zipf_slope"))
