@@ -74,6 +74,11 @@ _CHANGED_FIRST = (
     "q224_incremental_cluster_merge_audit",
     "q225_compaction_roundtrip",
     "q226_zipf_slope",
+    "q227_basket_pair_affinity",
+    "q228_replica_divergence_audit",
+    "q229_containment_neardup",
+    "q230_grouped_ols_trend",
+    "q231_markov_transition_matrix",
 )
 
 # Queries whose latest green certification predates the current code

@@ -586,3 +586,56 @@ def test_q223_interval_join_is_hash_not_nested_loop(spark, sf_dir):
     text = inspect.explain_formatted(df)
     assert "NestedLoop" not in text, text
     assert "Join" in text, text
+
+
+def _hash_exchange_args(text: str) -> list[str]:
+    """The ``Arguments: hashpartitioning(...)`` detail lines — one per
+    hash Exchange node (the tree section doesn't carry partitioning
+    kinds, and each node's details print once)."""
+    return [
+        ln for ln in text.splitlines()
+        if ln.strip().startswith("Arguments: hashpartitioning")
+    ]
+
+
+def test_q227_affinity_pairs_row_local_no_self_join(spark, sf_dir):
+    """Basket-pair mining: pairs must come from the row-local array
+    expansion, not a basket self-join — so besides the part-dim
+    broadcast joins and the 1-row basket-count cross join, no
+    sort-merge/shuffled join may appear, and the only nested loop
+    allowed is that single 1-row broadcast factor."""
+    df = REGISTRY["q227_basket_pair_affinity"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    tree = _plan_tree(text)
+    assert "SortMergeJoin" not in tree, tree
+    assert "ShuffledHashJoin" not in tree, tree
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, tree
+    assert tree.count("BroadcastHashJoin") >= 3, tree
+
+
+def test_q228_divergence_single_scan_single_exchange(spark, sf_dir):
+    """Anti-entropy checksums for BOTH replicas must come from ONE
+    orders scan (the corruption is an expression, not a second read)
+    and one partial-aggregated month hash exchange — diffing two
+    100 TB generations ships |partitions| rows."""
+    df = REGISTRY["q228_replica_divergence_audit"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    tree = _plan_tree(text)
+    assert tree.count("Scan parquet") == 1, tree
+    assert len(_hash_exchange_args(text)) == 1, text
+    assert inspect.has_partial_aggregate(df)
+
+
+def test_q231_transition_one_lag_shuffle_broadcast_normalizer(spark, sf_dir):
+    """The transition matrix shuffles event rows ONCE (user_id, for
+    the lag window); the per-state normalizer joins back as a
+    |states|-row broadcast, so no second corpus-sized exchange
+    exists."""
+    df = REGISTRY["q231_markov_transition_matrix"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    tree = _plan_tree(text)
+    assert "Join" not in tree, tree
+    lag_exchanges = [
+        ln for ln in _hash_exchange_args(text) if "user_id" in ln
+    ]
+    assert len(lag_exchanges) == 1, text
