@@ -79,6 +79,10 @@ _CHANGED_FIRST = (
     "q229_containment_neardup",
     "q230_grouped_ols_trend",
     "q231_markov_transition_matrix",
+    "q232_table_profile",
+    "q233_mixture_waterfill",
+    "q234_sketch_agreement_audit",
+    "q235_dedup_waterfall",
 )
 
 # Queries whose latest green certification predates the current code

@@ -639,3 +639,34 @@ def test_q231_transition_one_lag_shuffle_broadcast_normalizer(spark, sf_dir):
         ln for ln in _hash_exchange_args(text) if "user_id" in ln
     ]
     assert len(lag_exchanges) == 1, text
+
+
+def test_q232_profile_single_pass_expand(spark, sf_dir):
+    """The profiler must be ONE scan of orders feeding an Expand-based
+    multi-distinct with partial aggregation — per-column passes would
+    read the table six times."""
+    df = REGISTRY["q232_table_profile"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    tree = _plan_tree(text)
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Expand" in tree, tree
+    # partial + merge + final aggregates around the distinct exchange
+    # (multi-distinct plans SortAggregate, not HashAggregate)
+    n_aggs = tree.count("HashAggregate") + tree.count("SortAggregate")
+    assert n_aggs >= 2, tree
+
+
+def test_q233_waterfill_one_corpus_exchange(spark, sf_dir):
+    """The waterfill solver reduces the corpus ONCE (per-source
+    supplies); every window/lag/self-reference afterwards operates on
+    the |sources|-row frame, so exactly one documents scan and one
+    corpus-sized hash exchange (the source aggregate) may appear."""
+    df = REGISTRY["q233_mixture_waterfill"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    corpus_exchanges = [
+        ln for ln in _hash_exchange_args(text) if "source" in ln
+    ]
+    assert len(corpus_exchanges) >= 1, text
+    tree = _plan_tree(text)
+    # solver joins are broadcast (1-row level, sources-row seg)
+    assert "SortMergeJoin" not in tree, tree

@@ -370,3 +370,188 @@ def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("source_lo", "source_hi")
     )
+
+
+# ---------------------------------------------------------------- Q234
+# Prediction: SimHash multiprobe pairs (Hamming <= 1, q114's operator);
+# truth: MinHash-LSH candidates verified at exact Jaccard >= 0.5 (q74).
+_Q234_ORACLE_TMPL = None  # assembled below from both sketch chains
+
+
+def _q234_oracle() -> str:
+    from tidb_gateway_spark.queries import corpus_shaping as _cs
+
+    truth = (
+        f"{_llm._DDB_SHINGLES}, {_llm._DDB_SIGS}, {_llm._DDB_BANDS}, "
+        f"{_llm._DDB_CAND_CHAIN}, "
+        "truth AS (SELECT t.a, t.b FROM inter t "
+        "JOIN sizes sa ON sa.doc_id = t.a JOIN sizes sb ON sb.doc_id = t.b "
+        "WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5)"
+    )
+    pred = (
+        f"{_cs._DDB_SH_WORDS}, "
+        f"perdoc AS (SELECT doc_id, {_cs._DDB_SH_BITS} FROM words "
+        "GROUP BY doc_id), "
+        f"sh AS (SELECT doc_id, {_cs._DDB_SH_CONCAT} AS sh FROM perdoc), "
+        f"probes AS (SELECT doc_id, UNNEST(list_append({_cs._DDB_SH_FLIPS}, "
+        "sh)) AS p FROM sh), "
+        "pred AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
+        "FROM probes x JOIN sh y ON x.p = y.sh AND x.doc_id < y.doc_id)"
+    )
+    return (
+        f"WITH {truth}, {pred}, "
+        "m AS (SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth, "
+        "CAST((SELECT COUNT(*) FROM pred) AS BIGINT) AS n_pred, "
+        "CAST((SELECT COUNT(*) FROM truth t JOIN pred p "
+        "ON p.a = t.a AND p.b = t.b) AS BIGINT) AS tp) "
+        "SELECT n_truth, n_pred, tp, "
+        "FLOOR((CAST(tp AS DOUBLE) / n_pred)*1e6 + 0.5)/1e6 AS precision_, "
+        "FLOOR((CAST(tp AS DOUBLE) / n_truth)*1e6 + 0.5)/1e6 AS recall_ "
+        "FROM m"
+    )
+
+
+@register(
+    "q234_sketch_agreement_audit",
+    None,  # assembled at import end (needs corpus_shaping loaded)
+    doc="Sketch cross-validation: SimHash multiprobe pairs (Hamming "
+        "<= 1, the q114 operator) scored as a PREDICTOR of the "
+        "MinHash-verified truth set (LSH candidates at exact Jaccard "
+        ">= 0.5, the q74 chain) - pairwise precision/recall.  This is "
+        "the measurement that picks WHICH sketch gates a 100 TB dedup "
+        "run: both pair sets are graph-sized (band-join / probe-join "
+        "outputs, never corpus^2), the intersection is one join on "
+        "(a, b), and the verdict is a 1-row aggregate.  Counts are "
+        "exact integers; precision/recall are single exact-int "
+        "divisions, bit-identical cross-engine.",
+    tags=("dedup", "llm", "audit"),
+)
+def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shingles = dedup.doc_shingles(d)
+    cand = dedup.minhash_lsh_candidates(
+        d, k=_llm._K, bands=_llm._BANDS, shingles=shingles)
+    truth = (
+        dedup.jaccard_pairs_arrays(cand, dedup.doc_shingle_arrays(d))
+        .filter(F.col("jac") >= 0.5)
+        .select("a", "b")
+    )
+    pred = dedup.simhash_multiprobe_pairs(d, bits=16).select("a", "b")
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    np_ = pred.agg(F.count("*").cast("bigint").alias("n_pred"))
+    tp = (
+        truth.join(pred, ["a", "b"])
+        .agg(F.count("*").cast("bigint").alias("tp"))
+    )
+    from tidb_gateway_spark.functions import stable_round
+
+    return (
+        nt.crossJoin(np_).crossJoin(tp)
+        .select(
+            "n_truth", "n_pred", "tp",
+            stable_round(
+                F.col("tp").cast("double") / F.col("n_pred"), 6)
+            .alias("precision_"),
+            stable_round(
+                F.col("tp").cast("double") / F.col("n_truth"), 6)
+            .alias("recall_"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q235
+_Q235_ORACLE_TMPL = None  # assembled below
+
+
+def _q235_oracle() -> str:
+    near = (
+        f"{_llm._DDB_SHINGLES}, {_llm._DDB_SIGS}, {_llm._DDB_BANDS}, "
+        f"{_llm._DDB_CAND_CHAIN}, "
+        "ver AS (SELECT t.a, t.b FROM inter t "
+        "JOIN sizes sa ON sa.doc_id = t.a JOIN sizes sb ON sb.doc_id = t.b "
+        "WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5), "
+        "edges AS (SELECT a AS u, b AS v FROM ver UNION SELECT b, a FROM ver), "
+        "walk(n, m) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+        "UNION SELECT e.u, w.m FROM edges e JOIN walk w ON w.n = e.v), "
+        "cl AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM walk GROUP BY n)"
+    )
+    return (
+        f"WITH RECURSIVE {near}, "
+        "ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) "
+        "SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_raw, "
+        "CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_exact, "
+        "CAST(SUM(CASE WHEN e.doc_id IS NOT NULL AND "
+        "(cl.doc_id IS NULL OR cl.cluster_id = d.doc_id) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_final "
+        "FROM documents d LEFT JOIN ex e ON e.doc_id = d.doc_id "
+        "LEFT JOIN cl ON cl.doc_id = d.doc_id "
+        "GROUP BY d.source ORDER BY d.source"
+    )
+
+
+@register(
+    "q235_dedup_waterfall",
+    None,  # assembled at import end
+    doc="Per-source dedup waterfall: raw doc count -> exact-dedup "
+        "survivors (min doc_id per md5(text)) -> near-dup canonical "
+        "survivors (docs that are their connected-component canonical "
+        "or unclustered, intersected with the exact stage) - the "
+        "marginal-removal report every curation run publishes per "
+        "crawl/feed.  The exact stage shuffles only (md5, doc_id); "
+        "the near stage reuses the q72/q74/q101 candidate-verify-CC "
+        "machinery (graph-sized); survivor flags come back as two "
+        "doc_id equi-joins and ONE per-source aggregate.  Cluster "
+        "canonicals always survive the exact stage (the cluster min "
+        "is its own text-hash group's min), so the stage order is "
+        "well-defined.",
+    tags=("dedup", "llm", "audit"),
+)
+def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ex = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("ex_keep"))
+    )
+    shingles = dedup.doc_shingles(d)
+    cand = dedup.minhash_lsh_candidates(
+        d, k=_llm._K, bands=_llm._BANDS, shingles=shingles)
+    ver = (
+        dedup.jaccard_pairs_arrays(cand, dedup.doc_shingle_arrays(d))
+        .filter(F.col("jac") >= 0.5)
+        .select("a", "b")
+    )
+    cl = dedup.connected_components(ver)
+    flags = (
+        d.select("doc_id", "source")
+        .join(ex, "doc_id", "left")
+        .join(cl, "doc_id", "left")
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_raw"),
+            F.sum(F.when(F.col("ex_keep").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_exact"),
+            F.sum(F.when(
+                F.col("ex_keep").isNotNull()
+                & (F.col("cluster_id").isNull()
+                   | (F.col("cluster_id") == F.col("doc_id"))), 1)
+                .otherwise(0))
+            .cast("bigint").alias("n_final"),
+        )
+        .orderBy("source")
+    )
+
+
+# Assemble the composite oracles now that both sketch chains exist
+# (QuerySpec is frozen — swap via dataclasses.replace, the q115 way).
+import dataclasses as _dc  # noqa: E402
+
+from tidb_gateway_spark.queries.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["q234_sketch_agreement_audit"] = _dc.replace(
+    _REG["q234_sketch_agreement_audit"], oracle=_q234_oracle())
+_REG["q235_dedup_waterfall"] = _dc.replace(
+    _REG["q235_dedup_waterfall"], oracle=_q235_oracle())

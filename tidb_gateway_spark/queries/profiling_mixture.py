@@ -1,0 +1,233 @@
+"""Q232–Q233: table profiling and mixture-budget solving.
+
+The reference relays these workloads as opaque SQL to its backends
+(/root/reference/gateway/relay.go:47-66); each is declared here as a
+DataFrame plan with a DuckDB oracle twin.
+
+Scale design notes (100 TB):
+
+* q232 (table profile) computes every column's null count, exact
+  distinct count, and canonical min/max in ONE aggregate pass; Spark
+  plans the multi-distinct through an Expand with partial (map-side)
+  distinct aggregation, so the shuffle carries per-partition distinct
+  partials, not raw rows.  The long-form reshape is row-local
+  (stack over the single 1-row aggregate).
+* q233 (budget waterfill) reduces the corpus once (per-source token
+  supplies), then the entire solver — ranking, prefix sums, segment
+  search, allocation — runs on the |sources|-row frame: window
+  functions over metadata, no second corpus pass, no iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tidb_gateway_spark.catalog import load_table
+from tidb_gateway_spark.functions import stable_round
+from tidb_gateway_spark.operators.partitioning import ensure_min_partitions
+from tidb_gateway_spark.queries.registry import register
+
+# ---------------------------------------------------------------- Q232
+# Canonical renderings so min/max cross the engine boundary stably:
+# bigints as-is, doubles as cents (bigint), timestamps as ISO date
+# strings — native double/timestamp→string formatting differs between
+# engines.
+_Q232_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)", None),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)", None),
+    ("o_orderstatus", "o_orderstatus", None),
+    ("o_totalprice",
+     "CAST(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS VARCHAR)",
+     "cents"),
+    ("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d')", None),
+    ("o_orderpriority", "o_orderpriority", None),
+]
+
+_Q232_ORACLE = (
+    "WITH c AS (SELECT "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS nn_{i}, "
+        f"CAST(COUNT(DISTINCT {name}) AS BIGINT) AS nd_{i}, "
+        f"MIN({canon}) AS mn_{i}, MAX({canon}) AS mx_{i}"
+        for i, (name, canon, _) in enumerate(_Q232_COLS)
+    )
+    + " FROM orders) "
+    + " UNION ALL ".join(
+        f"SELECT '{name}' AS column_name, nn_{i} AS n_nulls, "
+        f"nd_{i} AS n_distinct, mn_{i} AS min_s, mx_{i} AS max_s FROM c"
+        for i, (name, _, _) in enumerate(_Q232_COLS)
+    )
+    + " ORDER BY column_name"
+)
+
+
+@register(
+    "q232_table_profile",
+    _Q232_ORACLE,
+    doc="One-pass table profiler (the ANALYZE/data-catalog surface as "
+        "a declared query): per column, null count, EXACT distinct "
+        "count, and canonical min/max — doubles canonicalized to "
+        "cents and timestamps to ISO strings so the renderings are "
+        "engine-stable.  ONE aggregate pass: Spark plans the "
+        "multi-distinct via Expand with partial distinct aggregation "
+        "(the shuffle carries per-partition distinct partials, not "
+        "raw rows); the long-form reshape is a row-local stack over "
+        "the 1-row aggregate.",
+    tags=("governance", "statistics"),
+)
+def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = ensure_min_partitions(load_table(spark, sf_dir, "orders"))
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    canon = {
+        "o_orderkey": F.col("o_orderkey").cast("string"),
+        "o_custkey": F.col("o_custkey").cast("string"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_totalprice": cents.cast("string"),
+        "o_orderdate": F.date_format("o_orderdate", "yyyy-MM-dd"),
+        "o_orderpriority": F.col("o_orderpriority"),
+    }
+    aggs = []
+    for i, (name, _, _) in enumerate(_Q232_COLS):
+        c = F.col(name)
+        aggs += [
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint")
+            .alias(f"nn_{i}"),
+            F.countDistinct(c).cast("bigint").alias(f"nd_{i}"),
+            F.min(canon[name]).alias(f"mn_{i}"),
+            F.max(canon[name]).alias(f"mx_{i}"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', nn_{i}, nd_{i}, mn_{i}, mx_{i}"
+        for i, (name, _, _) in enumerate(_Q232_COLS)
+    )
+    return (
+        one.select(F.expr(
+            f"stack({len(_Q232_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_s, max_s)"))
+        .orderBy("column_name")
+    )
+
+
+# ---------------------------------------------------------------- Q233
+# Budget = 60% of total token supply (basis points, exact integer).
+_Q233_BUDGET_BPS = 6000
+
+_Q233_ORACLE = (
+    "WITH sup AS (SELECT source, CAST(SUM(len(list_filter("
+    "string_split(trim(text), ' '), x -> x <> ''))) AS BIGINT) AS supply "
+    "FROM documents WHERE trim(text) <> '' GROUP BY source), "
+    # weights: rank by (supply DESC, source), w_s = rank / R
+    "rk AS (SELECT source, supply, CAST(ROW_NUMBER() OVER "
+    "(ORDER BY supply DESC, source) AS BIGINT) AS rank FROM sup), "
+    "tot AS (SELECT CAST(SUM(rank) AS BIGINT) AS r_tot, "
+    "CAST(SUM(supply) AS BIGINT) AS s_tot FROM rk), "
+    f"b AS (SELECT CAST(s_tot * {_Q233_BUDGET_BPS} / 10000 AS BIGINT) "
+    "AS budget, r_tot FROM tot), "
+    # saturation ratio r_s = supply_s / w_s = supply_s * R / rank_s
+    "seg AS (SELECT rk.source, rk.supply, rk.rank, b.budget, b.r_tot, "
+    "CAST(rk.supply AS DOUBLE) * b.r_tot / rk.rank AS r, "
+    "CAST(COALESCE(SUM(rk.supply) OVER w, 0) AS BIGINT) AS p_prev, "
+    "CAST(COALESCE(SUM(rk.rank) OVER w, 0) AS BIGINT) AS c_prev "
+    "FROM rk CROSS JOIN b WINDOW w AS ("
+    "ORDER BY CAST(rk.supply AS DOUBLE) * b.r_tot / rk.rank, rk.source "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+    # water level candidate for the segment ending at this row:
+    # t = (B - P_{k-1}) * R / (R - C_{k-1}); feasible iff it lands in
+    # (r_{k-1}, r_k]
+    "cand AS (SELECT *, "
+    "CAST(budget - p_prev AS DOUBLE) * r_tot / (r_tot - c_prev) AS t, "
+    "LAG(r) OVER (ORDER BY r, source) AS r_prev FROM seg), "
+    "lvl AS (SELECT MIN(t) AS t_star FROM cand "
+    "WHERE t <= r AND (r_prev IS NULL OR t > r_prev)) "
+    "SELECT s.source, s.supply, s.rank AS weight_rank, "
+    "FLOOR(LEAST(CAST(s.supply AS DOUBLE), "
+    "s.rank * l.t_star / s.r_tot)*10000 + 0.5)/10000 AS alloc_tokens, "
+    "(CASE WHEN s.r <= l.t_star THEN 1 ELSE 0 END) AS saturated "
+    "FROM seg s CROSS JOIN lvl l ORDER BY s.source"
+)
+
+
+@register(
+    "q233_mixture_waterfill",
+    _Q233_ORACLE,
+    doc="Token-budget waterfilling: given per-source token supplies, "
+        "target mixture weights (rank-proportional), and a total "
+        "budget (60% of supply), find the water level t where "
+        "Σ min(supply_s, w_s·t) = budget and allocate — sources that "
+        "can't fill their share saturate and the excess redistributes "
+        "to the rest.  This is the mixture SOLVER (q97/q151/q198 "
+        "apply fixed rates/budgets; this computes them).  Closed form, "
+        "no iteration: sort sources by saturation ratio supply/w, "
+        "prefix sums give each segment's candidate level "
+        "t_k = (B − P_{k−1})·R/(R − C_{k−1}), and exactly one lands "
+        "inside its segment.  ONE corpus pass builds the supplies; "
+        "the whole solver runs on the |sources|-row frame.  All "
+        "inputs to every double are exact integers with one "
+        "multiply/divide chain, so both engines compare bit-identical "
+        "doubles.",
+    tags=("llm", "sampling", "corpus"),
+)
+def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    t = F.trim(F.col("text"))
+    sup = (
+        d.filter(t != "")
+        .select("source", F.size(F.split(t, " +")).cast("bigint").alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("supply"))
+    )
+    rk = sup.select(
+        "source", "supply",
+        F.row_number().over(
+            Window.orderBy(F.desc("supply"), "source")).cast("bigint")
+        .alias("rank"),
+    )
+    tot = Window.partitionBy()
+    b = rk.select(
+        "source", "supply", "rank",
+        F.sum("rank").over(tot).cast("bigint").alias("r_tot"),
+        (F.sum("supply").over(tot) * _Q233_BUDGET_BPS / 10000)
+        .cast("bigint").alias("budget"),
+    )
+    r = F.col("supply").cast("double") * F.col("r_tot") / F.col("rank")
+    wseg = (
+        Window.orderBy(r, "source")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = b.select(
+        "source", "supply", "rank", "r_tot", "budget", r.alias("r"),
+        F.coalesce(F.sum("supply").over(wseg), F.lit(0)).cast("bigint")
+        .alias("p_prev"),
+        F.coalesce(F.sum("rank").over(wseg), F.lit(0)).cast("bigint")
+        .alias("c_prev"),
+    )
+    wlag = Window.orderBy("r", "source")
+    cand = seg.select(
+        "*",
+        ((F.col("budget") - F.col("p_prev")).cast("double") * F.col("r_tot")
+         / (F.col("r_tot") - F.col("c_prev"))).alias("t"),
+        F.lag("r").over(wlag).alias("r_prev"),
+    )
+    lvl = (
+        cand.filter(
+            (F.col("t") <= F.col("r"))
+            & (F.col("r_prev").isNull() | (F.col("t") > F.col("r_prev"))))
+        .agg(F.min("t").alias("t_star"))
+    )
+    alloc = F.least(
+        F.col("supply").cast("double"),
+        F.col("rank") * F.col("t_star") / F.col("r_tot"))
+    return (
+        seg.crossJoin(F.broadcast(lvl))
+        .select(
+            "source", "supply", F.col("rank").alias("weight_rank"),
+            stable_round(alloc, 4).alias("alloc_tokens"),
+            F.when(F.col("r") <= F.col("t_star"), 1).otherwise(0)
+            .alias("saturated"),
+        )
+        .orderBy("source")
+    )
