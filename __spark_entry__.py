@@ -83,6 +83,14 @@ _CHANGED_FIRST = (
     "q233_mixture_waterfill",
     "q234_sketch_agreement_audit",
     "q235_dedup_waterfall",
+    "q236_ks_two_sample",
+    "q237_auc_mann_whitney",
+    "q238_decile_lift_table",
+    "q239_quality_rule_waterfall",
+    "q240_weighted_median",
+    "q241_centroid_affinity_matrix",
+    "q242_top_p_mass_cap",
+    "q243_trimmed_winsorized_means",
 )
 
 # Queries whose latest green certification predates the current code

@@ -670,3 +670,66 @@ def test_q233_waterfill_one_corpus_exchange(spark, sf_dir):
     tree = _plan_tree(text)
     # solver joins are broadcast (1-row level, sources-row seg)
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_q237_auc_aggregates_before_ranking(spark, sf_dir):
+    """AUC must reduce to per-distinct-score counts BEFORE any ordering
+    window — exactly one corpus-sized hash exchange (the score
+    groupBy); the cumulative window then runs over the aggregated
+    frame, never a raw-row global rank."""
+    df = REGISTRY["q237_auc_mann_whitney"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    score_exchanges = [
+        ln for ln in _hash_exchange_args(text) if "score" in ln
+    ]
+    assert len(score_exchanges) == 1, text
+    tree = _plan_tree(text)
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_q239_waterfall_single_scan_no_explode(spark, sf_dir):
+    """The rule waterfall is ONE corpus scan with row-local HOF flags
+    and ONE aggregate — no explode/Generate may appear BELOW the
+    aggregate (a words explode would multiply the corpus token-wise;
+    the stack() reshape above the 1-row aggregate plans as Generate
+    and is fine) and no join anywhere."""
+    df = REGISTRY["q239_quality_rule_waterfall"].spark(spark, sf_dir)
+    tree = _plan_tree(inspect.explain_formatted(df))
+    assert tree.count("Scan parquet") == 1, tree
+    below_agg = tree[tree.index("HashAggregate"):]
+    assert "Generate" not in below_agg, tree
+    assert "Join" not in tree, tree
+
+
+def test_q243_trim_window_over_aggregated_frame(spark, sf_dir):
+    """Trimmed/winsorized means: the (group, value) aggregate must come
+    BEFORE the cumulative window (aggregate-then-window form) — the
+    plan has exactly one orders scan and the first exchange below it is
+    the (pr, cents) hash exchange with partial aggregation."""
+    df = REGISTRY["q243_trimmed_winsorized_means"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    tree = _plan_tree(text)
+    assert tree.count("Scan parquet") == 1, tree
+    # the tree prints top-down, so "below the window" = after it in the
+    # string: the (pr, cents) partial+final aggregate pair must appear
+    # between the last Window node and the scan
+    below_windows = tree[tree.rindex("Window"):]
+    assert below_windows.count("HashAggregate") >= 2, tree
+
+
+def test_q238_decile_no_single_partition_window(spark, sf_dir):
+    """The decile assignment uses the two-pass global_ntile — no
+    SinglePartition exchange may touch raw embedding rows (the only
+    allowed single-partition stages operate on aggregated frames)."""
+    df = REGISTRY["q238_decile_lift_table"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    tree = _plan_tree(text)
+    # embeddings scan feeds a hash/round-robin exchange, not a global
+    # sort: no rangepartitioning over the raw score column
+    range_exchanges = [
+        ln for ln in text.splitlines()
+        if ln.strip().startswith("Arguments: rangepartitioning")
+        and "score" in ln
+    ]
+    assert not range_exchanges, text
+    assert tree.count("Scan parquet") >= 1, tree
