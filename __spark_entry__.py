@@ -28,87 +28,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # is PRIORITY-ORDERED (tuple position, not qid) and more than ~50
 # entries means the tail defers to the next round by design.
 _CHANGED_FIRST = (
-    # Tier 0 — round 8 fixes/reworks, riskiest first.  Entering r8 the
-    # backlog was exactly q190 (the only r7 red — driver canonicalizer
-    # crash on raw array columns) plus whatever r8 changes
-    # (VERDICT r7 directive 7).  All entries pass the in-repo
+    # Tier 0 — round 9 fixes/reworks, riskiest first (VERDICT r8
+    # directives 2 and 5).  All entries pass the in-repo
     # driver-faithful oracle diff at sf0.01 before queueing here.
-    "q190_array_function_bank",    # r8: array outputs serialized via
-                                   # array_join — the r7 driver red
-    "q183_trigram_langid_confusion",  # r8: trained model persisted as
-                                   # mtime-keyed derived companion;
-                                   # declared query = score job only
-    "q211_semantic_dedup_cells",   # r8: shared _neardup_keep with
-                                   # int64-overflow guard (object-int
-                                   # fallback for open tau_bps)
-    "q209_neardup_pagerank",       # r8: tracked_persist LRU + driver-
-                                   # branch untrack after collect
-    "q114_simhash_multiprobe_pairs",  # r8: signature persist now
-                                   # tracked (bounded session cache)
-    "q122_ttr_quality_battery",    # r8: cl via concat_ws(words) —
-                                   # shares the split through CSE
-                                   # (1.75→1.05 s sf1); translate was
-                                   # single-space-only anyway
-    "q194_dup_ngram_coverage",     # r8: ONE doc_id exchange feeds both
-                                   # groupBys (1.88→1.61 s sf1)
-    "q205_bucketed_join_roundtrip",  # r8: catalog name keys on derived
-                                   # root too (stale-LOCATION guard)
-    "q208_ann_recall_eval",        # r8: probe cache key drops id(spark)
-    "q75_cosine_nearest_neighbor",  # r8: same cache-key change
-    "q76_ann_lsh_bucket",          # r8: same cache-key change
-    "q94_ivf_ann",                 # r8: same cache-key change
-    "q95_int8_quantized_topk",     # r8: same cache-key change
-    # Tier 1 — NEW registry entries this round (round 8) append below;
-    # tier 0 + tier 1 must stay <= ~45 so the window drains completely
-    # with slots to spare (test_cert_window.py enforces the arithmetic).
-    "q214_bm25_retrieval",
-    "q220_inverted_index_roundtrip",
-    "q215_source_js_divergence",
-    "q216_heaps_vocab_growth",
-    "q217_neardup_triangle_census",
-    "q218_gdpr_cascade_audit",
-    "q219_exact_group_median",
-    "q221_name_similarity_join",
-    "q222_seeded_epoch_shuffle",
-    "q223_interval_bucket_join",
-    "q224_incremental_cluster_merge_audit",
-    "q225_compaction_roundtrip",
-    "q226_zipf_slope",
-    "q227_basket_pair_affinity",
-    "q228_replica_divergence_audit",
-    "q229_containment_neardup",
-    "q230_grouped_ols_trend",
-    "q231_markov_transition_matrix",
-    "q232_table_profile",
-    "q233_mixture_waterfill",
-    "q234_sketch_agreement_audit",
-    "q235_dedup_waterfall",
-    "q236_ks_two_sample",
-    "q237_auc_mann_whitney",
-    "q238_decile_lift_table",
-    "q239_quality_rule_waterfall",
-    "q240_weighted_median",
-    "q241_centroid_affinity_matrix",
-    "q242_top_p_mass_cap",
-    "q243_trimmed_winsorized_means",
+    "q214_bm25_retrieval",         # r9: query-term table carries dfc —
+                                   # the vocabulary-sized
+                                   # broadcast(dfreq) join deleted
+    "q220_inverted_index_roundtrip",  # r9: dictionary prefix-
+                                   # partitioned (no coalesce(1)
+                                   # single-task write); top-3 probe
+                                   # via TakeOrdered, not global Window
+    # Tier 1 — NEW registry entries this round (round 9) append below
+    # AS THEY LAND; tier 0 + tier 1 must stay <= ~20 so the rotation
+    # block gets its budgeted >=25 slots (test_cert_window.py enforces
+    # the arithmetic).
 )
 
-# Queries whose latest green certification predates the current code
-# (changed after their last driver run, or last certified in r1/r2
-# before unrelated shared-operator rewrites landed).  These rotate
-# through the window right after the changed set; the freshly-certified
-# (r4) block sorts last.
-_STALE_CERT = tuple(
-    f"q{n:02d}" for n in (
-        # oldest remaining certs: q01–q07 (r2/r3 on unchanged code),
-        # the r3-certified operator families, and anything the r5
-        # loader/shared-code changes could plausibly touch.
-        *range(1, 8),             # q01–q07
-        *range(10, 19),           # q10–q18 joins: r3
-        *range(22, 26), 27, 28, 30,  # aggs: r3
-        38, 39, *range(41, 51),   # sorts/sets/scalars: r3
-        72, 74, 75, 92,           # dedup/similarity r3 certs
-    )
+# CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6): queries whose
+# latest green driver certification is oldest (r2–r4 cohort, code
+# unchanged — the in-repo oracle diff covers them at HEAD, but the
+# driver's canonicalizer is the ground truth and has caught what the
+# sim missed, q190).  PRIORITY-ORDERED oldest-cert-first; ~30 slots per
+# round, the tail defers to the next round by design.
+_STALE_CERT = (
+    # r2 cohort (1)
+    "q92_pii_pattern_scan",
+    # r3 cohort (27) — joins, aggs, sorts/sets, scalars
+    "q10_inner_equijoin", "q11_multiway_join", "q12_left_outer_join",
+    "q13_right_outer_join", "q14_full_outer_join", "q15_left_semi_join",
+    "q17_cross_join", "q18_theta_join", "q22_tpch_q1_agg",
+    "q23_global_agg", "q24_count_distinct", "q25_having", "q27_rollup",
+    "q28_cube", "q30_statistical_aggs", "q38_multikey_sort", "q39_topk",
+    "q41_union_all", "q42_union_distinct", "q43_intersect", "q44_except",
+    "q45_distinct", "q46_string_basics", "q47_pad_position",
+    "q48_regex_match", "q49_date_extract", "q50_date_trunc",
+    # r4 cohort (33) — fills whatever window remains; next round's
+    # rotation starts from wherever this one's window ran out
+    "q08_case_when", "q09_cast_groupby", "q100_pmi_collocations",
+    "q19_range_predicate_join", "q32_rank_dense_rank", "q37_ntile",
+    "q51_date_arith", "q52_math_funcs", "q54_array_access",
+    "q55_array_dot_product", "q60_exact_dedup_hash",
+    "q61_dedup_keep_first", "q62_neardup_prefix_candidates",
+    "q63_similarity_topk", "q64_tokenize_tf",
+    "q65_profile_by_lang_source", "q66_embedding_label_stats",
+    "q77_lang_id_heuristic", "q78_quality_score_histogram",
+    "q79_token_count_stats", "q80_fingerprint_rolling_hash",
+    "q81_multimodal_decode_stub", "q82_deterministic_split",
+    "q83_hash_sample_per_stratum", "q84_corpus_statistics",
+    "q85_length_percentiles", "q88_topk_per_group",
+    "q89_embedding_centroids", "q90_incremental_dedup_anti_join",
+    "q93_embedding_neardup_pairs", "q96_sequence_packing",
+    "q97_mixture_resample", "q99_tfidf_top_terms",
 )
 
 
@@ -123,6 +93,7 @@ def _ordered_qids() -> list[str]:
     from tidb_gateway_spark.queries import REGISTRY
 
     changed_rank = {qid: i for i, qid in enumerate(_CHANGED_FIRST)}
+    stale_rank = {qid: i for i, qid in enumerate(_STALE_CERT)}
 
     def sort_key(qid: str) -> tuple[int, int, str]:
         if qid in changed_rank:
@@ -130,8 +101,9 @@ def _ordered_qids() -> list[str]:
             # so the certified window covers exactly the highest-stakes
             # entries (see the tier comments above).
             return (0, changed_rank[qid], qid)
-        if qid[:3] in _STALE_CERT:
-            return (1, 0, qid)
+        if qid in stale_rank:
+            # oldest-cert-first: the rotation refreshes the r2–r4 cohort
+            return (1, stale_rank[qid], qid)
         return (2, 0, qid)
 
     return sorted(REGISTRY, key=sort_key)

@@ -4,6 +4,8 @@ and iterate until it's the plan you'd want')."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from tidb_gateway_spark.catalog import load_table
@@ -558,15 +560,92 @@ def test_q220_postings_scan_is_partition_pruned(spark, sf_dir):
                for ln in text.splitlines()), text
 
 
+def _broadcast_subtree_ids(tree: str) -> list[list[int]]:
+    """Node-id lists of each BroadcastExchange subtree in the numbered
+    tree section (children = following lines with strictly deeper
+    indentation).  Ids index the details section via ``(N) NodeName``."""
+    lines = tree.splitlines()
+
+    def parse(ln: str):
+        m = re.search(r"([A-Za-z][A-Za-z ]*?)\s*\((\d+)\)\s*$", ln)
+        if not m:
+            return None
+        name = m.group(1).strip()
+        return len(ln) - len(ln.lstrip(" :+-*")), name, int(m.group(2))
+
+    parsed = [parse(ln) for ln in lines]
+    subtrees = []
+    for i, p in enumerate(parsed):
+        if p is None or "BroadcastExchange" not in p[1]:
+            continue
+        base, ids = p[0], [p[2]]
+        for q in parsed[i + 1:]:
+            if q is None or q[0] <= base:
+                break
+            ids.append(q[2])
+        subtrees.append(ids)
+    return subtrees
+
+
+def _node_details(text: str) -> dict[int, str]:
+    """Map node id → its detail block from a formatted explain."""
+    blocks: dict[int, list[str]] = {}
+    cur = None
+    for ln in text.split("\n\n", 1)[-1].splitlines():
+        m = re.match(r"\((\d+)\) [A-Za-z]", ln)
+        if m:
+            cur = int(m.group(1))
+            blocks[cur] = []
+        elif cur is not None:
+            blocks[cur].append(ln)
+    return {k: "\n".join(v) for k, v in blocks.items()}
+
+
+def test_q220_dictionary_write_is_multi_task(spark, sf_dir):
+    """The dictionary write must be prefix-partitioned (multi-task) —
+    never a coalesce(1) single file: the dictionary is vocabulary-sized
+    at 100 TB (r8 verdict What's-wrong #2)."""
+    import os
+
+    from tidb_gateway_spark.queries.retrieval_curation import _q220_index
+
+    path = _q220_index(spark, sf_dir)
+    dict_dir = os.path.join(path, "dict")
+    pfx_dirs = [d for d in os.listdir(dict_dir) if d.startswith("pfx=")]
+    assert len(pfx_dirs) > 1, sorted(os.listdir(dict_dir))
+
+
 def test_q214_query_terms_broadcast(spark, sf_dir):
-    """BM25's query-term and df tables must broadcast (nothing
-    query×corpus-sized shuffles) and no Python stage appears — the
-    scoring is whole-stage-codegen'd JVM arithmetic."""
+    """BM25's broadcast sides must be BOUNDED: the 1-row N/avgdl scalars
+    and the rn<=5 query-term table (which CARRIES its dfc).  A broadcast
+    subtree holding a per-token aggregate (Keys = [w]) with no Window
+    bound above it is the vocabulary-sized dfreq broadcast — 10^8+ rows
+    at 100 TB, driver OOM (the r8 verdict's one scale-killer)."""
     df = REGISTRY["q214_bm25_retrieval"].spark(spark, sf_dir)
     text = inspect.explain_formatted(df)
     assert "BroadcastHashJoin" in text, text
     assert "CartesianProduct" not in text, text
     assert "BatchEvalPython" not in text, text
+    tree = _plan_tree(text)
+    details = _node_details(text)
+    subs = _broadcast_subtree_ids(tree)
+    assert subs, tree
+    names = {
+        int(m.group(2)): m.group(1).strip()
+        for m in re.finditer(
+            r"([A-Za-z][A-Za-z ]*?)\s*\((\d+)\)\s*$", tree, flags=re.M)
+    }
+    for ids in subs:
+        has_window = any(names.get(i) == "Window" for i in ids)
+        vocab_agg = any(
+            names.get(i, "").startswith("HashAggregate")
+            and re.search(r"Keys \[1\]: \[w#", details.get(i, ""))
+            for i in ids
+        )
+        assert not (vocab_agg and not has_window), (
+            "unbounded vocabulary-sized broadcast (per-token aggregate "
+            f"without a Window bound): nodes {ids}\n{tree}"
+        )
 
 
 def test_q222_epoch_topk_is_take_ordered(spark, sf_dir):

@@ -51,6 +51,19 @@ def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
     return df
 
 
+def clear_tracked(blocking: bool = False) -> None:
+    """Unpersist every tracked plan and empty the registry — the bench
+    harness calls this between queries so one query's cache pressure
+    cannot tax the next (r8 verdict What's-wrong #3: q114 read 8.86 s
+    after a 15-minute suite vs 1.25 s clean on identical code)."""
+    while _tracked:
+        _, victim = _tracked.popitem(last=False)
+        try:
+            victim.unpersist(blocking)
+        except Exception:
+            pass
+
+
 def untrack(df: DataFrame, blocking: bool = False) -> None:
     """Unpersist now (data fully consumed — e.g. collected driver-side)
     and drop the registry entry."""

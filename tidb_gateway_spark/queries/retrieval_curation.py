@@ -119,12 +119,17 @@ def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl")))
 
     rn = Window.orderBy(F.desc("dfc"), "w")
+    # the query-term table CARRIES its dfc: q is derived from dfreq, so
+    # re-joining broadcast(dfreq) would broadcast the full corpus
+    # vocabulary (10^8+ rows at 100 TB — driver OOM); keeping dfc on the
+    # rn-bounded 5-row table makes every broadcast side genuinely
+    # query-sized (the q152 lesson: broadcast the model-sized side only)
     q = (
         dfreq.crossJoin(F.broadcast(n))
         .filter(F.col("dfc") * 2 <= F.col("n_docs"))
         .select("w", "dfc", F.row_number().over(rn).alias("rn"))
         .filter(F.col("rn") <= _Q214_NTERMS)
-        .select("w")
+        .select("w", "dfc")
     )
 
     idf = F.log(
@@ -136,7 +141,6 @@ def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(q), "w")
-        .join(F.broadcast(dfreq), "w")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(n))
         .groupBy("doc_id")
@@ -692,9 +696,11 @@ _Q220_ORACLE = (
 def _q220_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Build (once per fixture) the inverted-index companion:
     ``dict/`` = (w, dfc) + a meta.json carrying n_docs;
-    ``postings/`` = (w, doc_id) parquet PARTITIONED BY first-char
-    prefix, so a probe reads only its prefix directories.  Returns
-    the companion root path."""
+    ``postings/`` = (w, doc_id) parquet.  BOTH are PARTITIONED BY
+    first-char prefix — a probe reads only its prefix directories and
+    neither write has a single-task (coalesce(1)) stage, since the
+    dictionary is vocabulary-sized at 100 TB.  Returns the companion
+    root path."""
     import hashlib
     import json
     import os
@@ -702,7 +708,8 @@ def _q220_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     from tidb_gateway_spark.sources import derived
 
     src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
-    key = hashlib.md5(f"invidx|{src}".encode()).hexdigest()[:16]
+    # v2: dictionary prefix-partitioned (layout change ⇒ key bump)
+    key = hashlib.md5(f"invidx-v2|{src}".encode()).hexdigest()[:16]
     path = derived.derived_path("invidx", key)
     if not derived.is_fresh(path, src, marker="meta.json"):
         d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
@@ -711,9 +718,14 @@ def _q220_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
         def build(tmp: str) -> None:
             os.makedirs(tmp, exist_ok=True)
+            # dictionary is vocabulary-sized (10^8+ rows at 100 TB) —
+            # prefix-partition it like the postings so the build has no
+            # single-task stage and term lookups prune to one directory
             (td.groupBy("w").agg(F.count("*").alias("dfc"))
-             .coalesce(1)
+             .select(F.substring("w", 1, 1).alias("pfx"), "w", "dfc")
+             .repartition("pfx")
              .write.mode("overwrite")
+             .partitionBy("pfx")
              .parquet(os.path.join(tmp, "dict")))
             (td.select(F.substring("w", 1, 1).alias("pfx"), "w", "doc_id")
              .repartition("pfx")
@@ -759,12 +771,14 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
         json.load(f)  # meta carries n_docs for df-relative probe rules
 
     dct = spark.read.parquet(os.path.join(path, "dict"))
-    rn = Window.orderBy(F.desc("dfc"), "w")
+    # global top-3 by df via orderBy().limit() — TakeOrdered (partial
+    # top-k per partition + driver merge), never a one-task global
+    # window over the vocabulary-sized dictionary
     probes = [
         r["w"]
-        for r in dct
-        .select("w", F.row_number().over(rn).alias("rn"))
-        .filter(F.col("rn") <= _Q220_NPROBE)
+        for r in dct.select("w", "dfc")
+        .orderBy(F.desc("dfc"), "w")
+        .limit(_Q220_NPROBE)
         .collect()
     ]
     post = spark.read.parquet(os.path.join(path, "postings"))
