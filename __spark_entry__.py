@@ -42,6 +42,14 @@ _CHANGED_FIRST = (
     # AS THEY LAND; tier 0 + tier 1 must stay <= ~20 so the rotation
     # block gets its budgeted >=25 slots (test_cert_window.py enforces
     # the arithmetic).
+    "q244_streaming_index_maintenance",
+    "q245_grouped_weighted_percentiles",
+    "q246_char_entropy_buckets",
+    "q247_source_lang_mutual_information",
+    "q248_cross_source_dup_matrix",
+    "q249_block_jackknife_ci",
+    "q250_embedding_norm_drift",
+    "q251_seasonal_anomaly_residual",
 )
 
 # CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6): queries whose

@@ -636,15 +636,19 @@ def test_q214_query_terms_broadcast(spark, sf_dir):
             r"([A-Za-z][A-Za-z ]*?)\s*\((\d+)\)\s*$", tree, flags=re.M)
     }
     for ids in subs:
-        has_window = any(names.get(i) == "Window" for i in ids)
+        bounded = any(
+            names.get(i) in ("Window", "TakeOrderedAndProject")
+            or "GlobalLimit" in names.get(i, "")
+            for i in ids
+        )
         vocab_agg = any(
             names.get(i, "").startswith("HashAggregate")
             and re.search(r"Keys \[1\]: \[w#", details.get(i, ""))
             for i in ids
         )
-        assert not (vocab_agg and not has_window), (
+        assert not (vocab_agg and not bounded), (
             "unbounded vocabulary-sized broadcast (per-token aggregate "
-            f"without a Window bound): nodes {ids}\n{tree}"
+            f"without a top-k/Window bound): nodes {ids}\n{tree}"
         )
 
 

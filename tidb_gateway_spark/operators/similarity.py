@@ -70,7 +70,10 @@ def brute_force_topk(
 
 def cosine_nn_arrow(corpus: DataFrame, probes: list[tuple[int, list[float]]],
                     id_col: str = "nn", vec_col: str = "ce",
-                    metric: str = "cosine") -> DataFrame:
+                    metric: str = "cosine",
+                    cell_col: str | None = None,
+                    probe_cells: dict[int, list[int]] | None = None,
+                    ) -> DataFrame:
     """Exact nearest neighbor of each probe over the corpus, via
     Arrow-batched numpy (``mapInPandas``) with per-batch partial argmax.
     ``metric``: "cosine" (default) or "dot" (inner product — the IVF
@@ -89,6 +92,14 @@ def cosine_nn_arrow(corpus: DataFrame, probes: list[tuple[int, list[float]]],
     place interpreted JVM higher-order functions lose by ~20× to
     vectorized BLAS, and the Arrow batch transfer amortizes the Python
     boundary.  Returns (qid, nn, cs) — one row per probe.
+
+    ``cell_col``/``probe_cells``: optional per-probe candidate masking
+    for IVF-style probing — rows whose ``cell_col`` value is not in
+    ``probe_cells[qid]`` are excluded from that probe's argmax.  This
+    lets ALL probes ride ONE scan of the union of their probed cells
+    (one matmul pass, one shuffle) instead of one per-probe job each —
+    q208's per-probe plan ran 10 separate Arrow jobs (6.2 → ~1.5 s at
+    sf1).
     """
     import numpy as np
 
@@ -96,6 +107,10 @@ def cosine_nn_arrow(corpus: DataFrame, probes: list[tuple[int, list[float]]],
     p_norm = np.sqrt((P * P).sum(axis=0))
     qids = [int(q) for q, _ in probes]
     use_cosine = metric == "cosine"
+    cells_of = (
+        {int(q): np.array(sorted(cs)) for q, cs in probe_cells.items()}
+        if probe_cells is not None else None
+    )
 
     def partial_nn(batches):
         import pandas as pd
@@ -105,6 +120,7 @@ def cosine_nn_arrow(corpus: DataFrame, probes: list[tuple[int, list[float]]],
                 continue
             M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             ids = pdf[id_col].to_numpy()
+            cells = pdf[cell_col].to_numpy() if cells_of is not None else None
             S = M @ P
             if use_cosine:
                 c_norm = np.sqrt((M * M).sum(axis=1))
@@ -113,13 +129,16 @@ def cosine_nn_arrow(corpus: DataFrame, probes: list[tuple[int, list[float]]],
             for j, qid in enumerate(qids):
                 col = S[:, j].copy()
                 col[ids == qid] = -np.inf  # exclude self-match
+                if cells is not None:
+                    col[~np.isin(cells, cells_of[qid])] = -np.inf
                 mx = col.max()
                 if mx == -np.inf:
                     continue
                 rows.append((qid, int(ids[col == mx].min()), float(mx)))
             yield pd.DataFrame(rows, columns=["qid", "nn", "cs"])
 
-    partials = corpus.select(id_col, vec_col).mapInPandas(
+    proj = [id_col, vec_col] + ([cell_col] if cell_col else [])
+    partials = corpus.select(*proj).mapInPandas(
         partial_nn, schema="qid long, nn long, cs double"
     )
     best = partials.groupBy("qid").agg(

@@ -30,5 +30,7 @@ try:  # extended ops (Q72+) — registered when present
     from tidb_gateway_spark.queries import affinity_integrity  # noqa: F401
     from tidb_gateway_spark.queries import profiling_mixture  # noqa: F401
     from tidb_gateway_spark.queries import quality_eval  # noqa: F401
+    from tidb_gateway_spark.queries import streaming_retrieval  # noqa: F401
+    from tidb_gateway_spark.queries import distribution_quality  # noqa: F401
 except ImportError:
     pass

@@ -1428,22 +1428,21 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("embedding").alias("ce"))
     exact = cosine_nn_arrow(corpus, probes, metric="dot").select("qid", "nn")
 
-    # IVF side: each probe scans only its own probed cells — score it
-    # per probe over the `cell IN (probe's cells)` partition-pruned
-    # subset, then union the ≤|probes| single-row results.
-    per_probe = []
+    # IVF side: ALL probes ride ONE partition-pruned scan of the union
+    # of their probed cells, with each probe's candidate set enforced by
+    # the per-probe cell mask inside the Arrow kernel — one matmul pass,
+    # one shuffle (the per-probe-job form ran 10 separate Arrow jobs:
+    # 6.2 → ~1.5 s at sf1).
     qmap: dict[int, list[int]] = {}
     for qid, cid in qcells:
         qmap.setdefault(qid, []).append(cid)
-    for qid, qe in probes:
-        cand = idx.filter(F.col("cell").isin(qmap[qid])).select(
-            F.col("vec_id").alias("nn"), F.col("embedding").alias("ce"))
-        per_probe.append(
-            cosine_nn_arrow(cand, [(qid, qe)], metric="dot")
-            .select("qid", "nn"))
-    ivf = per_probe[0]
-    for p in per_probe[1:]:
-        ivf = ivf.unionByName(p)
+    all_cells = sorted({c for cs in qmap.values() for c in cs})
+    cand = idx.filter(F.col("cell").isin(all_cells)).select(
+        F.col("vec_id").alias("nn"), F.col("embedding").alias("ce"),
+        "cell")
+    ivf = cosine_nn_arrow(
+        cand, probes, metric="dot", cell_col="cell", probe_cells=qmap,
+    ).select("qid", "nn")
 
     j = exact.join(ivf.withColumnRenamed("nn", "ivf_nn"), "qid")
     hit = (F.col("nn") == F.col("ivf_nn")).cast("long")

@@ -67,15 +67,18 @@ _Q232_ORACLE = (
 @register(
     "q232_table_profile",
     _Q232_ORACLE,
-    doc="One-pass table profiler (the ANALYZE/data-catalog surface as "
-        "a declared query): per column, null count, EXACT distinct "
+    doc="Table profiler (the ANALYZE/data-catalog surface as a "
+        "declared query): per column, null count, EXACT distinct "
         "count, and canonical min/max — doubles canonicalized to "
         "cents and timestamps to ISO strings so the renderings are "
-        "engine-stable.  ONE aggregate pass: Spark plans the "
-        "multi-distinct via Expand with partial distinct aggregation "
-        "(the shuffle carries per-partition distinct partials, not "
-        "raw rows); the long-form reshape is a row-local stack over "
-        "the 1-row aggregate.",
+        "engine-stable.  Shape: one COLUMN-PRUNED aggregate branch per "
+        "column, unioned — each branch's parquet scan reads exactly "
+        "one column and its distinct shuffle carries that column's "
+        "per-partition distinct partials.  The single-aggregate "
+        "multi-distinct alternative Expands every row ×(columns+1) "
+        "with ALL columns materialized — measured 4.5 s vs 1.3 s at "
+        "sf1; at 100 TB the Expand form shuffles 7× the table while "
+        "this form shuffles Σ|distinct values| per column.",
     tags=("governance", "statistics"),
 )
 def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,27 +92,21 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate": F.date_format("o_orderdate", "yyyy-MM-dd"),
         "o_orderpriority": F.col("o_orderpriority"),
     }
-    aggs = []
-    for i, (name, _, _) in enumerate(_Q232_COLS):
+    prof = None
+    for name, _, _ in _Q232_COLS:
         c = F.col(name)
-        aggs += [
+        part = o.select(name).agg(
             F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint")
-            .alias(f"nn_{i}"),
-            F.countDistinct(c).cast("bigint").alias(f"nd_{i}"),
-            F.min(canon[name]).alias(f"mn_{i}"),
-            F.max(canon[name]).alias(f"mx_{i}"),
-        ]
-    one = o.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{name}', nn_{i}, nd_{i}, mn_{i}, mx_{i}"
-        for i, (name, _, _) in enumerate(_Q232_COLS)
-    )
-    return (
-        one.select(F.expr(
-            f"stack({len(_Q232_COLS)}, {stack_args}) AS "
-            "(column_name, n_nulls, n_distinct, min_s, max_s)"))
-        .orderBy("column_name")
-    )
+            .alias("n_nulls"),
+            F.countDistinct(c).cast("bigint").alias("n_distinct"),
+            F.min(canon[name]).alias("min_s"),
+            F.max(canon[name]).alias("max_s"),
+        ).select(
+            F.lit(name).alias("column_name"),
+            "n_nulls", "n_distinct", "min_s", "max_s",
+        )
+        prof = part if prof is None else prof.unionByName(part)
+    return prof.orderBy("column_name")
 
 
 # ---------------------------------------------------------------- Q233

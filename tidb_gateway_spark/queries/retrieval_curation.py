@@ -12,9 +12,10 @@ DataFrame plan with a DuckDB oracle twin.
 Scale design notes (100 TB):
 
 * q214 (BM25) joins the corpus-sized TF table against a BROADCAST
-  query-term table; df/N/avgdl ride 1-row broadcasts.  Nothing
-  query×corpus sized shuffles — the exchanges carry (doc, term) hit
-  rows and the per-doc score aggregate.
+  query-term table that CARRIES its df (the vocabulary-sized dfreq
+  table is never broadcast — r9 fix); N/avgdl ride 1-row broadcasts.
+  Nothing query×corpus sized shuffles — the exchanges carry
+  (doc, term) hit rows and the per-doc score aggregate.
 * q215 (JS divergence) restricts to a top-K corpus vocabulary
   (metadata-sized), so every exchange after the one tokenize pass is
   |V|- or |sources|-sized.
@@ -111,25 +112,37 @@ _Q214_ORACLE = (
 def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     tok = _tok(d)
-    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # EVERYTHING derives from the tf aggregate (dl = Σ tf per doc ≡ the
+    # raw token count), and tf is PERSISTED for the life of the query:
+    # it feeds four consumers (scoring probe, dfreq, dl, avgdl) and
+    # column pruning specializes each copy's projection, which breaks
+    # exchange-reuse canonical equality — without the persist the plan
+    # tokenizes the corpus 4-5× (measured: 2.2 → 0.9 s at sf1).  tf IS
+    # the inverted-index table (q220 serves the materialized form); at
+    # 100 TB this cache is the index build, spillable to disk.
+    from tidb_gateway_spark.operators.cache import tracked_persist
+
+    tf = tracked_persist(
+        tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf")))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("w").agg(F.count("*").alias("dfc"))
     n = d.agg(
         F.count("*").cast("double").alias("n_docs")
     ).crossJoin(dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl")))
 
-    rn = Window.orderBy(F.desc("dfc"), "w")
     # the query-term table CARRIES its dfc: q is derived from dfreq, so
     # re-joining broadcast(dfreq) would broadcast the full corpus
     # vocabulary (10^8+ rows at 100 TB — driver OOM); keeping dfc on the
-    # rn-bounded 5-row table makes every broadcast side genuinely
-    # query-sized (the q152 lesson: broadcast the model-sized side only)
+    # bounded 5-row table makes every broadcast side genuinely
+    # query-sized (the q152 lesson: broadcast the model-sized side only).
+    # Top-NTERMS via orderBy().limit() = TakeOrdered — never a one-task
+    # global Window over the vocabulary.
     q = (
         dfreq.crossJoin(F.broadcast(n))
         .filter(F.col("dfc") * 2 <= F.col("n_docs"))
-        .select("w", "dfc", F.row_number().over(rn).alias("rn"))
-        .filter(F.col("rn") <= _Q214_NTERMS)
         .select("w", "dfc")
+        .orderBy(F.desc("dfc"), "w")
+        .limit(_Q214_NTERMS)
     )
 
     idf = F.log(
@@ -201,21 +214,30 @@ _Q215_ORACLE = (
     tags=("llm", "text", "audit", "statistics"),
 )
 def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.cache import tracked_persist
+
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     t = F.trim(F.col("text"))
     tok = (
         d.filter(t != "")
         .select("source", F.explode(F.split(t, " +")).alias("w"))
     )
-    rn = Window.orderBy(F.desc("c"), "w")
+    # ONE tokenize pass: the (source, w) count table feeds both the
+    # vocabulary selection and the per-source distribution; it is
+    # persisted because column pruning specializes each consumer's
+    # projection and breaks exchange-reuse (the q214 lesson — without
+    # it the corpus tokenizes twice).  |sources × vocab|-sized.
+    sw_all = tracked_persist(
+        tok.groupBy("source", "w").agg(F.count("*").alias("c")))
+    # corpus top-V vocabulary via orderBy().limit() = TakeOrdered —
+    # never a one-task global Window over the vocabulary
     v = (
-        tok.groupBy("w").agg(F.count("*").alias("c"))
-        .select("w", F.row_number().over(rn).alias("rn"))
-        .filter(F.col("rn") <= _Q215_V)
+        sw_all.groupBy("w").agg(F.sum("c").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(_Q215_V)
         .select("w")
     )
-    sw = tok.join(F.broadcast(v), "w").groupBy("source", "w").agg(
-        F.count("*").alias("c"))
+    sw = sw_all.join(F.broadcast(v), "w")
     st = sw.groupBy("source").agg(F.sum("c").alias("t"))
     cw = sw.groupBy("w").agg(F.sum("c").alias("cw"))
     ct = sw.agg(F.sum("c").alias("ct"))
