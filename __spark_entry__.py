@@ -38,6 +38,18 @@ _CHANGED_FIRST = (
                                    # partitioned (no coalesce(1)
                                    # single-task write); top-3 probe
                                    # via TakeOrdered, not global Window
+    "q208_ann_recall_eval",        # r9: all IVF probes in ONE pruned
+                                   # Arrow pass (per-probe cell mask)
+    "q215_source_js_divergence",   # r9: one tokenize via persisted
+                                   # (source, w) counts; TakeOrdered
+    "q232_table_profile",          # r9: per-column pruned aggregate
+                                   # branches, not a 7x Expand
+    "q185_label_noise_audit",      # r9: Arrow matmul distance kernel
+                                   # with per-batch label partials
+    "q240_weighted_median",        # r9: rides the range-bucketed
+                                   # grouped_weighted_percentiles
+    "q165_session_cooccurrence",   # r9: sessionized (user, sid, type)
+                                   # persisted across the self-join
     # Tier 1 — NEW registry entries this round (round 9) append below
     # AS THEY LAND; tier 0 + tier 1 must stay <= ~20 so the rotation
     # block gets its budgeted >=25 slots (test_cert_window.py enforces

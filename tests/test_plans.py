@@ -358,12 +358,16 @@ def test_q183_literal_inset_score_no_join_no_rowudf(spark, sf_dir):
     assert "BatchEvalPython" not in text and "PythonUDF" not in text, text
 
 
-def test_q185_centroid_join_broadcasts(spark, sf_dir):
-    """The (labels × dims) centroid table is fixed-size model state —
-    it must broadcast onto the exploded-dimension stream, never
-    shuffle the N·d dimension rows to meet it."""
+def test_q185_distance_pass_partially_aggregates(spark, sf_dir):
+    """The Arrow distance kernel must emit per-batch per-label partials
+    (≤|labels| rows per batch) into a final label aggregate — the
+    shuffle never carries N·|labels| distance rows."""
     df = REGISTRY["q185_label_noise_audit"].spark(spark, sf_dir)
-    assert inspect.has_broadcast_join(df)
+    text = inspect.explain_formatted(df)
+    assert "MapInPandas" in text, text
+    tree = _plan_tree(text)
+    # the aggregate consumes the kernel's partials: agg above the map
+    assert tree.index("HashAggregate") < tree.index("MapInPandas"), tree
 
 
 def test_q181_histogram_minmax_broadcasts(spark, sf_dir):

@@ -348,3 +348,75 @@ def grouped_exact_median(df: DataFrame, group_col: str, value_col: str,
         )
         .select(group_col, "n", "median_raw")
     )
+
+
+def grouped_weighted_percentiles(df: DataFrame, group_col: str,
+                                 value_col: str, weight_col: str,
+                                 pcts: list[int],
+                                 num_partitions: int | None = None,
+                                 ) -> DataFrame:
+    """Exact per-group WEIGHTED percentile vector without per-group
+    sorts — :func:`grouped_exact_median` generalized to integer
+    weights and multiple percentiles (the P99-SLA shape).
+
+    The aggregate-then-window form (cumulative weights over the
+    (group, value) frame, ``Window.partitionBy(group)``) is exact but
+    sorts each group's distinct values in ONE task — for a near-unique
+    value column that is the whole group single-task again.  This form
+    restores full parallelism:
+
+    1. aggregate to (group, value) weight sums — ONE data exchange;
+    2. range-bucket the value with literal boundaries (stats-cached,
+       exactness never depends on them) and aggregate per-(group,
+       bucket) weight sums — a metadata-sized table whose windows give
+       each bucket's starting weight offset;
+    3. for each percentile p, exactly ONE bucket per group contains
+       the crossing point (100·off < p·W ≤ 100·(off+wn)); join rows
+       against the union of target buckets — every other row dies at
+       the broadcast join;
+    4. the lower weighted percentile (min v with 100·cumw ≥ p·W, the
+       q240/q245 contract) falls out of a bucket-local cumulative
+       window.  All predicates exact-integer.
+
+    Returns (group_col, w_total, p<pct>...) with the value column's
+    type preserved.
+    """
+    parts = num_partitions or session_parallelism(df.sparkSession)
+    g = (
+        df.groupBy(group_col, value_col)
+        .agg(F.sum(weight_col).cast("bigint").alias("_wv"))
+    )
+    g = g.withColumn("_bucket", _bucket_expr(g, (value_col, False), parts))
+    cnt = g.groupBy(group_col, "_bucket").agg(F.sum("_wv").alias("_wn"))
+    wg = Window.partitionBy(group_col).orderBy("_bucket")
+    wt = Window.partitionBy(group_col)
+    stats = (
+        cnt.withColumn("_off", F.sum("_wn").over(wg) - F.col("_wn"))
+        .withColumn("_tot", F.sum("_wn").over(wt))
+    )
+    cond = None
+    for p in pcts:
+        c = (
+            (100 * F.col("_off") < p * F.col("_tot"))
+            & (p * F.col("_tot") <= 100 * (F.col("_off") + F.col("_wn")))
+        )
+        cond = c if cond is None else (cond | c)
+    targets = stats.filter(cond).select(
+        group_col, "_bucket", "_off", "_tot")
+    wloc = (
+        Window.partitionBy(group_col, "_bucket").orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mid = (
+        g.join(F.broadcast(targets), [group_col, "_bucket"])
+        .withColumn("_cumw", F.sum("_wv").over(wloc) + F.col("_off"))
+    )
+    aggs = [F.max("_tot").cast("bigint").alias("w_total")]
+    for p in pcts:
+        aggs.append(
+            F.min(
+                F.when(100 * F.col("_cumw") >= p * F.col("_tot"),
+                       F.col(value_col))
+            ).alias(f"p{p}")
+        )
+    return mid.groupBy(group_col).agg(*aggs)

@@ -816,7 +816,13 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_s = (gap.isNull() | (gap > _GAP_US)).cast("long")
     run = Window.partitionBy("user_id").orderBy("ts_us", "event_id") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    st = (
+    from tidb_gateway_spark.operators.cache import tracked_persist
+
+    # both self-join sides read st: persist it or the lag+running-sum
+    # sessionization pipeline executes twice (the q214 reuse lesson);
+    # |distinct (user, session, type)| — bounded by events, session-
+    # deduped, spillable
+    st = tracked_persist(
         e.select(
             "user_id", "event_type",
             F.sum(new_s).over(run).alias("sid"),

@@ -89,12 +89,18 @@ _Q245_ORACLE = (
         "the sequence-packing planner's question: at what document "
         "length does the q-fraction of the TOKEN MASS sit?  "
         "Generalizes q240 (single weighted median) to a percentile "
-        "VECTOR in the same single pass: one (group, value) weight-sum "
-        "exchange, one cumulative window over the aggregated frame, "
-        "one crossing-point MIN per percentile (lower weighted "
-        "percentile: min v with 100·cumw ≥ pct·W — exact integers, "
-        "bit-identical cross-engine).  The P99-SLA shape from the r8 "
-        "verdict's next-round list.",
+        "VECTOR in one pass: one (group, value) weight-sum exchange, "
+        "one cumulative window over the aggregated frame, one "
+        "crossing-point MIN per percentile (lower weighted percentile: "
+        "min v with 100·cumw ≥ pct·W — exact integers, bit-identical "
+        "cross-engine).  The window form is CORRECT at scale here "
+        "because the value domain (n_chars) is bounded — the "
+        "aggregated |group × distinct length| frame stays "
+        "metadata-sized at any corpus size; for UNBOUNDED near-unique "
+        "values use operators/rank.grouped_weighted_percentiles (the "
+        "range-bucketed two-pass q240 rides — same algebra, full "
+        "parallelism, equivalence property-tested).  The P99-SLA "
+        "shape from the r8 verdict's next-round list.",
     tags=("statistics", "agg", "llm"),
 )
 def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,12 +110,8 @@ def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("n_chars").alias("v"),
         F.size(F.split(t, " +")).cast("bigint").alias("wt"),
-    )
-    g = (
-        w.filter(F.col("wt") > 0)
-        .groupBy("lang", "v")
-        .agg(F.sum("wt").cast("bigint").alias("wv"))
-    )
+    ).filter(F.col("wt") > 0)
+    g = w.groupBy("lang", "v").agg(F.sum("wt").cast("bigint").alias("wv"))
     wcum = (
         Window.partitionBy("lang").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)

@@ -399,45 +399,35 @@ _Q240_ORACLE = (
         "median (smallest x with cumulative weight >= half the total), "
         "the robust center a billing/pricing audit wants when rows "
         "carry multiplicity.  Complements q219 (unweighted exact "
-        "median).  Scale shape: aggregate to (group, value) weight "
-        "sums FIRST (one hash exchange, map-side combined), then the "
-        "cumulative-weight window and the crossing-point MIN run over "
-        "the aggregated |group x distinct value| frame - no per-row "
-        "ranks, no whole-group single-task sorts.  All weights and "
-        "the crossing predicate 2*cumw >= W are exact integers.",
+        "median).  Scale shape (r9: rides operators/rank."
+        "grouped_weighted_percentiles): aggregate to (group, value) "
+        "weight sums FIRST, bucket offsets from a metadata-sized "
+        "(group, bucket) table, cumulative weights over only the ONE "
+        "target bucket per group — cents is near-unique, so the "
+        "aggregate-then-Window.partitionBy(group) form would sort "
+        "~|group| values in one task (the q219 single-task trap).  "
+        "The crossing predicate 100·cumw >= 50·W ≡ 2·cumw >= W stays "
+        "exact-integer.",
     tags=("statistics", "agg"),
 )
 def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.rank import (
+        grouped_weighted_percentiles,
+    )
+
     li = ensure_min_partitions(load_table(spark, sf_dir, "lineitem"))
-    g = (
-        li.select(
-            F.col("l_returnflag").alias("rf"),
-            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-            .cast("bigint").alias("cents"),
-            F.col("l_quantity").cast("bigint").alias("q"),
-        )
-        .groupBy("rf", "cents")
-        .agg(F.sum("q").cast("bigint").alias("wv"))
+    w = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("q"),
     )
-    wcum = (
-        Window.partitionBy("rf").orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wtot = Window.partitionBy("rf")
-    c = g.select(
-        "rf", "cents",
-        F.sum("wv").over(wcum).cast("bigint").alias("cumw"),
-        F.sum("wv").over(wtot).cast("bigint").alias("w"),
-    )
+    res = grouped_weighted_percentiles(w, "rf", "cents", "q", [50])
     return (
-        c.groupBy("rf")
-        .agg(
-            F.first("w").alias("w_total"),
-            F.min(F.when(2 * F.col("cumw") >= F.col("w"), F.col("cents")))
-            .cast("bigint").alias("wmedian_cents"),
+        res.select(
+            F.col("rf").alias("l_returnflag"), "w_total",
+            F.col("p50").cast("bigint").alias("wmedian_cents"),
         )
-        .select(F.col("rf").alias("l_returnflag"), "w_total",
-                "wmedian_cents")
         .orderBy("l_returnflag")
     )
 
