@@ -50,6 +50,10 @@ _CHANGED_FIRST = (
                                    # grouped_weighted_percentiles
     "q165_session_cooccurrence",   # r9: sessionized (user, sid, type)
                                    # persisted across the self-join
+    "q234_sketch_agreement_audit",  # r9: one full-outer join + one
+                                   # aggregate (was 2x chain re-exec)
+    "q166_three_step_funnel",      # r9: step tables persisted across
+                                   # their count + next-step consumers
     # Tier 1 — NEW registry entries this round (round 9) append below
     # AS THEY LAND; tier 0 + tier 1 must stay <= ~20 so the rotation
     # block gets its budgeted >=25 slots (test_cert_window.py enforces

