@@ -66,6 +66,8 @@ _CHANGED_FIRST = (
     "q249_block_jackknife_ci",
     "q250_embedding_norm_drift",
     "q251_seasonal_anomaly_residual",
+    "q252_embedding_covariance_block",
+    "q253_cohens_kappa",
 )
 
 # CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6): queries whose

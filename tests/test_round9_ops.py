@@ -144,3 +144,32 @@ def test_grouped_weighted_percentiles_matches_naive(spark):
                     exp.append(v)
                     break
         assert got[grp] == tuple(exp), (grp, got[grp], tuple(exp))
+
+
+def test_q252_gram_partials_are_batch_local(spark, sf_dir):
+    """The covariance kernel must shuffle only the long-form partial
+    rows (an aggregate above MapInPandas) — never N·D² exploded
+    pairs."""
+    df = REGISTRY["q252_embedding_covariance_block"].spark(
+        spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    assert "MapInPandas" in text, text
+    assert "Generate" not in text.split("\n\n")[0], text
+
+
+def test_q252_is_symmetric_psd_diagonal(spark, sf_dir):
+    """Variances (diagonal) must be non-negative and the block upper
+    triangular (i <= j) by construction."""
+    rows = REGISTRY["q252_embedding_covariance_block"].spark(
+        spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["i"] <= r["j"], r
+        if r["i"] == r["j"]:
+            assert r["cov"] >= 0, r
+
+
+def test_q253_kappa_bounds(spark, sf_dir):
+    [r] = REGISTRY["q253_cohens_kappa"].spark(spark, sf_dir).collect()
+    assert 0 <= r["po_"] <= 1 and 0 <= r["pe_"] <= 1, r
+    assert -1 <= r["kappa"] <= 1, r

@@ -1,7 +1,8 @@
-"""Q245–Q251: grouped weighted percentiles, character-entropy quality
+"""Q245–Q253: grouped weighted percentiles, character-entropy quality
 gates, mutual-information mixture audits, cross-source duplication
-accounting, distributed confidence intervals, embedding-norm drift, and
-seasonal anomaly detection — round-9 additions to the statistical-eval
+accounting, distributed confidence intervals, embedding-norm drift,
+seasonal anomaly detection, distributed covariance, and
+chance-corrected agreement — round-9 additions to the statistical-eval
 and curation families.
 
 The reference relays these workloads as opaque SQL to its backends
@@ -45,6 +46,13 @@ Scale design notes (100 TB):
   FIRST (one exchange), computes the day-of-week baseline as a window
   over that |types × days| frame, and TakeOrders the top residuals —
   raw events are touched exactly once.
+* q252 (covariance block) emits per-batch gram/sum/count PARTIALS from
+  one Arrow pass (a BLAS d×d matmul per batch, ~150 long-form rows to
+  the shuffle regardless of corpus size); the persisted aggregate
+  feeds the count/sums/gram consumers.
+* q253 (Cohen's kappa) rides q183's certified score job; the
+  |langs|²-row confusion matrix is persisted and every kappa term is
+  an exact-integer aggregate over it.
 """
 
 from __future__ import annotations
@@ -561,3 +569,171 @@ def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.orderBy(
         F.abs(F.col("zscore")).desc(), "event_type", "day"
     ).limit(_Q251_TOP)
+
+
+# ---------------------------------------------------------------- Q252
+_Q252_D = 16  # leading embedding dims profiled (|block| = D(D+1)/2 rows)
+
+_Q252_ORACLE = (
+    "WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+    "UNNEST(CAST(embedding AS DOUBLE[])) AS v FROM embeddings), "
+    f"a AS (SELECT vec_id, CAST(i AS INT) AS i, v FROM ex WHERE i <= {_Q252_D}), "
+    "p AS (SELECT x.i AS i, y.i AS j, SUM(x.v * y.v) AS g "
+    "FROM a x JOIN a y ON y.vec_id = x.vec_id AND y.i >= x.i "
+    "GROUP BY 1, 2), "
+    "m AS (SELECT i, SUM(v) AS s, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM a GROUP BY i) "
+    "SELECT p.i, p.j, "
+    "FLOOR(((p.g - mi.s * mj.s / mi.n) / mi.n) * 1e6 + 0.5) / 1e6 AS cov "
+    "FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j "
+    "ORDER BY p.i, p.j"
+)
+
+
+@register(
+    "q252_embedding_covariance_block",
+    _Q252_ORACLE,
+    doc="Distributed covariance (population) of the leading "
+        f"{_Q252_D} embedding dimensions — the X'X building block of "
+        "PCA/whitening/anisotropy audits over an embedding corpus.  "
+        "Scale shape: ONE Arrow pass; each batch emits its LOCAL gram "
+        "partial (one BLAS d×d matmul), per-dim sums and count as "
+        "D(D+1)/2 + D + 1 long-form rows, so the shuffle carries "
+        "~150 rows per batch regardless of corpus size; cov_ij = "
+        "(ΣG_ij − s_i·s_j/n)/n assembles on the aggregated frame.  "
+        "The JVM alternative (posexplode self-join on vec_id) "
+        "shuffles N·D² rows.  Double-sum divergence is divided by n, "
+        "pushing it ~9 orders below the 1e-6 rounding quantum.",
+    tags=("similarity", "llm", "statistics"),
+)
+def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from tidb_gateway_spark.operators.cache import tracked_persist
+
+    e = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+
+    def gram(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf["embedding"].to_numpy()).astype(
+                np.float64)[:, :_Q252_D]
+            G = M.T @ M
+            s = M.sum(axis=0)
+            rows = [
+                (i + 1, j + 1, float(G[i, j]))
+                for i in range(_Q252_D) for j in range(i, _Q252_D)
+            ]
+            rows += [(i + 1, 0, float(s[i])) for i in range(_Q252_D)]
+            rows.append((0, 0, float(len(M))))
+            yield pd.DataFrame(rows, columns=["i", "j", "v"])
+
+    # the aggregated partial table feeds three consumers (count, sums,
+    # gram) — persist it or each consumer re-runs the corpus pass
+    agg = tracked_persist(
+        e.select("embedding")
+        .mapInPandas(gram, schema="i int, j int, v double")
+        .groupBy("i", "j").agg(F.sum("v").alias("v"))
+    )
+    n = agg.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("v").alias("n"))
+    s = agg.filter((F.col("i") > 0) & (F.col("j") == 0)).select(
+        F.col("i").alias("k"), F.col("v").alias("s"))
+    g = agg.filter(F.col("j") > 0)
+    si = s.select(F.col("k").alias("i"), F.col("s").alias("si"))
+    sj = s.select(F.col("k").alias("j"), F.col("s").alias("sj"))
+    return (
+        g.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i", "j",
+            stable_round(
+                (F.col("v") - F.col("si") * F.col("sj") / F.col("n"))
+                / F.col("n"), 6
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+# ---------------------------------------------------------------- Q253
+def _q253_oracle() -> str:
+    from tidb_gateway_spark.queries.governance import _Q183_ORACLE
+
+    # q183's oracle ends with the confusion-matrix SELECT; wrap it as a
+    # CTE and aggregate the chance-corrected agreement statistic
+    conf_sql = _Q183_ORACLE.replace("ORDER BY lang, pred_lang", "")
+    return (
+        f"WITH conf AS ({conf_sql}), "
+        "r AS (SELECT lang AS k, CAST(SUM(n_docs) AS BIGINT) AS a "
+        "FROM conf GROUP BY 1), "
+        "c AS (SELECT pred_lang AS k, CAST(SUM(n_docs) AS BIGINT) AS b "
+        "FROM conf GROUP BY 1), "
+        "m AS (SELECT COALESCE(a, 0) AS a, COALESCE(b, 0) AS b "
+        "FROM r FULL OUTER JOIN c ON c.k = r.k), "
+        "s AS (SELECT CAST(SUM(a) AS BIGINT) AS n, "
+        "CAST(SUM(a * b) AS BIGINT) AS ab FROM m), "
+        "d AS (SELECT CAST(SUM(CASE WHEN lang = pred_lang THEN n_docs "
+        "ELSE 0 END) AS BIGINT) AS hits FROM conf) "
+        "SELECT s.n, "
+        "FLOOR((CAST(d.hits AS DOUBLE) / s.n) * 1e6 + 0.5) / 1e6 AS po_, "
+        "FLOOR((CAST(s.ab AS DOUBLE) / (CAST(s.n AS DOUBLE) * s.n)) "
+        "* 1e6 + 0.5) / 1e6 AS pe_, "
+        "FLOOR(((CAST(d.hits AS DOUBLE) / s.n "
+        "- CAST(s.ab AS DOUBLE) / (CAST(s.n AS DOUBLE) * s.n)) "
+        "/ (1 - CAST(s.ab AS DOUBLE) / (CAST(s.n AS DOUBLE) * s.n))) "
+        "* 1e6 + 0.5) / 1e6 AS kappa "
+        "FROM s CROSS JOIN d"
+    )
+
+
+@register(
+    "q253_cohens_kappa",
+    _q253_oracle(),
+    doc="Cohen's kappa between the corpus language METADATA and the "
+        "q183 trigram classifier's prediction — chance-corrected "
+        "agreement, the statistic annotation pipelines report instead "
+        "of raw accuracy when label priors are skewed (κ = "
+        "(p_o − p_e)/(1 − p_e), p_e from the margin products).  Scale "
+        "shape: rides q183's certified score job (model = mtime-keyed "
+        "companion, one map-side-combined scan); the confusion matrix "
+        "is persisted (|langs|² rows) and every kappa term is an "
+        "exact-integer aggregate over it — margins via two tiny "
+        "groupBys full-outer-joined so a label missing from either "
+        "side contributes its exact zero product.",
+    tags=("statistics", "llm", "governance"),
+)
+def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.cache import tracked_persist
+    from tidb_gateway_spark.queries import governance
+
+    conf = tracked_persist(governance.q183(spark, sf_dir))
+    r = conf.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("a"))
+    c = conf.groupBy("pred_lang").agg(
+        F.sum("n_docs").cast("bigint").alias("b"))
+    m = r.join(c, r["lang"] == c["pred_lang"], "full_outer").select(
+        F.coalesce("a", F.lit(0)).alias("a"),
+        F.coalesce("b", F.lit(0)).alias("b"),
+    )
+    s = m.agg(
+        F.sum("a").cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("ab"),
+    )
+    d = conf.agg(
+        F.sum(F.when(F.col("lang") == F.col("pred_lang"),
+                     F.col("n_docs")).otherwise(0))
+        .cast("bigint").alias("hits"))
+    po = F.col("hits").cast("double") / F.col("n")
+    pe = F.col("ab").cast("double") / (F.col("n").cast("double")
+                                       * F.col("n"))
+    return s.crossJoin(d).select(
+        "n",
+        stable_round(po, 6).alias("po_"),
+        stable_round(pe, 6).alias("pe_"),
+        stable_round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
