@@ -173,3 +173,28 @@ def test_q253_kappa_bounds(spark, sf_dir):
     [r] = REGISTRY["q253_cohens_kappa"].spark(spark, sf_dir).collect()
     assert 0 <= r["po_"] <= 1 and 0 <= r["pe_"] <= 1, r
     assert -1 <= r["kappa"] <= 1, r
+
+
+def test_semantic_pairs_consistent_with_report(spark, sf_dir):
+    """The blocked pair emitter and the blocked report must agree:
+    per-cell pair counts and dropped (distinct higher-id) counts from
+    the pairs themselves equal the report's aggregates."""
+    from tidb_gateway_spark.catalog import load_table
+    from tidb_gateway_spark.operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.orderBy("vec_id").limit(8).collect()
+    ]
+    assigned = similarity.semantic_cells(e, seeds)
+    pairs = similarity.semantic_neardup_pairs(assigned, tau_bps=3500)
+    got = {
+        r["cell"]: (r["np"], r["nd"])
+        for r in pairs.groupBy("cell").agg(
+            F.count("*").alias("np"),
+            F.countDistinct("b").alias("nd")).collect()
+    }
+    rep = similarity.semantic_dedup_report(assigned, tau_bps=3500)
+    for r in rep.collect():
+        assert got.get(r["cell"], (0, 0)) == (r["n_pairs"], r["n_dropped"]), r

@@ -714,6 +714,65 @@ def _make_neardup_keep(lhs_scale: int, rhs_scale: int):
     return keep_flags
 
 
+def _make_blocked_upper_keep(lhs_scale: int, rhs_scale: int,
+                             target_elems: int = 32_000_000):
+    """Build a generator fn yielding (row_start, keep2d) over ROW
+    BLOCKS of the strict upper triangle of Q·Qᵀ, with the
+    quantized-cosine flag d > 0 AND d²·lhs ≥ rhs·n_i·n_j evaluated
+    2-D-vectorized per block — a 10⁵-vector cell never materializes
+    the m×m gram matrix (≈80 GB) nor triu index arrays (5·10⁹
+    entries); peak memory is one B×m block (B = target_elems/m rows ≈
+    256 MB).  Returned as a NESTED function so cloudpickle serializes
+    it by value into the applyInPandas closures (the
+    _make_neardup_keep contract — a module-level helper pickles by
+    reference and fails on workers that can't import the package).
+
+    EXACTNESS TIERS: |d| ≤ nmax (Cauchy-Schwarz), so every flag term
+    is bounded by nmax²·max(scale).  Under 2^53 all values are exactly
+    representable in float64 — the matmul runs as BLAS dgemm on the
+    integer-VALUED float64 quantized vectors (multi-threaded, ~30×
+    numpy's single-threaded int64 inner loop — the r9b q211 variance
+    was that loop) and the comparisons stay bit-exact integers.  Under
+    2^63, int64 (slow but exact).  Beyond, object ints — never a
+    silent wraparound (property-tested contract)."""
+
+    def blocked_upper_keep(Q, n):
+        import numpy as np
+
+        m = len(Q)
+        bs = max(64, int(target_elems // max(m, 1)))
+        nmax = int(n.max()) if m else 0
+        bound = nmax * nmax * max(lhs_scale, rhs_scale)
+        f64_exact = bound <= 2 ** 53
+        i64_fits = bound <= np.iinfo(np.int64).max
+        Qf = Q.astype(np.float64) if f64_exact else None
+        nf = n.astype(np.float64) if f64_exact else None
+        cols = np.arange(m)
+        for s in range(0, max(m - 1, 0), bs):
+            e = min(s + bs, m)
+            mask = cols[None, :] > np.arange(s, e)[:, None]
+            if f64_exact:
+                Dblk = Qf[s:e] @ Qf.T  # exact int-valued f64 (≤ 2^53)
+                keep = mask & (Dblk > 0) & (
+                    Dblk * Dblk * float(lhs_scale)
+                    >= float(rhs_scale) * nf[s:e, None] * nf[None, :])
+            elif i64_fits:
+                Dblk = Q[s:e] @ Q.T
+                keep = mask & (Dblk > 0) & (
+                    Dblk * Dblk * lhs_scale
+                    >= rhs_scale * n[s:e, None] * n[None, :])
+            else:  # exact unbounded ints
+                d_o = (Q[s:e] @ Q.T).astype(object)
+                n_o = n.astype(object)
+                keep = mask & (d_o > 0) & (
+                    d_o * d_o * lhs_scale
+                    >= rhs_scale * n_o[s:e, None] * n_o[None, :])
+                keep = keep.astype(bool)
+            yield s, keep
+
+    return blocked_upper_keep
+
+
 def semantic_neardup_pairs(assigned: DataFrame, tau_bps: int = 3500,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding") -> DataFrame:
@@ -740,7 +799,7 @@ def semantic_neardup_pairs(assigned: DataFrame, tau_bps: int = 3500,
     g = math.gcd(t2, 10 ** 8)
     lhs_scale = (10 ** 8) // g   # multiplies dot²
     rhs_scale = t2 // g          # multiplies na·nb
-    keep_flags = _make_neardup_keep(lhs_scale, rhs_scale)
+    blocked_keep = _make_blocked_upper_keep(lhs_scale, rhs_scale)
 
     def cell_pairs(pdf):
         import pandas as pd
@@ -758,18 +817,22 @@ def semantic_neardup_pairs(assigned: DataFrame, tau_bps: int = 3500,
         Q = np.floor(
             np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64) * 100
         ).astype(np.int64)
-        D = Q @ Q.T
         n = (Q * Q).sum(axis=1)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        d = D[iu, ju]
-        keep = keep_flags(d, n, iu, ju)
-        if not keep.any():
+        outs_a, outs_b = [], []
+        for s, keep in blocked_keep(Q, n):
+            if keep.any():
+                vr, vc = np.nonzero(keep)  # surviving pairs only
+                outs_a.append(ids[vr + s])
+                outs_b.append(ids[vc])
+        if not outs_a:
             return empty
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
         return pd.DataFrame({
-            "cell": np.full(int(keep.sum()), int(pdf["cell"].iloc[0]),
+            "cell": np.full(len(a), int(pdf["cell"].iloc[0]),
                             dtype="int64"),
-            "a": ids[iu[keep]].astype("int64"),
-            "b": ids[ju[keep]].astype("int64"),
+            "a": a.astype("int64"),
+            "b": b.astype("int64"),
         })
 
     return assigned.groupBy("cell").applyInPandas(
@@ -796,7 +859,7 @@ def semantic_dedup_report(assigned: DataFrame, tau_bps: int = 3500,
     g = math.gcd(t2, 10 ** 8)
     lhs_scale = (10 ** 8) // g
     rhs_scale = t2 // g
-    keep_flags = _make_neardup_keep(lhs_scale, rhs_scale)
+    blocked_keep = _make_blocked_upper_keep(lhs_scale, rhs_scale)
 
     def cell_report(pdf):
         import pandas as pd
@@ -812,16 +875,17 @@ def semantic_dedup_report(assigned: DataFrame, tau_bps: int = 3500,
         Q = np.floor(
             np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64) * 100
         ).astype(np.int64)
-        D = Q @ Q.T
         n = (Q * Q).sum(axis=1)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        d = D[iu, ju]
-        keep = keep_flags(d, n, iu, ju)
+        n_pairs = 0
+        dropped = np.zeros(len(ids), dtype=bool)
+        for s, keep in blocked_keep(Q, n):
+            n_pairs += int(keep.sum())
+            dropped |= keep.any(axis=0)
         return pd.DataFrame({
             "cell": [cell],
             "n_vecs": [len(ids)],
-            "n_pairs": [int(keep.sum())],
-            "n_dropped": [int(np.unique(ju[keep]).size)],
+            "n_pairs": [n_pairs],
+            "n_dropped": [int(dropped.sum())],
         })
 
     return assigned.groupBy("cell").applyInPandas(
