@@ -49,6 +49,11 @@ def vhash(pdf):
 
 qs = mod.queries()
 oracles = mod.oracle_sql()
+# optional argv qid prefixes restrict the run (targeted re-verification
+# after a rework); no args = the full driver-faithful sweep
+if sys.argv[1:]:
+    qs = {q: f for q, f in qs.items()
+          if any(q.startswith(p) for p in sys.argv[1:])}
 print(f"{len(qs)} queries, {len(oracles)} oracles")
 fails = []
 for qid, fn in sorted(qs.items()):

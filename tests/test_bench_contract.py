@@ -63,3 +63,37 @@ def test_bench_final_line_is_short_parseable_summary(
     # the round artifact must be byte-identical after the run
     assert _digest(repo_detail) == before, (
         "pytest run modified the repo's bench_detail.json")
+
+
+def test_bench_only_subset_cannot_clobber_full_detail(
+        spark, monkeypatch, tmp_path, capsys):
+    """A SPARK_GRAFT_BENCH_ONLY subset sweep with no explicit detail
+    path must write bench_detail_subset.json, never the full-suite
+    bench_detail.json (an r9 subset run overwrote the 251-query record
+    with a 4-query stub — VERDICT r9 'What's wrong' #2)."""
+    import shutil
+
+    # run from a scratch copy of the repo root so even a buggy default
+    # path cannot touch the real record
+    bench_src = os.path.join(REPO, "bench.py")
+    scratch = tmp_path / "bench.py"
+    shutil.copy(bench_src, scratch)
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ONLY", "q01")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_RUNS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DUCKDB", "0")
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_DETAIL", raising=False)
+    monkeypatch.setattr("sys.argv", ["bench.py"])
+
+    import runpy
+    ns = runpy.run_path(str(scratch))
+    ns["main"]()
+    capsys.readouterr()
+
+    assert not (tmp_path / "bench_detail.json").exists(), (
+        "subset sweep wrote the full-suite detail filename")
+    subset = tmp_path / "bench_detail_subset.json"
+    assert subset.exists()
+    with open(subset) as f:
+        assert set(json.load(f)["queries"]) == {"q01_parquet_scan_count"}

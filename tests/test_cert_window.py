@@ -102,3 +102,14 @@ def test_ordering_is_stable_and_complete():
     # duplicate priority entries would silently demote a query to its
     # later (lower-priority) rank — forbid them
     assert len(entry._CHANGED_FIRST) == len(set(entry._CHANGED_FIRST))
+    # _STALE_CERT gets the same validation (r9 ADVICE): a typo'd or
+    # renamed qid would silently drop that query from the
+    # certification-refresh rotation to the settled tail
+    unknown = [q for q in entry._STALE_CERT if q not in REGISTRY]
+    assert not unknown, f"_STALE_CERT names unknown qids: {unknown}"
+    assert len(entry._STALE_CERT) == len(set(entry._STALE_CERT))
+    overlap = set(entry._STALE_CERT) & set(entry._CHANGED_FIRST)
+    assert not overlap, (
+        f"qids in both _CHANGED_FIRST and _STALE_CERT (ambiguous "
+        f"priority): {sorted(overlap)}"
+    )

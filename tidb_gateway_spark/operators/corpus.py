@@ -103,12 +103,21 @@ def pmi_bigrams(
     are joins against the vocabulary-sized count table.  Ranking uses
     the rounded PMI with a bigram tie-break (cross-engine stable).
     """
+    from tidb_gateway_spark.operators.cache import tracked_persist
+
     arr = F.filter(
         F.split(F.trim(F.col(text_col)), " "), lambda x: x != F.lit("")
     )
     docs = documents.select(arr.alias("l"))
 
-    uni = (
+    # The corpus is tokenized exactly TWICE (unigram pass, bigram
+    # pass); every downstream consumer rides a PERSISTED aggregate.
+    # The naive plan re-executed the tokenize up to 5× — `uni` feeds
+    # three consumers (u_tot, cx, cy) and column pruning specializes
+    # each copy of the subtree, breaking ReuseExchange (the q214/q215
+    # diamond lesson).  Both persisted frames are aggregate-sized
+    # (|vocab| and |bigram types|), never corpus-sized.
+    uni = tracked_persist(
         docs.select(F.explode("l").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
@@ -121,20 +130,19 @@ def pmi_bigrams(
             )
         ).alias("p")
     )
-    big = (
+    big_all = tracked_persist(
         pairs.select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         .groupBy("x", "y")
         .agg(F.count("*").alias("cxy"))
-        .filter(F.col("cxy") >= min_count)
     )
+    big = big_all.filter(F.col("cxy") >= min_count)
     totals = F.broadcast(
         uni.agg(F.sum("c").cast("double").alias("u_tot")).crossJoin(
-            # bigram total counts every adjacent pair, pre-threshold
-            docs.agg(
-                F.sum(F.greatest(F.size("l") - 1, F.lit(0)))
-                .cast("double")
-                .alias("b_tot")
-            )
+            # bigram total = every adjacent pair, pre-threshold — the
+            # column sum of the persisted bigram table (Σ_doc len-1
+            # over docs with ≥2 tokens equals it term-for-term; len==1
+            # docs contribute 0), so no third corpus pass
+            big_all.agg(F.sum("cxy").cast("double").alias("b_tot"))
         )
     )
 

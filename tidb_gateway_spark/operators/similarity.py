@@ -111,6 +111,16 @@ def cosine_nn_arrow(corpus: DataFrame, probes: list[tuple[int, list[float]]],
         {int(q): np.array(sorted(cs)) for q, cs in probe_cells.items()}
         if probe_cells is not None else None
     )
+    if cells_of is not None:
+        # fail fast on the driver: the Arrow worker indexes
+        # cells_of[qid] per probe, and a missing entry would surface as
+        # an opaque KeyError inside a task retry loop (r9 ADVICE)
+        missing = [q for q in qids if q not in cells_of]
+        if missing:
+            raise ValueError(
+                f"probe_cells missing entries for probe qids {missing}; "
+                f"every probe needs a candidate-cell list when masking "
+                f"is enabled")
 
     def partial_nn(batches):
         import pandas as pd

@@ -361,14 +361,21 @@ _Q113_ORACLE = (
     tags=("llm", "sketch", "agg"),
 )
 def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.cache import tracked_persist
     from tidb_gateway_spark.operators.sketch import kmv_sketch
 
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         F.explode(F.split(F.col("text"), " ")).alias("w")
     ).filter(F.col("w") != "")
-    sk = kmv_sketch(words, "w", _KMV_K)
-    exact = words.agg(F.countDistinct("w").alias("exact"))
+    # ONE tokenize + ONE partial-combined distinct exchange builds the
+    # vocabulary; both the sketch and the exact audit count ride the
+    # persisted |vocab|-sized frame (the naive form exploded and
+    # shuffled the corpus-sized token stream twice — once for the
+    # sketch's distinct, once for countDistinct).
+    vocab = tracked_persist(words.distinct())
+    sk = kmv_sketch(vocab, "w", _KMV_K)
+    exact = vocab.agg(F.count("*").cast("bigint").alias("exact"))
     return sk.crossJoin(exact)
 
 
