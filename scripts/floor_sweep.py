@@ -80,10 +80,125 @@ def _skeleton_q194(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _skeleton_q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q03 minus the arithmetic: the same full-table global sort and
+    6M-row Arrow transfer, projecting a constant instead of computing
+    charge.  If this alone approaches the query, the residual is the
+    sort + driver Arrow materialization, not expression cost."""
+    from tidb_gateway_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", F.lit(0.0).alias("chg")
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def _skeleton_q03_nosort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transfer-only variant: same projection, no global sort —
+    separates the range-exchange cost from the Arrow transfer cost."""
+    from tidb_gateway_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", F.lit(0.0).alias("chg"))
+
+
+def _skeleton_q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q131 minus the window functions: same scan, same user_id
+    exchange + (ts_us, event_id) sort-within-partitions, same sampled
+    filter and final order — no nth_value/lead evaluation."""
+    from tidb_gateway_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "user_id", "ts_us")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+        .filter(F.col("event_id") % 199 == 0)
+        .select("event_id")
+        .orderBy("event_id")
+    )
+
+
+def _skeleton_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20 minus the running-max frame: same user_id exchange +
+    ts_us sort, same purchase filter and event_id order."""
+    from tidb_gateway_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "user_id", "ts_us", "event_type")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts_us")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id")
+        .orderBy("event_id")
+    )
+
+
+def _skeleton_q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q227 minus pair generation and scoring: the basket build alone —
+    lineitem ⋈ broadcast(part) + the one orderkey exchange collecting
+    sorted distinct item sets — reduced to a count."""
+    from tidb_gateway_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("items"))
+        .agg(F.count("*").alias("n"), F.sum(F.size("items")).alias("si"))
+    )
+
+
+def _skeleton_q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q228 minus the two md5 row checksums: same scan, same month
+    aggregate over plain integer expressions."""
+    from tidb_gateway_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        o.select(F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                 cents.alias("ha"))
+        .groupBy("month")
+        .agg(F.count("*").alias("n_rows"), F.sum("ha").alias("ck_a"))
+        .orderBy("month")
+    )
+
+
+def _skeleton_q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q209 minus the power iteration: the MinHash-LSH candidate
+    pipeline alone (the shared q72/q74/q101 machinery), reduced to an
+    edge count — measures how much of q209 is graph construction."""
+    from tidb_gateway_spark.catalog import load_table
+    from tidb_gateway_spark.operators import dedup
+    from tidb_gateway_spark.operators.partitioning import (
+        ensure_min_partitions,
+    )
+    from tidb_gateway_spark.queries.llm_extended import _BANDS, _K
+
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    cand = dedup.minhash_lsh_candidates(d, k=_K, bands=_BANDS)
+    return cand.agg(F.count("*").alias("n_edges"))
+
+
 SKELETONS = {
     "q122_ttr_quality_battery": _skeleton_q122,
     "q134_event_path_prefixes": _skeleton_q134,
     "q194_dup_ngram_coverage": _skeleton_q194,
+    "q03_projection_arithmetic": _skeleton_q03,
+    "q131_nth_value_lead_default": _skeleton_q131,
+    "q20_asof_join": _skeleton_q20,
+    "q227_basket_pair_affinity": _skeleton_q227,
+    "q228_replica_divergence_audit": _skeleton_q228,
+    "q209_neardup_pagerank": _skeleton_q209,
+}
+
+# second skeleton variants, reported as extra fields when present
+EXTRA_SKELETONS = {
+    "q03_projection_arithmetic": {"nosort": _skeleton_q03_nosort},
 }
 
 
@@ -128,6 +243,9 @@ def main() -> None:
         if skel is not None:
             row["skeleton_sec"] = round(best_of(
                 lambda: skel(spark, args.sf_dir).toArrow(), args.runs), 3)
+        for name, extra in EXTRA_SKELETONS.get(qid, {}).items():
+            row[f"skeleton_{name}_sec"] = round(best_of(
+                lambda: extra(spark, args.sf_dir).toArrow(), args.runs), 3)
         row["query_sec"] = round(best_of(
             lambda: spec.spark(spark, args.sf_dir).toArrow(), args.runs), 3)
         row["duckdb_sec"] = round(best_of(

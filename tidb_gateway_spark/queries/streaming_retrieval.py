@@ -1,6 +1,7 @@
-"""Q244: streaming inverted-index maintenance — the write-path
-streaming twin of q220 (VERDICT r8 next-round #7: the one write-path
-family that had no streaming counterpart).
+"""Q244/Q254: streaming index maintenance — the write-path streaming
+twins of q220 (inverted index) and q94 (IVF ANN index) (VERDICT r8
+next-round #7 and r9 next-round #6: the derived-companion families
+that had no streaming counterpart).
 
 A Structured Streaming job consumes document arrivals in micro-batches
 and maintains the q220-style index companion incrementally via
@@ -40,6 +41,7 @@ from pyspark.sql import functions as F
 from tidb_gateway_spark.catalog import load_table
 from tidb_gateway_spark.operators.partitioning import ensure_min_partitions
 from tidb_gateway_spark.queries.registry import register
+from tidb_gateway_spark.queries.llm_extended import _Q94_ORACLE
 from tidb_gateway_spark.queries.retrieval_curation import (
     _Q220_NPROBE,
     _Q220_ORACLE,
@@ -167,3 +169,121 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(_Q220_TOPK)
     )
+
+
+# ---------------------------------------------------------------- Q254
+_Q254_SPLITS = 4
+
+
+def _q254_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per fixture) the STREAM-maintained IVF index: stage
+    the embedding corpus as 4 arrival files, run a Structured Streaming
+    job (file source, maxFilesPerTrigger=1, availableNow) whose
+    foreachBatch assigns each arriving vector to its argmax-inner-
+    product cell and APPENDS it under the cell partition — per-batch
+    immutable segments accumulate inside each cell directory (the same
+    LSM model as q244's postings; the serve path reads them merged).
+
+    Centroids are FROZEN up front (the deterministic seed set q94
+    uses) — the precondition for incremental assignment ≡ batch
+    rebuild.  A production system trains centroids on a bootstrap
+    sample before opening the stream for exactly this reason; centroid
+    refresh is a full re-index (or a cell-split compaction), not a
+    streaming operation.  Returns the companion root path.
+    """
+    import hashlib
+    import json
+    import os
+
+    from tidb_gateway_spark.operators.sampling import hash_bps
+    from tidb_gateway_spark.operators.similarity import (
+        ivf_centroids,
+        with_ivf_cell_arrow,
+    )
+    from tidb_gateway_spark.queries.llm_extended import _IVF_CELLS
+    from tidb_gateway_spark.sources import derived
+
+    src = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    key = hashlib.md5(f"ivf-stream-v1|{src}|{_IVF_CELLS}".encode()).hexdigest()[:16]
+    path = derived.derived_path("ivf_stream", key)
+    if not derived.is_fresh(path, src, marker="meta.json"):
+        cents = ivf_centroids(spark, src, _IVF_CELLS)
+        e = spark.read.parquet(src)
+        schema = e.schema
+
+        def build(tmp: str) -> None:
+            os.makedirs(tmp, exist_ok=True)
+            stage = os.path.join(tmp, "stage")
+            # SIMULATION STAGING (see q244): one file per arrival unit
+            sp = hash_bps(F.col("vec_id"), "q254") % _Q254_SPLITS
+            for i in range(_Q254_SPLITS):
+                (e.filter(sp == i).repartition(1)
+                 .write.mode("append").parquet(stage))
+
+            cell_dir = os.path.join(tmp, "cells")
+            counts: list[int] = []
+
+            def assign(batch: DataFrame, batch_id: int) -> None:
+                # cell assignment is one Arrow matmul per batch against
+                # the frozen centroid matrix; the append is the only
+                # index write — nothing re-reads accumulated segments
+                assigned = with_ivf_cell_arrow(
+                    ensure_min_partitions(batch), cents)
+                (assigned.write.mode("append").partitionBy("cell")
+                 .parquet(cell_dir))
+                counts.append(1)
+
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+                .writeStream.foreachBatch(assign)
+                .option("checkpointLocation", os.path.join(tmp, "chk"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                json.dump({"n_batches": len(counts),
+                           "n_cells": _IVF_CELLS}, f)
+
+        derived.build_atomic(path, build)
+    return path
+
+
+@register(
+    "q254_streaming_ivf_maintenance",
+    _Q94_ORACLE,  # recomputes assignment + probe from raw embeddings
+    doc="Streaming IVF-index maintenance: a Structured Streaming "
+        "foreachBatch job consumes embedding arrivals in 4 "
+        "micro-batches, assigns each vector to its argmax-inner-"
+        "product cell against FROZEN seed centroids (one Arrow matmul "
+        "per batch), and appends immutable per-batch segments under "
+        "the cell partitioning — the LSM model of q244 applied to the "
+        "ANN family.  The declared query serves q94's probe (top-3 by "
+        "inner product over the probe's 2 best cells, partition-"
+        "pruned) from the stream-maintained index; the oracle "
+        "recomputes assignment + probe from raw embeddings, proving "
+        "incremental maintenance ≡ the batch ivf_index rebuild.  "
+        "Write path per batch ∝ batch size; centroid refresh is a "
+        "re-index, not a streaming op (documented tradeoff).",
+    tags=("llm", "similarity", "ann", "streaming", "layout"),
+)
+def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from tidb_gateway_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_query,
+    )
+    from tidb_gateway_spark.queries.llm_extended import (
+        _IVF_CELLS,
+        _IVF_NPROBE,
+    )
+
+    path = _q254_index(spark, sf_dir)
+    idx = spark.read.parquet(os.path.join(path, "cells"))
+    cents = ivf_centroids(
+        spark, os.path.join(sf_dir, "embeddings.parquet"), _IVF_CELLS)
+    return ivf_query(idx, cents, cents[0], k=3, nprobe=_IVF_NPROBE,
+                     exclude_id=0)
