@@ -956,7 +956,8 @@ def test_q209_distributed_path_matches_driver(spark, sf_dir):
     deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("dg"))
     ncnt = deg.agg(F.count("*").cast("double").alias("nn"))
     dist = lx._q209_rank_distributed(edges, deg, ncnt)
-    drv = lx._q209_rank_driver(spark, edges.collect())
+    drv = lx._q209_rank_driver(
+        spark, [(r["src"], r["dst"]) for r in edges.collect()])
 
     def quantized(df, node_col):
         return sorted(

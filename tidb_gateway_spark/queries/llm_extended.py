@@ -1530,14 +1530,15 @@ def _q209_rank_distributed(edges, deg, ncnt) -> DataFrame:
     return r
 
 
-def _q209_rank_driver(spark: SparkSession, edge_rows) -> DataFrame:
+def _q209_rank_driver(spark: SparkSession, edge_pairs) -> DataFrame:
     """Driver-side power iteration for sub-threshold graphs: numpy
     scatter-add over the collected (sorted — collect order is not
-    deterministic) edge list.  Summation-order float deltas vs the
-    oracle are ~1e-15 relative — nine orders under the 1e-9 quantum."""
+    deterministic) edge list of (src, dst) pairs.  Summation-order
+    float deltas vs the oracle are ~1e-15 relative — nine orders under
+    the 1e-9 quantum."""
     import numpy as np
 
-    pairs = sorted((r["src"], r["dst"]) for r in edge_rows)
+    pairs = sorted((s, t) for s, t in edge_pairs)
     nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
     idx = {n: i for i, n in enumerate(nodes)}
     n = len(nodes)
@@ -1588,27 +1589,33 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidb_gateway_spark.operators.cache import tracked_persist, untrack
 
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    cand = dedup.minhash_lsh_candidates(d, k=_K, bands=_BANDS)
-    # Persist the graph: both branches (and every unrolled iteration
-    # of the distributed one) read `edges` — without persistence each
-    # consumer re-runs the whole shingle→minhash→band pipeline (the
-    # q114 diamond lesson; DuckDB needed the same via AS MATERIALIZED).
-    # The edge list is |candidate pairs| × 16 B — graph-sized, never
-    # corpus-sized; tracked so the session's persisted plans stay
-    # bounded (operators/cache.py, r7 ADVICE).
-    edges = tracked_persist(cand.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(
-        cand.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ))
+    # Persist the CANDIDATE PAIRS, not the symmetrized edge union:
+    # persisting after unionAll meant the union's two branches each
+    # re-ran the whole shingle→minhash→band pipeline during the
+    # materializing action (2× pipeline cost — measured 3.9 s vs 2.2 s
+    # for one pass at sf1).  The pair set is |candidate pairs| × 16 B —
+    # graph-sized, never corpus-sized; every edge consumer (driver
+    # collect, or both union branches of the distributed loop) now
+    # reads the cache (the q114 diamond lesson; DuckDB needed the same
+    # via AS MATERIALIZED).
+    cand = tracked_persist(
+        dedup.minhash_lsh_candidates(d, k=_K, bands=_BANDS))
 
-    if edges.count() <= _Q209_DRIVER_EDGES:
-        r = _q209_rank_driver(spark, edges.collect())
+    if cand.count() * 2 <= _Q209_DRIVER_EDGES:
+        # symmetrize driver-side: the pair list is already collected
+        pairs = [(r["a"], r["b"]) for r in cand.collect()]
+        r = _q209_rank_driver(
+            spark, pairs + [(b, a) for a, b in pairs])
         r = r.withColumnRenamed("doc_id", "node")
-        # the driver branch has fully consumed the edge list — drop
+        # the driver branch has fully consumed the pair set — drop
         # the cache entry now instead of at session end
-        untrack(edges)
+        untrack(cand)
     else:
+        edges = cand.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionAll(
+            cand.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
         deg = edges.groupBy("src").agg(
             F.count("*").cast("double").alias("dg"))
         ncnt = deg.agg(F.count("*").cast("double").alias("nn"))
