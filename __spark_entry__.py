@@ -28,46 +28,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # is PRIORITY-ORDERED (tuple position, not qid) and more than ~50
 # entries means the tail defers to the next round by design.
 _CHANGED_FIRST = (
-    # Tier 0 — round 9 fixes/reworks, riskiest first (VERDICT r8
-    # directives 2 and 5).  All entries pass the in-repo
+    # Tier 0 — round 10 fixes/reworks, riskiest first (VERDICT r9
+    # directives 1 and 3).  All entries pass the in-repo
     # driver-faithful oracle diff at sf0.01 before queueing here.
-    "q214_bm25_retrieval",         # r9: query-term table carries dfc —
-                                   # the vocabulary-sized
-                                   # broadcast(dfreq) join deleted
-    "q220_inverted_index_roundtrip",  # r9: dictionary prefix-
-                                   # partitioned (no coalesce(1)
-                                   # single-task write); top-3 probe
-                                   # via TakeOrdered, not global Window
-    "q208_ann_recall_eval",        # r9: all IVF probes in ONE pruned
-                                   # Arrow pass (per-probe cell mask)
-    "q215_source_js_divergence",   # r9: one tokenize via persisted
-                                   # (source, w) counts; TakeOrdered
-    "q232_table_profile",          # r9: per-column pruned aggregate
-                                   # branches, not a 7x Expand
-    "q185_label_noise_audit",      # r9: Arrow matmul distance kernel
-                                   # with per-batch label partials
-    "q240_weighted_median",        # r9: rides the range-bucketed
-                                   # grouped_weighted_percentiles
-    "q165_session_cooccurrence",   # r9: sessionized (user, sid, type)
-                                   # persisted across the self-join
-    "q234_sketch_agreement_audit",  # r9: one full-outer join + one
-                                   # aggregate (was 2x chain re-exec)
-    "q166_three_step_funnel",      # r9: step tables persisted across
-                                   # their count + next-step consumers
-    # Tier 1 — NEW registry entries this round (round 9) append below
+    "q53_json_extract",            # r10: served from the shredded
+                                   # companion (parse at ingest); the
+                                   # oracle still recomputes from raw
+    "q100_pmi_collocations",       # r10: corpus tokenized exactly
+                                   # twice; uni/bigram tables persisted
+    "q113_kmv_distinct_sketch",    # r10: sketch + exact audit both
+                                   # ride one persisted vocabulary
+    "q209_neardup_pagerank",       # r10: candidate pair set persisted
+                                   # BEFORE the symmetrizing union
+    # Tier 1 — NEW registry entries this round (round 10) append below
     # AS THEY LAND; tier 0 + tier 1 must stay <= ~20 so the rotation
     # block gets its budgeted >=25 slots (test_cert_window.py enforces
     # the arithmetic).
-    "q244_streaming_index_maintenance",
-    "q245_grouped_weighted_percentiles",
-    "q246_char_entropy_buckets",
-    "q247_source_lang_mutual_information",
-    "q248_cross_source_dup_matrix",
-    "q249_block_jackknife_ci",
-    "q250_embedding_norm_drift",
-    "q251_seasonal_anomaly_residual",
-    "q252_embedding_covariance_block",
-    "q253_cohens_kappa",
+    "q254_streaming_ivf_maintenance",
 )
 
 # CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6): queries whose
@@ -77,20 +54,8 @@ _CHANGED_FIRST = (
 # sim missed, q190).  PRIORITY-ORDERED oldest-cert-first; ~30 slots per
 # round, the tail defers to the next round by design.
 _STALE_CERT = (
-    # r2 cohort (1)
-    "q92_pii_pattern_scan",
-    # r3 cohort (27) — joins, aggs, sorts/sets, scalars
-    "q10_inner_equijoin", "q11_multiway_join", "q12_left_outer_join",
-    "q13_right_outer_join", "q14_full_outer_join", "q15_left_semi_join",
-    "q17_cross_join", "q18_theta_join", "q22_tpch_q1_agg",
-    "q23_global_agg", "q24_count_distinct", "q25_having", "q27_rollup",
-    "q28_cube", "q30_statistical_aggs", "q38_multikey_sort", "q39_topk",
-    "q41_union_all", "q42_union_distinct", "q43_intersect", "q44_except",
-    "q45_distinct", "q46_string_basics", "q47_pad_position",
-    "q48_regex_match", "q49_date_extract", "q50_date_trunc",
-    # r4 cohort (33) — fills whatever window remains; next round's
-    # rotation starts from wherever this one's window ran out
-    "q08_case_when", "q09_cast_groupby", "q100_pmi_collocations",
+    # r4 cohort (30 remaining after the r9 window ran out; q100 moved
+    # to _CHANGED_FIRST) — oldest certs in the registry
     "q19_range_predicate_join", "q32_rank_dense_rank", "q37_ntile",
     "q51_date_arith", "q52_math_funcs", "q54_array_access",
     "q55_array_dot_product", "q60_exact_dedup_hash",
@@ -105,6 +70,17 @@ _STALE_CERT = (
     "q89_embedding_centroids", "q90_incremental_dedup_anti_join",
     "q93_embedding_neardup_pairs", "q96_sequence_packing",
     "q97_mixture_resample", "q99_tfidf_top_terms",
+    # r5 cohort head (oldest-first by qid; the rest of the r5 cohort —
+    # and then r6 — continues in the r11 rotation from where this
+    # window runs out)
+    "q102_json_extract_shredded", "q105_training_shuffle_shards",
+    "q108_multimodal_feature_extract", "q110_balanced_sample_per_stratum",
+    "q112_hypertable_rollup", "q127_runtime_bloom_filter_join",
+    "q133_gap_fill_locf", "q134_event_path_prefixes",
+    "q135_rolling_distinct_types", "q136_snapshot_diff_cdc",
+    "q137_outlier_flags", "q139_levenshtein_verify",
+    "q140_cohort_retention", "q141_point_in_time_join",
+    "q142_hof_vector_stats",
 )
 
 

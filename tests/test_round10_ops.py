@@ -115,6 +115,20 @@ def test_q113_single_corpus_pass(spark, sf_dir):
     assert "InMemoryTableScan" in text, text
 
 
+def test_q53_variant_parse_equals_shredded_serving(spark, sf_dir):
+    """q53 now serves from the shredded companion; the parse-on-read
+    VARIANT form must stay value-identical (engine-side losslessness
+    check, complementing the oracle's raw-JSON recompute)."""
+    from tidb_gateway_spark.queries.scalar_functions import (
+        _q53_variant_parse,
+    )
+
+    served = REGISTRY["q53_json_extract"].spark(spark, sf_dir)
+    parsed = _q53_variant_parse(spark, sf_dir)
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in parsed.collect()]
+
+
 def test_pmi_b_tot_equals_adjacent_pair_count(spark, sf_dir):
     """The rework derives b_tot as Σ cxy over the pre-threshold bigram
     table; pin the identity b_tot == Σ_docs max(len-1, 0) it replaced."""
