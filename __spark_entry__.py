@@ -45,6 +45,8 @@ _CHANGED_FIRST = (
     # block gets its budgeted >=25 slots (test_cert_window.py enforces
     # the arithmetic).
     "q254_streaming_ivf_maintenance",
+    "q255_grouped_kmv_union_audit",
+    "q256_dedup_rate_drift_monitor",
 )
 
 # CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6): queries whose

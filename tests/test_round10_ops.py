@@ -129,6 +129,54 @@ def test_q53_variant_parse_equals_shredded_serving(spark, sf_dir):
         tuple(r) for r in parsed.collect()]
 
 
+def test_q255_merge_equals_direct_sketch(spark, sf_dir):
+    """The '__all__' row is computed by MERGING per-source sketches;
+    k-min distributivity says it must equal sketching the global
+    vocabulary directly — verify against an independently computed
+    direct sketch."""
+    from tidb_gateway_spark.catalog import load_table
+    from tidb_gateway_spark.queries.drift_monitoring import _Q255_K
+
+    rows = {r["source"]: r for r in REGISTRY[
+        "q255_grouped_kmv_union_audit"].spark(spark, sf_dir).collect()}
+    assert "__all__" in rows
+
+    d = load_table(spark, sf_dir, "documents")
+    direct = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select(F.md5("w").alias("h")).distinct()
+        .orderBy("h").limit(_Q255_K)
+        .agg(F.count("*").alias("k_used"), F.max("h").alias("kth"))
+        .collect()[0]
+    )
+    assert rows["__all__"]["k_used"] == direct["k_used"]
+    assert rows["__all__"]["kth"] == direct["kth"]
+    # per-source sketches are exact when k >= |vocab_source|
+    for src, r in rows.items():
+        if r["k_used"] < _Q255_K:
+            assert r["est"] == r["exact"] == r["k_used"], r
+
+
+def test_q256_rates_and_psi_are_consistent(spark, sf_dir):
+    rows = REGISTRY["q256_dedup_rate_drift_monitor"].spark(
+        spark, sf_dir).collect()
+    assert rows
+    psi_vals = {r["mix_psi"] for r in rows}
+    assert len(psi_vals) == 1  # one global PSI repeated per row
+    for r in rows:
+        assert r["delta_bps"] == r["dup_b_bps"] - r["dup_a_bps"], r
+        assert 0 <= r["dup_a_bps"] <= 10_000 and 0 <= r["dup_b_bps"] <= 10_000
+
+
+def test_q256_single_corpus_scan(spark, sf_dir):
+    """One scan of documents; everything downstream rides the
+    |sources x 2|-sized aggregate."""
+    df = REGISTRY["q256_dedup_rate_drift_monitor"].spark(spark, sf_dir)
+    tree = inspect.explain_formatted(df).split("\n\n")[0]
+    assert _executed_scans(tree) <= 1, tree
+
+
 def test_pmi_b_tot_equals_adjacent_pair_count(spark, sf_dir):
     """The rework derives b_tot as Σ cxy over the pre-threshold bigram
     table; pin the identity b_tot == Σ_docs max(len-1, 0) it replaced."""
