@@ -548,6 +548,42 @@ def test_q210_chunk_exchanges_carry_hashes_not_text(spark, sf_dir):
         if "Exchange hashpartitioning" in line:
             assert "chunk#" not in line, line
     assert "BatchEvalPython" not in text and "PythonUDF" not in text, text
+    # r10 shape: ONE h-exchange serves the distinct AND the
+    # shared-count window (subset clustering) — a second h exchange
+    # means the aggregate+join-back diamond crept back in, which
+    # re-executes the chunk+md5 chain per consumer.
+    h_ex = [ln for ln in text.splitlines()
+            if "hashpartitioning(h#" in ln]
+    assert len(h_ex) == 1, h_ex
+    assert "Window" in _plan_tree(text), text
+
+
+def test_q194_gram_stream_never_shuffles(spark, sf_dir):
+    """The dup-n-gram coverage query's ONE exchange must sit BELOW the
+    shingle Generate and carry document text (bytes(corpus), ~5x
+    smaller than the gram-hash stream): hash-partitioning the doc rows
+    on doc_id satisfies both downstream groupBys via subset
+    clustering, so the exploded gram stream is never exchanged (r10
+    rework; the r8 form shuffled ~n_words x 30 B/doc of gram hashes)."""
+    df = REGISTRY["q194_dup_ngram_coverage"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    tree = _plan_tree(text)
+    lines = tree.splitlines()
+    gen = [i for i, ln in enumerate(lines) if "Generate" in ln]
+    assert len(gen) == 1, tree
+    # deeper lines = earlier in execution; the doc_id exchange must be
+    # below (after, in tree order) the Generate node
+    doc_ex = [ln for ln in text.splitlines()
+              if "hashpartitioning(doc_id#" in ln
+              and "REPARTITION" in ln]
+    assert len(doc_ex) == 1, text
+    # no ENSURE_REQUIREMENTS hash exchange may appear on the gram
+    # stream: the only other exchanges are the tiny bucket aggregate
+    # and the final range sort
+    ensure_ex = [ln for ln in text.splitlines()
+                 if "ENSURE_REQUIREMENTS" in ln
+                 and "hashpartitioning" in ln]
+    assert all("bucket#" in ln for ln in ensure_ex), ensure_ex
 
 
 def test_q220_postings_scan_is_partition_pruned(spark, sf_dir):

@@ -189,21 +189,29 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.1× DuckDB's WHOLE query, so no plan that materializes the
     # gram stream beats ~1.1× — the residual above the floor is one
     # gram-sized exchange + two co-partitioned aggregates.
+    # ONE exchange for the whole query, placed BEFORE the explode
+    # (r10): hash-partitioning the DOCUMENT rows on doc_id satisfies
+    # the ClusteredDistribution of BOTH downstream groupBys (subset
+    # clustering flows through Generate/Project), so the gram stream
+    # never shuffles at all — the exchange carries raw text at
+    # ~bytes(corpus), several times fewer bytes than the r8 form's
+    # gram-hash stream (~n_words × 30 B/doc vs ~600 B/doc of text).
+    # Doc-key skew is bounded by document length, the same bound the
+    # per-doc aggregate itself requires.  The explicit partition count
+    # (session parallelism) keeps doc_shingles' inner
+    # ensure_min_partitions a no-op — a bare repartition("doc_id")
+    # plans shuffle.partitions, which that guard would then wrap in a
+    # round-robin exchange, destroying the hash clustering.
+    from tidb_gateway_spark.operators.partitioning import (
+        session_parallelism,
+    )
+
+    d = d.repartition(session_parallelism(spark), "doc_id")
     g = dedup.doc_shingles(d, n=_Q194_N, distinct=False).select(
         "doc_id",
         F.xxhash64("w").alias("gh"),
         F.length("w").cast("bigint").alias("L"),
     )
-    # ONE exchange for the whole query (r8): hash-partitioning on
-    # doc_id alone satisfies the ClusteredDistribution of BOTH the
-    # (doc, gram) count and the per-doc rollup, so neither groupBy
-    # plans its own shuffle.  Grams are mostly unique within a doc, so
-    # the (doc, gram) partial aggregate barely compressed what its
-    # exchange carried — one gram-sized shuffle beats two (sf1
-    # best-of-5 idle: 1.88 → 1.61 s; scripts/floor_sweep.py).  Doc-key
-    # skew is bounded by document length, the same bound the per-doc
-    # aggregate itself requires.
-    g = g.repartition("doc_id")
     cnt = g.groupBy("doc_id", "gh").agg(
         F.count("*").alias("c"), F.max("L").alias("L"))
     per = cnt.groupBy("doc_id").agg(

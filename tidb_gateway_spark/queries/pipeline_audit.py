@@ -10,11 +10,15 @@ DataFrame plan with a DuckDB oracle twin.
 Scale design notes (100 TB):
 
 * q210 (repeated passages) shuffles only md5 chunk hashes — never
-  chunk text — through two hash exchanges (chunk→doc-count, then the
-  flag join back).  This is RefinedWeb's line-dedup shape with
+  chunk text — through ONE chunk-hash exchange: an explicit
+  repartition(h) satisfies the distinct AND the shared-count window
+  (subset clustering), so the flag is computed in place with no
+  aggregate+join-back diamond (the r10 rework; the old groupBy+join
+  form re-executed the chunk+md5 chain twice and paid two extra
+  h-exchanges).  This is RefinedWeb's line-dedup shape with
   fixed-width 8-token chunks standing in for lines (the fixture corpus
   has no line structure); chunk-hash cardinality grows with the corpus
-  so both exchanges spread evenly.
+  so the exchange spreads evenly.
 * q211 (SemDeDup) is the Abbas-et-al. semantic-dedup contract: cell
   assignment is one Arrow/numpy int64 matmul per batch against a
   metadata-sized seed table, and all-pairs scoring happens only WITHIN
@@ -97,14 +101,28 @@ _Q210_CHUNKS_SQL = (
         "shape with fixed 8-token chunks as the passage unit): chunk "
         "each doc non-overlapping, md5 the chunks, a chunk is SHARED "
         "when ≥2 distinct docs carry it; per-source report of docs "
-        "touched and shared-chunk share in integer bps.  Both "
-        "exchanges carry 32-char hashes only — never passage text — "
-        "so the shuffles stay body-free at corpus scale.",
+        "touched and shared-chunk share in integer bps.  ONE explicit "
+        "h-exchange serves the distinct and the shared-count window "
+        "(subset clustering — the r10 rework; the old groupBy+join "
+        "form re-ran the chunk chain twice); it carries 32-char "
+        "hashes only — never passage text — so the shuffle stays "
+        "body-free at corpus scale.",
     tags=("llm", "dedup", "governance"),
 )
 def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     t = F.trim(F.col("text"))
+    # ONE explicit h-exchange for the whole hash path: hash-partitioning
+    # on h alone satisfies the ClusteredDistribution of the (doc, src,
+    # h) distinct (subset clustering) AND the shared-count window, so
+    # neither plans its own shuffle — and the window computes the flag
+    # in place, with no aggregate+join-back diamond (the old form
+    # re-executed the chunk+md5 chain for each consumer and paid two
+    # extra h-exchanges).  Rows within one h are distinct doc_ids
+    # (doc_id → source is functional), so count(*) over the h
+    # partition equals the oracle's COUNT(DISTINCT doc_id).
+    from pyspark.sql import Window
+
     cd = (
         d.select(
             "doc_id", "source",
@@ -115,16 +133,14 @@ def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source",
                 F.explode(F.expr(_Q210_CHUNKS_SQL)).alias("chunk"))
         .select("doc_id", "source", F.md5("chunk").alias("h"))
+        .repartition("h")
         .distinct()
     )
-    shared = (
-        cd.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h", F.lit(1).alias("f"))
+    fl = cd.select(
+        "doc_id", "source",
+        (F.count("*").over(Window.partitionBy("h")) >= 2)
+        .cast("int").alias("f"),
     )
-    fl = cd.join(shared, "h", "left").select(
-        "doc_id", "source", F.coalesce(F.col("f"), F.lit(0)).alias("f"))
     rep = fl.groupBy("source").agg(
         F.count("*").alias("chunk_rows"),
         F.sum("f").alias("shared_chunk_rows"),
