@@ -142,6 +142,18 @@ def main() -> None:
             run_duckdb = False
     if run_duckdb:
         con = duckdb.connect()
+        # Resource guards for big-SF sweeps (the r6 sf10 sweep lost a
+        # DuckDB oracle to disk-full after ~80 GB of spill): cap the
+        # oracle's memory and spill so an oversized query fails as a
+        # recorded per-query oracle failure instead of taking the host
+        # down.  Unset by default — sf0.1/sf1 sweeps never spill.
+        mem = os.environ.get("SPARK_GRAFT_BENCH_DUCKDB_MEM")
+        if mem:
+            con.execute(f"SET memory_limit='{mem}'")
+        tmp_lim = os.environ.get("SPARK_GRAFT_BENCH_DUCKDB_TEMPLIMIT")
+        if tmp_lim:
+            con.execute("SET temp_directory='.duckdb_bench_tmp'")
+            con.execute(f"SET max_temp_directory_size='{tmp_lim}'")
         for t in (
             "region nation customer supplier part orders lineitem events "
             "documents embeddings".split()
