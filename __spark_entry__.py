@@ -40,6 +40,10 @@ _CHANGED_FIRST = (
                                    # ride one persisted vocabulary
     "q209_neardup_pagerank",       # r10: candidate pair set persisted
                                    # BEFORE the symmetrizing union
+    "q194_dup_ngram_coverage",     # r10 second wave: pre-explode text
+                                   # exchange; gram stream never shuffles
+    "q210_repeated_passage_audit",  # r10 second wave: window-served
+                                   # dup flag rides one h-exchange
     # Tier 1 — NEW registry entries this round (round 10) append below
     # AS THEY LAND; tier 0 + tier 1 must stay <= ~20 so the rotation
     # block gets its budgeted >=25 slots (test_cert_window.py enforces
@@ -47,6 +51,8 @@ _CHANGED_FIRST = (
     "q254_streaming_ivf_maintenance",
     "q255_grouped_kmv_union_audit",
     "q256_dedup_rate_drift_monitor",
+    "q257_ivf_centroid_refresh",   # r10 second wave: exact-Lloyd-step
+                                   # compaction of the q254 stream index
 )
 
 # CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6): queries whose

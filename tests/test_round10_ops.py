@@ -198,3 +198,82 @@ def test_pmi_b_tot_equals_adjacent_pair_count(spark, sf_dir):
         .agg(F.sum("cxy").alias("b")).collect()[0]["b"]
     )
     assert direct == via_pairs
+
+
+def test_q257_refresh_is_exact_lloyd_step(spark, sf_dir):
+    """The refreshed index must equal a brute-force one-Lloyd-step
+    recompute from raw embeddings: quantize, per-seed-cell integer
+    means (floor-divided), integer-dot argmax reassignment."""
+    import numpy as np
+
+    from tidb_gateway_spark.operators.similarity import ivf_index
+    from tidb_gateway_spark.queries.llm_extended import _IVF_CELLS
+    from tidb_gateway_spark.queries.streaming_retrieval import (
+        _Q257_SCALE,
+        _q257_index,
+    )
+
+    path, M, _q0 = _q257_index(spark, sf_dir)
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(os.path.join(path, "cells"))
+        .select("vec_id", "cell").collect()
+    }
+
+    rows = sorted(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    E = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    C = E[ids < _IVF_CELLS]
+    seed_cell = (E @ C.T).argmax(axis=1)
+    Q = np.floor(E * _Q257_SCALE + 0.5)
+    Mref = np.zeros_like(C)
+    for c in range(_IVF_CELLS):
+        grp = Q[seed_cell == c]
+        assert len(grp), f"empty seed cell {c}"
+        Mref[c] = np.floor(grp.sum(axis=0) / len(grp))
+    assert np.array_equal(M, Mref)
+    want = {
+        (int(i), int(c))
+        for i, c in zip(ids, (Q @ Mref.T).argmax(axis=1))
+    }
+    assert got == want
+
+
+def test_q257_serve_path_prunes_partitions(spark, sf_dir):
+    """The refreshed-index probe must partition-prune to nprobe cells
+    and stay Python-free on the serve path."""
+    df = REGISTRY["q257_ivf_centroid_refresh"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    assert "PartitionFilters: [cell" in text.replace(
+        "PartitionFilters: [isnotnull(cell", "PartitionFilters: [cell"), text
+    assert "BatchEvalPython" not in text, text
+
+
+def test_q257_switchover_tracks_stream_generation(spark, sf_dir):
+    """The refresh companion is keyed on the stream index generation:
+    touching the stream index's meta marker makes the refresh stale
+    (next access rebuilds — the switchover contract), and a fresh
+    marker keeps it served as-is."""
+    import time
+
+    from tidb_gateway_spark.queries.streaming_retrieval import (
+        _q254_index,
+        _q257_index,
+    )
+    from tidb_gateway_spark.sources import derived
+
+    stream_path = _q254_index(spark, sf_dir)
+    path, _M, _q0 = _q257_index(spark, sf_dir)
+    marker_src = os.path.join(stream_path, "meta.json")
+    assert derived.is_fresh(path, marker_src, marker="meta.json")
+    orig = os.stat(marker_src)
+    future = time.time() + 10
+    os.utime(marker_src, (future, future))
+    try:
+        assert not derived.is_fresh(path, marker_src, marker="meta.json")
+    finally:
+        os.utime(marker_src, (orig.st_atime, orig.st_mtime))

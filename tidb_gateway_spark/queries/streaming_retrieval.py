@@ -1,7 +1,10 @@
-"""Q244/Q254: streaming index maintenance — the write-path streaming
-twins of q220 (inverted index) and q94 (IVF ANN index) (VERDICT r8
-next-round #7 and r9 next-round #6: the derived-companion families
-that had no streaming counterpart).
+"""Q244/Q254/Q257: streaming index maintenance + compaction — the
+write-path streaming twins of q220 (inverted index) and q94 (IVF ANN
+index) (VERDICT r8 next-round #7 and r9 next-round #6: the
+derived-companion families that had no streaming counterpart), and the
+centroid-refresh compaction (q257) that closes q254's documented
+'refresh is a re-index' tradeoff with an exact, oracle-certified
+Lloyd step.
 
 A Structured Streaming job consumes document arrivals in micro-batches
 and maintains the q220-style index companion incrementally via
@@ -35,13 +38,22 @@ are the source's, not ours).
 
 from __future__ import annotations
 
+import hashlib
+import math
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tidb_gateway_spark.catalog import load_table
 from tidb_gateway_spark.operators.partitioning import ensure_min_partitions
 from tidb_gateway_spark.queries.registry import register
-from tidb_gateway_spark.queries.llm_extended import _Q94_ORACLE
+from tidb_gateway_spark.queries.llm_extended import (
+    _IVF_CELLS,
+    _IVF_NPROBE,
+    _Q94_ORACLE,
+)
 from tidb_gateway_spark.queries.retrieval_curation import (
     _Q220_NPROBE,
     _Q220_ORACLE,
@@ -287,3 +299,217 @@ def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(sf_dir, "embeddings.parquet"), _IVF_CELLS)
     return ivf_query(idx, cents, cents[0], k=3, nprobe=_IVF_NPROBE,
                      exclude_id=0)
+
+
+# ---------------------------------------------------------------- Q257
+_Q257_SCALE = 10_000  # embedding quantization grid (FLOOR(x*1e4 + 0.5))
+
+# DuckDB oracle: recompute the WHOLE chain from raw embeddings — seed
+# assignment (float dots, the certified q94/q254 machinery), quantized
+# per-cell integer sums, floor-divided integer refreshed centroids,
+# integer-dot reassignment, probe over the refreshed cells.  Every
+# quantity that crosses the engine boundary is an exactly-representable
+# integer in a float64 (|dot| <= 64 * 1e4 * 1e4 = 6.4e9 << 2^53), so
+# float addition is EXACT and order-independent — the cross-engine
+# reproducibility trick q211/q95 use, applied to Lloyd's update.
+_Q257_ORACLE = (
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+    "FROM embeddings), "
+    "c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < "
+    "{cells}), "
+    "scored AS (SELECT v.vec_id, v.e, c.cid, "
+    "list_dot_product(v.e, c.ce) AS s FROM v CROSS JOIN c), "
+    "cells AS (SELECT vec_id, e, cid AS cell FROM ("
+    "SELECT vec_id, e, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
+    "ORDER BY s DESC, cid) AS rn FROM scored) WHERE rn = 1), "
+    "dsum AS (SELECT cell, t.i AS i, "
+    "SUM(CAST(FLOOR(e[t.i] * {scale} + 0.5) AS BIGINT)) AS s, "
+    "COUNT(*) AS n FROM cells, range(1, {dimp1}) AS t(i) "
+    "GROUP BY cell, t.i), "
+    "m AS (SELECT cell, list(CAST(FLOOR(CAST(s AS DOUBLE) / n) "
+    "AS DOUBLE) ORDER BY i) AS mq FROM dsum GROUP BY cell), "
+    "vq AS (SELECT vec_id, e, list_transform(e, x -> "
+    "CAST(CAST(FLOOR(x * {scale} + 0.5) AS BIGINT) AS DOUBLE)) AS q "
+    "FROM v), "
+    "rs AS (SELECT vq.vec_id, vq.e, m.cell, "
+    "list_dot_product(vq.q, m.mq) AS s FROM vq CROSS JOIN m), "
+    "r AS (SELECT vec_id, e, cell FROM ("
+    "SELECT vec_id, e, cell, ROW_NUMBER() OVER (PARTITION BY vec_id "
+    "ORDER BY s DESC, cell) AS rn FROM rs) WHERE rn = 1), "
+    "q0 AS (SELECT e AS qe, list_transform(e, x -> "
+    "CAST(CAST(FLOOR(x * {scale} + 0.5) AS BIGINT) AS DOUBLE)) AS qq "
+    "FROM v WHERE vec_id = 0), "
+    "pc AS (SELECT cell FROM (SELECT m.cell, ROW_NUMBER() OVER "
+    "(ORDER BY list_dot_product(q0.qq, m.mq) DESC, m.cell) AS rn "
+    "FROM m CROSS JOIN q0) WHERE rn <= {nprobe}) "
+    "SELECT x.vec_id, "
+    "FLOOR(list_dot_product(x.e, q0.qe) * 10000 + 0.5) / 10000 AS dp "
+    "FROM r x CROSS JOIN q0 "
+    "WHERE x.cell IN (SELECT cell FROM pc) AND x.vec_id <> 0 "
+    "ORDER BY dp DESC, x.vec_id LIMIT 3"
+).format(cells=_IVF_CELLS, scale=_Q257_SCALE, dimp1=65, nprobe=_IVF_NPROBE)
+
+
+def _quantize_rows(mat):
+    """FLOOR(x * scale + 0.5) elementwise as float64 — exact integers
+    below 2^53, so downstream float matmuls are order-independent."""
+    import numpy as np
+
+    return np.floor(mat.astype(np.float64) * _Q257_SCALE + 0.5)
+
+
+def _q257_index(spark: SparkSession, sf_dir: str):
+    """Centroid-refresh compaction of the q254 stream-maintained IVF
+    index: one exact Lloyd step (quantized integer cell sums →
+    floor-divided integer refreshed centroids → integer-dot argmax
+    reassignment), rebuilt as a batch job and switched over via a new
+    derived-companion generation — the 'centroid refresh is a
+    re-index, not a streaming op' tradeoff q254 documents, implemented.
+
+    Returns (path, M) where M is the n_cells × dim refreshed centroid
+    matrix (integer-valued float64, metadata-sized).
+
+    Exactness: every per-dim cell sum is an exact BIGINT (|q| <= 1e4
+    · scale per component, 64 dims), the refreshed centroid is
+    FLOOR(sum/count) (IEEE double division of exact integers — both
+    engines produce the identical double), and reassignment dots are
+    sums of exact integers < 2^53, so float addition cannot round and
+    summation order is irrelevant — the argmax is bit-reproducible
+    across Spark, numpy BLAS, and DuckDB.
+
+    Scale (100 TB): the per-dim sums are posexplode + partial-combined
+    groupBy(cell, pos) — the exchange carries n_cells × dim rows PER
+    MAP PARTITION (8 × 64 here), never corpus-sized; reassignment is
+    one Arrow matmul per batch against the metadata-sized refreshed
+    centroid table; the rebuild write is the same partitioned-append
+    shape as the original index build.
+    """
+    import json
+
+    import numpy as np
+
+    from tidb_gateway_spark.operators.similarity import ivf_centroids
+    from tidb_gateway_spark.sources import derived
+
+    stream_path = _q254_index(spark, sf_dir)
+    key = hashlib.md5(
+        f"ivf-refresh-v1|{stream_path}|{_Q257_SCALE}".encode()
+    ).hexdigest()[:16]
+    path = derived.derived_path("ivf_refresh", key)
+    marker_src = os.path.join(stream_path, "meta.json")
+
+    if not derived.is_fresh(path, marker_src, marker="meta.json"):
+        idx = spark.read.parquet(os.path.join(stream_path, "cells"))
+        dim = 64
+        # refreshed centroids: exact integer per-(cell, dim) sums.  The
+        # posexplode stream is map-side combined to n_cells*dim rows
+        # per partition before the (tiny) exchange.
+        sums = (
+            idx.select(
+                "cell",
+                F.posexplode(F.col("embedding")).alias("pos", "x"),
+            )
+            .select(
+                "cell", "pos",
+                F.floor(F.col("x").cast("double") * _Q257_SCALE + 0.5)
+                .cast("long").alias("qi"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.sum("qi").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        M = np.zeros((_IVF_CELLS, dim), dtype=np.float64)
+        for r in sums:
+            M[r["cell"]][r["pos"]] = math.floor(r["s"] / r["n"])
+
+        def build(tmp: str) -> None:
+            os.makedirs(tmp, exist_ok=True)
+            narrow = idx.select("vec_id", "embedding")
+            out_schema = T.StructType(
+                list(narrow.schema.fields)
+                + [T.StructField("cell", T.IntegerType(), False)]
+            )
+            Ct = M.T  # dim × k
+            scale = float(_Q257_SCALE)
+
+            def reassign(batches):
+                # free variables only (Ct, scale, np) — a module-level
+                # helper here would pickle by REFERENCE and fail on
+                # workers without the repo on sys.path (driver-sim's
+                # foreign-cwd contract)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    E = np.vstack(pdf["embedding"].to_numpy())
+                    Q = np.floor(E.astype(np.float64) * scale + 0.5)
+                    pdf = pdf.copy()
+                    # exact integer dots in float64; argmax takes the
+                    # FIRST maximal index = the oracle's (s DESC, cell)
+                    pdf["cell"] = (Q @ Ct).argmax(axis=1).astype("int32")
+                    yield pdf
+
+            (ensure_min_partitions(narrow)
+             .mapInPandas(reassign, schema=out_schema)
+             .write.mode("overwrite").partitionBy("cell")
+             .parquet(os.path.join(tmp, "cells")))
+            # the refreshed centroid matrix is integer-valued and
+            # metadata-sized: persist it in the marker so the serve
+            # path never re-runs the Lloyd-step job
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                json.dump({"n_cells": _IVF_CELLS, "scale": _Q257_SCALE,
+                           "centroids": M.astype(int).tolist()}, f)
+
+        derived.build_atomic(path, build)
+    with open(os.path.join(path, "meta.json")) as f:
+        M = np.array(json.load(f)["centroids"], dtype=np.float64)
+    # serve needs the raw probe vector too
+    q0 = ivf_centroids(
+        spark, os.path.join(sf_dir, "embeddings.parquet"), 1)[0]
+    return path, M, q0
+
+
+@register(
+    "q257_ivf_centroid_refresh",
+    _Q257_ORACLE,
+    doc="IVF centroid-refresh compaction — the batch re-index q254 "
+        "defers to (its documented 'refresh is a re-index' tradeoff): "
+        "one EXACT Lloyd step over the stream-maintained index "
+        "(quantized integer per-cell sums via a partial-combined "
+        "posexplode groupBy whose exchange carries n_cells x dim rows "
+        "per partition; refreshed centroid = FLOOR(sum/count) — exact "
+        "integers, so the reassignment argmax is bit-reproducible "
+        "across engines), rebuilt partitioned-by-cell and switched "
+        "over atomically as a new companion generation.  The declared "
+        "query serves the q94-style probe from the REFRESHED index "
+        "(integer-dot cell selection, partition-pruned scan, exact "
+        "float rerank); the oracle recomputes seed assignment + Lloyd "
+        "step + reassignment + probe from raw embeddings, certifying "
+        "the whole stream-maintain -> compact -> serve chain.",
+    tags=("llm", "similarity", "ann", "streaming", "layout"),
+)
+def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    path, M, q0 = _q257_index(spark, sf_dir)
+    idx = spark.read.parquet(os.path.join(path, "cells"))
+    # cell selection by exact integer dot (driver-side, n_cells x dim)
+    q0q = _quantize_rows(np.array([q0]))[0]
+    scores = M @ q0q
+    order = sorted(range(len(scores)), key=lambda j: (-scores[j], j))
+    probes = [int(j) for j in order[:_IVF_NPROBE]]
+    # exact rerank against the RAW probe vector within pruned cells
+    qarr = "array(" + ",".join(f"{float(v)!r}D" for v in q0) + ")"
+    dp = F.expr(
+        f"aggregate(zip_with(embedding, {qarr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        idx.filter(F.col("cell").isin(probes) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            (F.floor(dp * 10000 + 0.5) / 10000).alias("dp"),
+        )
+        .orderBy(F.desc("dp"), "vec_id")
+        .limit(3)
+    )
