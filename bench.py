@@ -141,41 +141,113 @@ def main() -> None:
                   file=sys.stderr)
             run_duckdb = False
     if run_duckdb:
-        con = duckdb.connect()
         # Resource guards for big-SF sweeps (the r6 sf10 sweep lost a
         # DuckDB oracle to disk-full after ~80 GB of spill): cap the
         # oracle's memory and spill so an oversized query fails as a
         # recorded per-query oracle failure instead of taking the host
         # down.  Unset by default — sf0.1/sf1 sweeps never spill.
         mem = os.environ.get("SPARK_GRAFT_BENCH_DUCKDB_MEM")
-        if mem:
-            con.execute(f"SET memory_limit='{mem}'")
         tmp_lim = os.environ.get("SPARK_GRAFT_BENCH_DUCKDB_TEMPLIMIT")
-        if tmp_lim:
-            con.execute("SET temp_directory='.duckdb_bench_tmp'")
-            con.execute(f"SET max_temp_directory_size='{tmp_lim}'")
-        for t in (
-            "region nation customer supplier part orders lineitem events "
-            "documents embeddings".split()
-        ):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        # Connection scope: "shared" (default — one warm connection,
+        # the r9 protocol) or "fresh" (one SUBPROCESS per query).
+        # Subprocess-per-query is the honest survivorship protocol at
+        # big SF: with a shared connection, one oracle that dies at the
+        # memory cap leaves the allocator poisoned and every later
+        # oracle — however small — fails on 2 KB allocations (observed:
+        # 37/56 sf10 'failures' of which ~half were q226-class trivia
+        # that run fine in isolation).  An in-process fresh connection
+        # does NOT isolate either — DuckDB's allocator is
+        # process-global, and after one capped-query death even
+        # duckdb.connect() itself OOMs — so "fresh" forks a child per
+        # oracle; a death is the child's alone.  A per-oracle
+        # wall-clock cap (SPARK_GRAFT_BENCH_DUCKDB_TIMEOUT, default
+        # 420 s) records spill-grinders as explicit timeout failures.
+        con_scope = os.environ.get("SPARK_GRAFT_BENCH_DUCKDB_CON",
+                                   "shared")
+        oracle_timeout = float(os.environ.get(
+            "SPARK_GRAFT_BENCH_DUCKDB_TIMEOUT", "420"))
+
+        def _connect():
+            c = duckdb.connect()
+            if mem:
+                c.execute(f"SET memory_limit='{mem}'")
+            if tmp_lim:
+                c.execute("SET temp_directory='.duckdb_bench_tmp'")
+                c.execute(f"SET max_temp_directory_size='{tmp_lim}'")
+            for t in (
+                "region nation customer supplier part orders lineitem "
+                "events documents embeddings".split()
+            ):
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')"
+                )
+            return c
+
+        _CHILD_SRC = r"""
+import json, sys, time
+import duckdb
+p = json.load(sys.stdin)
+c = duckdb.connect()
+if p["mem"]:
+    c.execute("SET memory_limit='%s'" % p["mem"])
+if p["tmp"]:
+    c.execute("SET temp_directory='.duckdb_bench_tmp'")
+    c.execute("SET max_temp_directory_size='%s'" % p["tmp"])
+for t in ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split():
+    c.execute("CREATE VIEW %s AS SELECT * FROM read_parquet('%s/%s.parquet')"
+              % (t, p["sf_dir"], t))
+best = float("inf")
+for _ in range(p["runs"] + 1):
+    t0 = time.perf_counter()
+    c.execute(p["sql"]).arrow()
+    best = min(best, time.perf_counter() - t0)
+    if best > p["long"]:
+        break
+print(json.dumps({"best": best}))
+"""
+
+        def _run_oracle_subprocess(sql: str) -> float:
+            import subprocess
+
+            payload = json.dumps({
+                "sql": sql, "sf_dir": SF_DIR, "runs": max(1, RUNS),
+                "mem": mem, "tmp": tmp_lim, "long": LONG_RUN_SEC,
+            })
+            p = subprocess.run(
+                [sys.executable, "-c", _CHILD_SRC], input=payload,
+                capture_output=True, text=True, timeout=oracle_timeout,
             )
+            if p.returncode != 0:
+                err = (p.stderr.strip().splitlines() or ["child died"])[-1]
+                raise RuntimeError(err)
+            return float(json.loads(
+                p.stdout.strip().splitlines()[-1])["best"])
+
+        con = _connect() if con_scope != "fresh" else None
         ddb: dict[str, float] = {}
         for qid in sorted(REGISTRY):
             spec = REGISTRY[qid]
             if not spec.oracle:
                 continue
-            best = float("inf")
             try:
-                for _ in range(max(1, RUNS) + 1):  # first run warms DuckDB
-                    t0 = time.perf_counter()
-                    con.execute(spec.oracle).arrow()
-                    best = min(best, time.perf_counter() - t0)
-                    if best > LONG_RUN_SEC:
-                        break  # best-of-1 for long runs (LONG_RUN_SEC)
+                if con_scope == "fresh":
+                    best = _run_oracle_subprocess(spec.oracle)
+                else:
+                    best = float("inf")
+                    for _ in range(max(1, RUNS) + 1):  # first run warms
+                        t0 = time.perf_counter()
+                        con.execute(spec.oracle).arrow()
+                        best = min(best, time.perf_counter() - t0)
+                        if best > LONG_RUN_SEC:
+                            break  # best-of-1 for long runs
             except Exception as exc:  # noqa: BLE001 - keep sweeping
-                failed[f"{qid}:duckdb"] = str(exc).splitlines()[0][:200]
+                msg = str(exc).splitlines()[0][:200] if str(exc) else (
+                    f"timeout after {oracle_timeout:.0f}s")
+                if "TimeoutExpired" in type(exc).__name__:
+                    msg = f"oracle timeout after {oracle_timeout:.0f}s"
+                failed[f"{qid}:duckdb"] = msg
                 continue
             ddb[qid] = round(best, 4)
         result["duckdb_queries"] = ddb
