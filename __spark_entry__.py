@@ -53,6 +53,8 @@ _CHANGED_FIRST = (
     "q256_dedup_rate_drift_monitor",
     "q257_ivf_centroid_refresh",   # r10 second wave: exact-Lloyd-step
                                    # compaction of the q254 stream index
+    "q258_ngram_novelty_drift",    # r10 second wave: cross-snapshot
+                                   # gram novelty on q256's epochs
 )
 
 # CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6): queries whose

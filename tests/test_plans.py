@@ -856,3 +856,20 @@ def test_q238_decile_no_single_partition_window(spark, sf_dir):
     ]
     assert not range_exchanges, text
     assert tree.count("Scan parquet") >= 1, tree
+
+
+def test_q258_single_corpus_exchange(spark, sf_dir):
+    """The gram-novelty drift query's membership test must ride the ONE
+    explicit h-exchange (q210 shape: distinct + flag window share it
+    via subset clustering) — no join-back, no gram-set broadcast, and
+    no exchange carrying gram text."""
+    df = REGISTRY["q258_ngram_novelty_drift"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    h_ex = [ln for ln in text.splitlines() if "hashpartitioning(h#" in ln]
+    assert len(h_ex) == 1, h_ex
+    tree = _plan_tree(text)
+    assert "Window" in tree, tree
+    assert "Join" not in tree and "BroadcastExchange" not in tree, tree
+    for line in text.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "w#" not in line, line

@@ -1,4 +1,4 @@
-"""Q255–Q256: mergeable-sketch auditing and corpus-health drift
+"""Q255–Q258: mergeable-sketch auditing and corpus-health drift
 monitoring (VERDICT r9 next-round #7).
 
 The reference relays these workloads as opaque SQL to its backends
@@ -26,6 +26,12 @@ Scale design notes (100 TB):
   aggregates are |snapshot×source|-sized.  The PSI over the per-source
   duplicate-mass shares flags when one source's clone behavior shifts
   between epochs — the early-warning signal dedup pipelines watch.
+* q258 (n-gram novelty drift): the freshness twin of q256 on the same
+  hash-half epochs — per source, the fraction of the new epoch's
+  distinct 3-grams unseen in the old epoch.  ONE corpus-sized
+  exchange (md5 gram digests, never text); the (snp, source, h)
+  distinct, both branch distincts, and the membership join all ride
+  it via subset clustering.
 """
 
 from __future__ import annotations
@@ -251,6 +257,110 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
             dup_b_bps.alias("dup_b_bps"),
             (dup_b_bps - dup_a_bps).alias("delta_bps"),
             stable_round(F.col("v"), 6).alias("mix_psi"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------- Q258
+_Q258_N = 3  # gram width in words
+
+_DDB_Q258_BPS = (
+    "(" + _ddb_hex_to_int("md5('snap|' || CAST(doc_id AS VARCHAR))", 8)
+    + " % 10000)"
+)
+
+# DuckDB: 3-word grams over the >=3-word docs, md5'd (md5 is the
+# cross-engine-identical hash; both engines join on the same 32-hex
+# digests, so the novelty counts match bit-for-bit with no
+# hash-function divergence to excuse).
+_Q258_ORACLE = (
+    "WITH wl AS (SELECT doc_id, source, "
+    "list_filter(string_split(text, ' '), x -> x <> '') AS wl "
+    "FROM documents), "
+    "g AS (SELECT doc_id, source, "
+    f"UNNEST(list_transform(range(1, len(wl) - {_Q258_N - 2}), "
+    f"i -> array_to_string(wl[i : i + {_Q258_N - 1}], ' '))) AS gram "
+    f"FROM wl WHERE len(wl) >= {_Q258_N}), "
+    "s AS (SELECT "
+    f"CASE WHEN {_DDB_Q258_BPS} < {_Q256_SNAP_BPS} THEN 'a' ELSE 'b' END "
+    "AS snp, source, md5(gram) AS h FROM g), "
+    "cd AS (SELECT DISTINCT snp, source, h FROM s), "
+    "a AS (SELECT DISTINCT h FROM cd WHERE snp = 'a'), "
+    "b AS (SELECT source, h FROM cd WHERE snp = 'b'), "
+    "nov AS (SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+    "CAST(SUM(CASE WHEN a.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS novel FROM b LEFT JOIN a ON a.h = b.h GROUP BY b.source) "
+    "SELECT source, n_grams, novel, "
+    "CAST(FLOOR(novel * 10000.0 / n_grams + 0.5) AS BIGINT) "
+    "AS novelty_bps FROM nov ORDER BY source"
+)
+
+
+@register(
+    "q258_ngram_novelty_drift",
+    _Q258_ORACLE,
+    doc="Cross-snapshot n-gram novelty — the freshness signal a "
+        "continuously-ingesting corpus watches (what fraction of the "
+        "new epoch's distinct 3-grams were never seen in the old "
+        "epoch, per source; a crash toward 0 means the new crawl is "
+        "re-serving old content, a spike toward 10000 bps means a "
+        "domain shift).  Snapshots are q256's deterministic hash "
+        "halves, so the drift family shares one epoch definition.  "
+        "ONE corpus-sized exchange: the exploded gram stream is "
+        "md5'd (32-hex digests, never text, cross-engine identical) "
+        "and repartitioned by h once — the (snp, source, h) distinct "
+        "AND the seen-in-old-epoch flag window both ride that "
+        "partitioning via subset clustering (the q210 shape: the "
+        "window computes set membership in place, so there is no "
+        "second distinct, no join, and no gram-set broadcast to "
+        "outgrow); the final per-source aggregate is |sources|-sized.",
+    tags=("llm", "text", "dedup", "drift"),
+)
+def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.dedup import _shingle_array_sql
+    from tidb_gateway_spark.operators.partitioning import (
+        session_parallelism,
+    )
+    from tidb_gateway_spark.operators.sampling import hash_bps
+
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    t = F.trim(F.col("text"))
+    d = d.filter((t != "") & (F.size(F.split(t, " +")) >= _Q258_N))
+    snp = F.when(
+        hash_bps(F.col("doc_id"), "snap") < _Q256_SNAP_BPS, "a"
+    ).otherwise("b")
+    g = (
+        d.select(snp.alias("snp"), "source",
+                 F.split(t, " +").alias("wlist"))
+        .select("snp", "source",
+                F.explode(F.expr(_shingle_array_sql(_Q258_N))).alias("w"))
+        .select("snp", "source", F.md5("w").alias("h"))
+    )
+    # ONE exchange: hash-partitioning on h satisfies the (snp, source,
+    # h) distinct AND the membership window (subset clustering).  The
+    # window computes "seen in the old epoch" in place over the single
+    # pipeline — a join-back form would need a second distinct whose
+    # cached partitioning AQE cannot see (measured: it re-exchanged
+    # the full a-side gram set and broadcast it, which outgrows
+    # memory at corpus scale).
+    cd = g.repartition(session_parallelism(spark), "h").distinct()
+    has_a = F.max(
+        F.when(F.col("snp") == "a", 1).otherwise(0)
+    ).over(Window.partitionBy("h"))
+    return (
+        cd.withColumn("has_a", has_a)
+        .filter(F.col("snp") == "b")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("has_a") == 0, 1).otherwise(0))
+            .cast("bigint").alias("novel"),
+        )
+        .select(
+            "source", "n_grams", "novel",
+            F.floor(F.col("novel") * 10000.0 / F.col("n_grams") + 0.5)
+            .cast("bigint").alias("novelty_bps"),
         )
         .orderBy("source")
     )
