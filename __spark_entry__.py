@@ -55,6 +55,8 @@ _CHANGED_FIRST = (
                                    # compaction of the q254 stream index
     "q258_ngram_novelty_drift",    # r10 second wave: cross-snapshot
                                    # gram novelty on q256's epochs
+    "q144_asof_join_forward",      # r10 second wave: running-frame
+                                   # form (ts DESC, O(k) per user)
 )
 
 # CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6): queries whose

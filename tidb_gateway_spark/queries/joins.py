@@ -367,18 +367,26 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mirror, completing the as-of family in both directions "
         "(DuckDB ASOF JOIN supports backward and forward; the engine "
         "expresses both as ONE user_id shuffle + a RANGE frame on "
-        "epoch-micros, here the (1, unbounded-following) frame). The "
-        "oracle keeps the O(n²)-ish correlated-subquery form for "
-        "contrast. MIN of event_id over the strictly-later frame "
-        "breaks ts ties identically in both engines.",
+        "epoch-micros).  The frame is declared over ts DESC as "
+        "(unbounded-preceding, -1) — on a DESC key, bound -1 means "
+        "ts ≥ current+1, i.e. exactly the strictly-later set — "
+        "because Spark evaluates UNBOUNDED PRECEDING frames "
+        "incrementally (one accumulator pass per partition) while the "
+        "mirror-image (1, unbounded-following) ASC frame re-aggregates "
+        "the remaining frame per row: O(k) vs O(k²) per user key "
+        "(measured r10: 3.66 → 2.32 s at sf10 on 100× user history, "
+        "4.55× → 1.89× DuckDB; 2.04× → 1.61× at sf1). "
+        "The oracle keeps the correlated-subquery form for contrast. "
+        "MIN of event_id over the strictly-later frame breaks ts ties "
+        "identically in both engines.",
     tags=("join", "window", "asof"),
 )
 def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_us")
-        .rangeBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("ts_us").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     return (
         e.withColumn("next_id", F.min("event_id").over(w))
