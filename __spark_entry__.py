@@ -57,6 +57,8 @@ _CHANGED_FIRST = (
                                    # gram novelty on q256's epochs
     "q144_asof_join_forward",      # r10 second wave: running-frame
                                    # form (ts DESC, O(k) per user)
+    "q259_index_delta_compaction",  # r10 second wave: LSM fold of the
+                                   # q244 stream index
 )
 
 # CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6): queries whose

@@ -277,3 +277,45 @@ def test_q257_switchover_tracks_stream_generation(spark, sf_dir):
         assert not derived.is_fresh(path, marker_src, marker="meta.json")
     finally:
         os.utime(marker_src, (orig.st_atime, orig.st_mtime))
+
+
+def test_q259_compaction_folds_segments_and_deltas(spark, sf_dir):
+    """The compacted companion must (a) hold strictly fewer posting
+    segment files than the stream index (the read fan-in reduction
+    that motivates compaction), (b) have a FOLDED dictionary — one row
+    per term, values equal to the merge-on-read sum of the deltas."""
+    from tidb_gateway_spark.queries.streaming_retrieval import (
+        _q244_index,
+        _q259_compact,
+    )
+
+    stream_path = _q244_index(spark, sf_dir)
+    path = _q259_compact(spark, sf_dir)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["segments_after"] < meta["segments_before"], meta
+
+    base = spark.read.parquet(os.path.join(path, "dict"))
+    assert base.count() == base.select("w").distinct().count()
+    folded = {
+        (r["w"], r["dfc"])
+        for r in base.select("w", "dfc").collect()
+    }
+    merged = {
+        (r["w"], r["dfc"])
+        for r in spark.read.parquet(os.path.join(stream_path, "dict"))
+        .groupBy("w").agg(F.sum("dfc").cast("bigint").alias("dfc"))
+        .collect()
+    }
+    assert folded == merged
+
+
+def test_q259_serve_path_prunes_prefixes(spark, sf_dir):
+    """The compacted-index probe must partition-prune to the probe
+    terms' prefixes with the term filter pushed to parquet."""
+    df = REGISTRY["q259_index_delta_compaction"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    assert "PartitionFilters: [pfx" in text.replace(
+        "PartitionFilters: [isnotnull(pfx", "PartitionFilters: [pfx"), text
+    assert any("PushedFilters" in ln and "In(w" in ln
+               for ln in text.splitlines()), text

@@ -513,3 +513,105 @@ def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dp"), "vec_id")
         .limit(3)
     )
+
+
+# ---------------------------------------------------------------- Q259
+def _q259_compact(spark: SparkSession, sf_dir: str) -> str:
+    """LSM compaction of the q244 stream-maintained inverted index —
+    the folding operator q244's merge-on-read defers to: the per-batch
+    DELTA dictionaries are summed into ONE base dictionary segment
+    (a (pfx, w)-keyed aggregate — dictionary-sized exchange, never
+    corpus-sized), and the per-batch posting segments are rewritten
+    into one compacted segment per prefix directory (the rewrite IS
+    the compaction: ingest-class cost paid once, amortized over the
+    batches it folds; serve-side read fan-in drops from |batches|
+    segments per prefix to one).  Atomic switchover via a new
+    companion generation keyed on the stream index's marker, exactly
+    like q257's refresh of the IVF family.
+
+    At 100 TB the postings rewrite partitions by (pfx, doc-block) and
+    compacts per prefix independently; the declared shape — fold
+    deltas, rewrite segments, serve from the folded base — is the
+    standard LSM maintenance cycle (Lucene merges, RocksDB
+    compaction) expressed as Spark jobs.
+    """
+    import json
+
+    from tidb_gateway_spark.sources import derived
+
+    stream_path = _q244_index(spark, sf_dir)
+    key = hashlib.md5(
+        f"invidx-compact-v1|{stream_path}".encode()).hexdigest()[:16]
+    path = derived.derived_path("invidx_compact", key)
+    marker_src = os.path.join(stream_path, "meta.json")
+    if not derived.is_fresh(path, marker_src, marker="meta.json"):
+
+        def _n_segments(root: str) -> int:
+            return sum(
+                1 for r, _, fs in os.walk(root)
+                for f in fs if f.endswith(".parquet")
+            )
+
+        def build(tmp: str) -> None:
+            os.makedirs(tmp, exist_ok=True)
+            dct = spark.read.parquet(os.path.join(stream_path, "dict"))
+            (dct.groupBy("pfx", "w")
+             .agg(F.sum("dfc").cast("bigint").alias("dfc"))
+             .repartition("pfx")
+             .write.mode("overwrite").partitionBy("pfx")
+             .parquet(os.path.join(tmp, "dict")))
+            post = spark.read.parquet(
+                os.path.join(stream_path, "postings"))
+            (post.repartition("pfx")
+             .write.mode("overwrite").partitionBy("pfx")
+             .parquet(os.path.join(tmp, "postings")))
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                json.dump({
+                    "segments_before": _n_segments(
+                        os.path.join(stream_path, "postings")),
+                    "segments_after": _n_segments(
+                        os.path.join(tmp, "postings")),
+                }, f)
+
+        derived.build_atomic(path, build)
+    return path
+
+
+@register(
+    "q259_index_delta_compaction",
+    _Q220_ORACLE,
+    doc="LSM compaction of the stream-maintained inverted index — the "
+        "fold q244's merge-on-read defers to (its documented 'q225 is "
+        "the folding operator' tradeoff, implemented for the index "
+        "family like q257 implemented the IVF refresh): per-batch "
+        "delta dictionaries summed into one base segment ((pfx, w) "
+        "aggregate — dictionary-sized exchange), per-batch posting "
+        "segments rewritten one-per-prefix (read fan-in |batches| → "
+        "1), atomic companion switchover.  The declared query serves "
+        "q220's 3-term conjunctive probe from the COMPACTED base with "
+        "NO merge-on-read sum; the oracle recomputes containment from "
+        "raw text, certifying stream-append → delta-fold → compacted "
+        "serve lossless end-to-end.",
+    tags=("llm", "text", "retrieval", "streaming", "layout"),
+)
+def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _q259_compact(spark, sf_dir)
+    dct = spark.read.parquet(os.path.join(path, "dict"))
+    # base dictionary is folded — one row per term, so the top-3 probe
+    # is a plain TakeOrdered, no merge-on-read aggregate
+    probes = [
+        r["w"]
+        for r in dct.orderBy(F.desc("dfc"), "w")
+        .limit(_Q220_NPROBE).collect()
+    ]
+    post = spark.read.parquet(os.path.join(path, "postings"))
+    pfxs = sorted({w[:1] for w in probes})
+    return (
+        post.filter(F.col("pfx").isin(pfxs) & F.col("w").isin(probes))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nw"))
+        .filter(F.col("nw") == _Q220_NPROBE)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(_Q220_TOPK)
+    )
