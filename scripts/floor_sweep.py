@@ -184,8 +184,33 @@ def _skeleton_q209(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.agg(F.count("*").alias("n_edges"))
 
 
+def _skeleton_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q98 minus the tokenizer: same scan, same blank filter, same
+    decile-bucket histogram aggregate — but bucketing raw text length
+    instead of split/array_distinct.  Whatever this costs is Spark
+    fixed cost (scan + one tiny exchange); the residual above it is
+    the JVM per-row split/array_distinct constant factor that DuckDB's
+    vectorized list kernels undercut at sf10."""
+    from tidb_gateway_spark.catalog import load_table
+    from tidb_gateway_spark.operators.partitioning import (
+        ensure_min_partitions,
+    )
+
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    t = F.trim(F.col("text"))
+    bucket = (F.length(t) % 10).cast("int")
+    return (
+        d.filter(t != "")
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
 SKELETONS = {
     "q122_ttr_quality_battery": _skeleton_q122,
+    "q98_word_repetition_filter": _skeleton_q98,
     "q134_event_path_prefixes": _skeleton_q134,
     "q194_dup_ngram_coverage": _skeleton_q194,
     "q03_projection_arithmetic": _skeleton_q03,
