@@ -59,6 +59,8 @@ _CHANGED_FIRST = (
                                    # form (ts DESC, O(k) per user)
     "q259_index_delta_compaction",  # r10 second wave: LSM fold of the
                                    # q244 stream index
+    "q260_streaming_lsm_index_lifecycle",  # r10 second wave: append +
+                                   # scheduled in-stream fold, one job
 )
 
 # CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6): queries whose

@@ -319,3 +319,30 @@ def test_q259_serve_path_prunes_prefixes(spark, sf_dir):
         "PartitionFilters: [isnotnull(pfx", "PartitionFilters: [pfx"), text
     assert any("PushedFilters" in ln and "In(w" in ln
                for ln in text.splitlines()), text
+
+
+def test_q260_lifecycle_reaches_mixed_generation_steady_state(spark, sf_dir):
+    """The streaming LSM job must have FOLDED at least once mid-stream
+    AND finished with live delta segments — so the serve path
+    exercises both the folded base and the merge-on-read tail (a
+    fixture that ends fully compacted, or never compacts, certifies
+    only half the lifecycle)."""
+    from tidb_gateway_spark.queries.streaming_retrieval import _q260_index
+
+    path = _q260_index(spark, sf_dir)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["n_folds"] >= 1, meta
+    assert meta["deltas_live"] >= 1, meta
+    assert os.path.exists(os.path.join(path, "base", "dict")), meta
+    assert os.path.exists(os.path.join(path, "delta", "dict")), meta
+
+
+def test_q260_serve_equals_q220(spark, sf_dir):
+    """Mixed-generation serve (base + live deltas) must give exactly
+    the batch-built q220 answer."""
+    got = [r["doc_id"] for r in REGISTRY[
+        "q260_streaming_lsm_index_lifecycle"].spark(spark, sf_dir).collect()]
+    want = [r["doc_id"] for r in REGISTRY[
+        "q220_inverted_index_roundtrip"].spark(spark, sf_dir).collect()]
+    assert got == want

@@ -615,3 +615,184 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(_Q220_TOPK)
     )
+
+
+# ---------------------------------------------------------------- Q260
+_Q260_SPLITS = 6       # arrival units staged for the simulation
+_Q260_COMPACT_EVERY = 4  # fold the delta pile every N micro-batches
+
+
+def _union_roots(spark: SparkSession, roots: list[str]) -> DataFrame:
+    """Union per-root partitioned reads (Spark's partition discovery
+    rejects multiple partitioned roots in a single read)."""
+    from functools import reduce
+
+    frames = [spark.read.parquet(r) for r in roots]
+    return reduce(DataFrame.unionByName, frames)
+
+
+def _q260_index(spark: SparkSession, sf_dir: str) -> str:
+    """The full LSM lifecycle as ONE continuously-running streaming
+    job: q244's append path and q259's fold, scheduled INSIDE the
+    stream — every micro-batch appends a posting+dictionary delta
+    segment, and every ``_Q260_COMPACT_EVERY``-th batch the foreachBatch
+    hook folds the accumulated deltas into the base (sum the
+    dictionaries, rewrite the posting segments one-per-prefix) and
+    starts a fresh delta pile.  With 6 arrivals and fold-every-4, the
+    finished companion holds a folded BASE (batches 0–3) plus 2 live
+    DELTA segments (batches 4–5), so the serve path must exercise both
+    the base and the merge-on-read tail — the steady state of a real
+    streaming index.
+
+    Production note: the fold runs inside the same foreachBatch
+    transaction slot as the append (Structured Streaming serializes
+    batches), so no concurrent writer exists; a real deployment makes
+    fold-then-truncate crash-atomic with a segment-epoch manifest —
+    here the whole build is wrapped in build_atomic, which gives the
+    fixture the same all-or-nothing property.
+
+    Scale: append work ∝ batch; fold work ∝ base+deltas but amortized
+    1/N per batch and dictionary exchanges stay vocabulary-sized —
+    this is Lucene's merge policy / RocksDB leveled compaction
+    expressed as Spark jobs on the same companion layout q220 serves.
+    """
+    import json
+    import shutil
+
+    from tidb_gateway_spark.operators.sampling import hash_bps
+    from tidb_gateway_spark.sources import derived
+
+    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"invidx-lsm-v1|{src}|{_Q260_SPLITS}|{_Q260_COMPACT_EVERY}"
+        .encode()).hexdigest()[:16]
+    path = derived.derived_path("invidx_lsm", key)
+    if not derived.is_fresh(path, src, marker="meta.json"):
+        d = load_table(spark, sf_dir, "documents")
+        schema = d.schema
+
+        def build(tmp: str) -> None:
+            os.makedirs(tmp, exist_ok=True)
+            stage = os.path.join(tmp, "stage")
+            sp = hash_bps(F.col("doc_id"), "q260") % _Q260_SPLITS
+            for i in range(_Q260_SPLITS):
+                (d.filter(sp == i).repartition(1)
+                 .write.mode("append").parquet(stage))
+
+            base_post = os.path.join(tmp, "base", "postings")
+            base_dict = os.path.join(tmp, "base", "dict")
+            delta_post = os.path.join(tmp, "delta", "postings")
+            delta_dict = os.path.join(tmp, "delta", "dict")
+            stats = {"n_batches": 0, "n_folds": 0, "deltas_live": 0}
+
+            def merge(batch: DataFrame, batch_id: int) -> None:
+                td = _tok(ensure_min_partitions(batch)).distinct()
+                td = td.select(
+                    F.substring("w", 1, 1).alias("pfx"), "w", "doc_id")
+                td = td.persist()
+                try:
+                    (td.write.mode("append").partitionBy("pfx")
+                     .parquet(delta_post))
+                    (td.groupBy("pfx", "w")
+                     .agg(F.count("*").alias("dfc"))
+                     .write.mode("append").partitionBy("pfx")
+                     .parquet(delta_dict))
+                finally:
+                    td.unpersist()
+                stats["n_batches"] += 1
+                stats["deltas_live"] += 1
+                if stats["n_batches"] % _Q260_COMPACT_EVERY:
+                    return
+                # scheduled fold: base := base ∪ deltas (dictionary
+                # summed, postings rewritten one segment per prefix),
+                # then truncate the delta pile
+                # per-root reads unioned: Spark's partition discovery
+                # rejects multiple partitioned roots in one read
+                # (CONFLICTING_DIRECTORY_STRUCTURES)
+                dicts = [delta_dict] + (
+                    [base_dict] if os.path.exists(base_dict) else [])
+                posts = [delta_post] + (
+                    [base_post] if os.path.exists(base_post) else [])
+                folded_dict = (
+                    _union_roots(spark, dicts)
+                    .groupBy("pfx", "w")
+                    .agg(F.sum("dfc").cast("bigint").alias("dfc"))
+                )
+                nb_post = os.path.join(tmp, "base.next", "postings")
+                nb_dict = os.path.join(tmp, "base.next", "dict")
+                (folded_dict.repartition("pfx")
+                 .write.mode("overwrite").partitionBy("pfx")
+                 .parquet(nb_dict))
+                (_union_roots(spark, posts).repartition("pfx")
+                 .write.mode("overwrite").partitionBy("pfx")
+                 .parquet(nb_post))
+                shutil.rmtree(os.path.join(tmp, "base"),
+                              ignore_errors=True)
+                os.rename(os.path.join(tmp, "base.next"),
+                          os.path.join(tmp, "base"))
+                shutil.rmtree(delta_post, ignore_errors=True)
+                shutil.rmtree(delta_dict, ignore_errors=True)
+                stats["n_folds"] += 1
+                stats["deltas_live"] = 0
+
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+                .writeStream.foreachBatch(merge)
+                .option("checkpointLocation", os.path.join(tmp, "chk"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                json.dump(stats, f)
+
+        derived.build_atomic(path, build)
+    return path
+
+
+@register(
+    "q260_streaming_lsm_index_lifecycle",
+    _Q220_ORACLE,
+    doc="The complete streaming LSM index lifecycle in ONE job: every "
+        "micro-batch appends posting+dictionary delta segments (q244's "
+        "path) and every 4th batch the same foreachBatch hook folds "
+        "the delta pile into the base (q259's fold — dictionary "
+        "summed, postings rewritten one-per-prefix) and truncates the "
+        "deltas.  The finished fixture holds a folded base (batches "
+        "0–3) PLUS 2 live deltas (4–5), so the declared q220-style "
+        "probe must merge base + delta dictionaries on read and union "
+        "both posting generations — the steady state a continuously "
+        "ingesting retrieval system actually serves from.  The oracle "
+        "recomputes containment from raw text, certifying "
+        "append → scheduled fold → mixed-generation serve lossless.",
+    tags=("llm", "text", "retrieval", "streaming", "layout"),
+)
+def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _q260_index(spark, sf_dir)
+    gens = [os.path.join(path, "base"), os.path.join(path, "delta")]
+    dicts = [os.path.join(g, "dict") for g in gens
+             if os.path.exists(os.path.join(g, "dict"))]
+    posts = [os.path.join(g, "postings") for g in gens
+             if os.path.exists(os.path.join(g, "postings"))]
+    dct = _union_roots(spark, dicts)
+    probes = [
+        r["w"]
+        for r in dct.groupBy("w")
+        .agg(F.sum("dfc").cast("bigint").alias("dfc"))
+        .orderBy(F.desc("dfc"), "w")
+        .limit(_Q220_NPROBE)
+        .collect()
+    ]
+    post = _union_roots(spark, posts)
+    pfxs = sorted({w[:1] for w in probes})
+    return (
+        post.filter(F.col("pfx").isin(pfxs) & F.col("w").isin(probes))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nw"))
+        .filter(F.col("nw") == _Q220_NPROBE)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(_Q220_TOPK)
+    )
