@@ -89,8 +89,33 @@ def ws_token_count(text: Column) -> Column:
 
 
 def bpe_token_count(text: Column) -> Column:
-    """BPE-ish subword proxy count via regexp matches."""
-    return F.regexp_count(text, F.lit(BPE_PATTERN))
+    """BPE-ish subword proxy count: tokens matching ``BPE_PATTERN``
+    (letter runs | digit runs | single non-alnum-space chars).
+
+    Computed in DECOMPOSED form rather than one regexp_count over the
+    alternation: the classes are disjoint, so the match count is
+    exactly runs([a-z]) + runs([0-9]) + #chars ∉ [a-z0-9 ] — the two
+    run counts keep a (much cheaper) non-alternating regex each, and
+    the single-char class is translate/length arithmetic (memcpy-fast,
+    the q77 lesson).  Measured at sf10: 7.5 → 2.2 s for q79's
+    per-source sums; identical counts (structural equivalence — the
+    alternation's leftmost-first scan over disjoint classes can't
+    split or merge runs).
+    """
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    digits = "0123456789"
+
+    def n_chars(chars: str) -> Column:
+        return F.length(text) - F.length(F.translate(text, chars, ""))
+
+    symbol_chars = (
+        F.length(text) - n_chars(lower) - n_chars(digits) - n_chars(" ")
+    )
+    return (
+        F.regexp_count(text, F.lit("[a-z]+"))
+        + F.regexp_count(text, F.lit("[0-9]+"))
+        + symbol_chars
+    )
 
 
 def fingerprint(text_col: str = "text", width: int = 16, stride: int = 8) -> Column:
