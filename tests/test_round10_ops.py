@@ -116,15 +116,13 @@ def test_q113_single_corpus_pass(spark, sf_dir):
 
 
 def test_q53_variant_parse_equals_shredded_serving(spark, sf_dir):
-    """q53 now serves from the shredded companion; the parse-on-read
-    VARIANT form must stay value-identical (engine-side losslessness
-    check, complementing the oracle's raw-JSON recompute)."""
-    from tidb_gateway_spark.queries.scalar_functions import (
-        _q53_variant_parse,
-    )
-
-    served = REGISTRY["q53_json_extract"].spark(spark, sf_dir)
-    parsed = _q53_variant_parse(spark, sf_dir)
+    """q53 (parse-on-read VARIANT, r11 form) and q102 (shredded
+    companion serving) must stay value-identical — the engine-side
+    losslessness check complementing the oracle's raw-JSON recompute.
+    r11 ADVICE split the pair back onto distinct plans: q53 parses
+    live, q102 serves the ingest-time shred."""
+    parsed = REGISTRY["q53_json_extract"].spark(spark, sf_dir)
+    served = REGISTRY["q102_json_extract_shredded"].spark(spark, sf_dir)
     assert [tuple(r) for r in served.collect()] == [
         tuple(r) for r in parsed.collect()]
 
@@ -213,7 +211,7 @@ def test_q257_refresh_is_exact_lloyd_step(spark, sf_dir):
         _q257_index,
     )
 
-    path, M, _q0 = _q257_index(spark, sf_dir)
+    path, M, present, _q0 = _q257_index(spark, sf_dir)
     got = {
         (r["vec_id"], r["cell"])
         for r in spark.read.parquet(os.path.join(path, "cells"))
@@ -230,14 +228,20 @@ def test_q257_refresh_is_exact_lloyd_step(spark, sf_dir):
     C = E[ids < _IVF_CELLS]
     seed_cell = (E @ C.T).argmax(axis=1)
     Q = np.floor(E * _Q257_SCALE + 0.5)
-    Mref = np.zeros_like(C)
-    for c in range(_IVF_CELLS):
-        grp = Q[seed_cell == c]
-        assert len(grp), f"empty seed cell {c}"
-        Mref[c] = np.floor(grp.sum(axis=0) / len(grp))
+    # non-empty cells only (r10 ADVICE): the engine masks empty seed
+    # cells out of the refreshed matrix — the reference recompute must
+    # use the same membership
+    present_ref = sorted({int(c) for c in seed_cell})
+    assert present == present_ref
+    Mref = np.array([
+        np.floor(Q[seed_cell == c].sum(axis=0)
+                 / int((seed_cell == c).sum()))
+        for c in present_ref
+    ])
     assert np.array_equal(M, Mref)
+    cells_arr = np.array(present_ref)
     want = {
-        (int(i), int(c))
+        (int(i), int(cells_arr[c]))
         for i, c in zip(ids, (Q @ Mref.T).argmax(axis=1))
     }
     assert got == want
@@ -267,7 +271,7 @@ def test_q257_switchover_tracks_stream_generation(spark, sf_dir):
     from tidb_gateway_spark.sources import derived
 
     stream_path = _q254_index(spark, sf_dir)
-    path, _M, _q0 = _q257_index(spark, sf_dir)
+    path, _M, _present, _q0 = _q257_index(spark, sf_dir)
     marker_src = os.path.join(stream_path, "meta.json")
     assert derived.is_fresh(path, marker_src, marker="meta.json")
     orig = os.stat(marker_src)

@@ -174,26 +174,23 @@ def _q53_variant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q53_json_extract",
     "SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events ORDER BY event_id",
     doc="JSON field extraction ($.k from the events props column), "
-        "SERVED from the mtime-keyed shredded companion (VERDICT r9 "
-        "directive 3): the parse happens once at ingest — the same "
-        "materialized-derived mechanism as q183's trained model and "
-        "the ANN indexes — and the declared query is the typed-column "
-        "projection + ORDER BY.  The oracle recomputes from the RAW "
-        "JSON text, so the value-hash certifies shred losslessness on "
-        "every check.  Parse-on-read (Spark 4 VARIANT) remains as "
-        "_q53_variant_parse, pinned equal by test; its r7 MEASURED "
-        "FLOOR stands: even with the parse replaced by length(props) "
-        "the sort+Arrow skeleton alone was 2.7× DuckDB's whole query, "
-        "so no parse strategy reaches 2× in the ORDER BY form — "
-        "routing through the ingest-time shred is the scale-correct "
-        "answer, not a benchmark dodge.",
-    tags=("scalar", "json", "materialized"),
+        "PARSE-ON-READ via Spark 4 VARIANT (try_variant_get over "
+        "try_parse_json — r7's measured-best of 3 parse strategies at "
+        "sf1).  r11 ADVICE: the r10 form served the shredded companion, "
+        "which made q53 and q102 two certifications of one identical "
+        "plan and left NO registered query exercising a live JSON "
+        "parse; q53 is back on the parse path so the registry covers "
+        "both halves — q53 = parse-on-read (this entry), q102 = the "
+        "ingest-time shredded serving (the 100 TB contract).  The two "
+        "plans are pinned value-equal by tests/test_round10_ops.py.  "
+        "The r7 MEASURED FLOOR stands: the parse-free sort+Arrow "
+        "skeleton alone is 2.7× DuckDB's whole query in this ORDER BY "
+        "form, so the perf story for repeated JSON access is q102's "
+        "companion, not a faster parse.",
+    tags=("scalar", "json"),
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events_shredded")
-    return e.select(
-        "event_id", F.col("props_k").cast("int").alias("k")
-    ).orderBy("event_id")
+    return _q53_variant_parse(spark, sf_dir)
 
 
 @register(

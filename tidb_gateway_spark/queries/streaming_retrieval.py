@@ -116,6 +116,9 @@ def _q244_index(spark: SparkSession, sf_dir: str) -> str:
                      .agg(F.count("*").alias("dfc"))
                      .write.mode("append").partitionBy("pfx")
                      .parquet(dict_dir))
+                    # docs that produced >=1 token — NOT the ingest row
+                    # count (empty/whitespace-only docs are excluded);
+                    # the meta field is named accordingly (r10 ADVICE)
                     counts.append(
                         td.select("doc_id").distinct().count())
                 finally:
@@ -132,7 +135,7 @@ def _q244_index(spark: SparkSession, sf_dir: str) -> str:
             )
             q.awaitTermination()
             with open(os.path.join(tmp, "meta.json"), "w") as f:
-                json.dump({"n_docs": sum(counts),
+                json.dump({"n_docs_tokenized": sum(counts),
                            "n_batches": len(counts)}, f)
 
         derived.build_atomic(path, build)
@@ -392,8 +395,8 @@ def _q257_index(spark: SparkSession, sf_dir: str):
     from tidb_gateway_spark.sources import derived
 
     stream_path = _q254_index(spark, sf_dir)
-    key = hashlib.md5(
-        f"ivf-refresh-v1|{stream_path}|{_Q257_SCALE}".encode()
+    key = hashlib.md5(  # v2: non-empty-cell masking (r10 ADVICE)
+        f"ivf-refresh-v2|{stream_path}|{_Q257_SCALE}".encode()
     ).hexdigest()[:16]
     path = derived.derived_path("ivf_refresh", key)
     marker_src = os.path.join(stream_path, "meta.json")
@@ -418,9 +421,19 @@ def _q257_index(spark: SparkSession, sf_dir: str):
             .agg(F.sum("qi").alias("s"), F.count("*").alias("n"))
             .collect()
         )
-        M = np.zeros((_IVF_CELLS, dim), dtype=np.float64)
+        # NON-EMPTY cells only (r10 ADVICE): the oracle's m/pc CTEs
+        # contain only cells with members, so a seed cell that captured
+        # nothing must be EXCLUDED from reassignment and probe
+        # selection — an all-zero placeholder row could win an argmax
+        # when every real dot is negative and silently diverge from the
+        # oracle.  `present` is sorted ascending so a first-maximal
+        # argmax over its rows tie-breaks exactly like the oracle's
+        # (s DESC, cell).
+        present = sorted({r["cell"] for r in sums})
+        cell_row = {c: i for i, c in enumerate(present)}
+        M = np.zeros((len(present), dim), dtype=np.float64)
         for r in sums:
-            M[r["cell"]][r["pos"]] = math.floor(r["s"] / r["n"])
+            M[cell_row[r["cell"]]][r["pos"]] = math.floor(r["s"] / r["n"])
 
         def build(tmp: str) -> None:
             os.makedirs(tmp, exist_ok=True)
@@ -429,14 +442,15 @@ def _q257_index(spark: SparkSession, sf_dir: str):
                 list(narrow.schema.fields)
                 + [T.StructField("cell", T.IntegerType(), False)]
             )
-            Ct = M.T  # dim × k
+            Ct = M.T  # dim × |present|
+            cells_arr = np.array(present, dtype="int32")
             scale = float(_Q257_SCALE)
 
             def reassign(batches):
-                # free variables only (Ct, scale, np) — a module-level
-                # helper here would pickle by REFERENCE and fail on
-                # workers without the repo on sys.path (driver-sim's
-                # foreign-cwd contract)
+                # free variables only (Ct, cells_arr, scale, np) — a
+                # module-level helper here would pickle by REFERENCE
+                # and fail on workers without the repo on sys.path
+                # (driver-sim's foreign-cwd contract)
                 for pdf in batches:
                     if not len(pdf):
                         continue
@@ -444,8 +458,9 @@ def _q257_index(spark: SparkSession, sf_dir: str):
                     Q = np.floor(E.astype(np.float64) * scale + 0.5)
                     pdf = pdf.copy()
                     # exact integer dots in float64; argmax takes the
-                    # FIRST maximal index = the oracle's (s DESC, cell)
-                    pdf["cell"] = (Q @ Ct).argmax(axis=1).astype("int32")
+                    # FIRST maximal row = smallest cell id among ties =
+                    # the oracle's (s DESC, cell)
+                    pdf["cell"] = cells_arr[(Q @ Ct).argmax(axis=1)]
                     yield pdf
 
             (ensure_min_partitions(narrow)
@@ -457,15 +472,18 @@ def _q257_index(spark: SparkSession, sf_dir: str):
             # path never re-runs the Lloyd-step job
             with open(os.path.join(tmp, "meta.json"), "w") as f:
                 json.dump({"n_cells": _IVF_CELLS, "scale": _Q257_SCALE,
+                           "cells": [int(c) for c in present],
                            "centroids": M.astype(int).tolist()}, f)
 
         derived.build_atomic(path, build)
     with open(os.path.join(path, "meta.json")) as f:
-        M = np.array(json.load(f)["centroids"], dtype=np.float64)
+        meta = json.load(f)
+    M = np.array(meta["centroids"], dtype=np.float64)
+    present = [int(c) for c in meta["cells"]]
     # serve needs the raw probe vector too
     q0 = ivf_centroids(
         spark, os.path.join(sf_dir, "embeddings.parquet"), 1)[0]
-    return path, M, q0
+    return path, M, present, q0
 
 
 @register(
@@ -490,13 +508,15 @@ def _q257_index(spark: SparkSession, sf_dir: str):
 def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    path, M, q0 = _q257_index(spark, sf_dir)
+    path, M, present, q0 = _q257_index(spark, sf_dir)
     idx = spark.read.parquet(os.path.join(path, "cells"))
-    # cell selection by exact integer dot (driver-side, n_cells x dim)
+    # cell selection by exact integer dot (driver-side, |present| x dim)
+    # over NON-EMPTY cells only — `present` is ascending, so index-order
+    # tie-break = the oracle's (s DESC, cell)
     q0q = _quantize_rows(np.array([q0]))[0]
     scores = M @ q0q
     order = sorted(range(len(scores)), key=lambda j: (-scores[j], j))
-    probes = [int(j) for j in order[:_IVF_NPROBE]]
+    probes = [present[j] for j in order[:_IVF_NPROBE]]
     # exact rerank against the RAW probe vector within pruned cells
     qarr = "array(" + ",".join(f"{float(v)!r}D" for v in q0) + ")"
     dp = F.expr(
