@@ -28,75 +28,55 @@ def entry(spark: SparkSession) -> DataFrame:
 # is PRIORITY-ORDERED (tuple position, not qid) and more than ~50
 # entries means the tail defers to the next round by design.
 _CHANGED_FIRST = (
-    # Tier 0 — round 10 fixes/reworks, riskiest first (VERDICT r9
-    # directives 1 and 3).  All entries pass the in-repo
-    # driver-faithful oracle diff at sf0.01 before queueing here.
-    "q53_json_extract",            # r10: served from the shredded
-                                   # companion (parse at ingest); the
-                                   # oracle still recomputes from raw
-    "q100_pmi_collocations",       # r10: corpus tokenized exactly
-                                   # twice; uni/bigram tables persisted
-    "q113_kmv_distinct_sketch",    # r10: sketch + exact audit both
-                                   # ride one persisted vocabulary
-    "q209_neardup_pagerank",       # r10: candidate pair set persisted
-                                   # BEFORE the symmetrizing union
-    "q194_dup_ngram_coverage",     # r10 second wave: pre-explode text
-                                   # exchange; gram stream never shuffles
-    "q210_repeated_passage_audit",  # r10 second wave: window-served
-                                   # dup flag rides one h-exchange
-    # Tier 1 — NEW registry entries this round (round 10) append below
-    # AS THEY LAND; tier 0 + tier 1 must stay <= ~20 so the rotation
-    # block gets its budgeted >=25 slots (test_cert_window.py enforces
-    # the arithmetic).
-    "q254_streaming_ivf_maintenance",
-    "q255_grouped_kmv_union_audit",
-    "q256_dedup_rate_drift_monitor",
-    "q257_ivf_centroid_refresh",   # r10 second wave: exact-Lloyd-step
-                                   # compaction of the q254 stream index
-    "q258_ngram_novelty_drift",    # r10 second wave: cross-snapshot
-                                   # gram novelty on q256's epochs
-    "q144_asof_join_forward",      # r10 second wave: running-frame
-                                   # form (ts DESC, O(k) per user)
-    "q259_index_delta_compaction",  # r10 second wave: LSM fold of the
-                                   # q244 stream index
-    "q260_streaming_lsm_index_lifecycle",  # r10 second wave: append +
-                                   # scheduled in-stream fold, one job
+    # Tier 0 — round 11 changes, riskiest first.  All entries pass the
+    # in-repo driver-faithful oracle diff at sf0.01 before queueing.
+    "q261_exact_substring_dedup",  # NEW r11: Lee-et-al exact substring
+                                   # dedup (stride-1 gram digests →
+                                   # interval merge)
+    "q53_json_extract",            # r11: back on the parse-on-read
+                                   # VARIANT plan (r10 ADVICE — the
+                                   # shredded serving aliased q102)
+    "q257_ivf_centroid_refresh",   # r11: empty-cell masking (r10
+                                   # ADVICE) + manifest-pointer
+                                   # generation switchover
+    "q260_streaming_lsm_index_lifecycle",  # r11: in-stream fold now
+                                   # flips a {base_gen, delta_epoch}
+                                   # manifest — no directory rename
+    "q259_index_delta_compaction",  # r11: compacted companion is
+                                   # generation-managed via manifest
+    "q244_streaming_index_maintenance",  # r11: meta field renamed
+                                   # n_docs -> n_docs_tokenized
 )
 
-# CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6): queries whose
-# latest green driver certification is oldest (r2–r4 cohort, code
-# unchanged — the in-repo oracle diff covers them at HEAD, but the
-# driver's canonicalizer is the ground truth and has caught what the
-# sim missed, q190).  PRIORITY-ORDERED oldest-cert-first; ~30 slots per
-# round, the tail defers to the next round by design.
+# CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6; r10 directive
+# 1: spend the r11 window draining the r5 cohort and biting into r6).
+# PRIORITY-ORDERED oldest-cert-first; the tail defers to the next
+# round by design.
 _STALE_CERT = (
-    # r4 cohort (30 remaining after the r9 window ran out; q100 moved
-    # to _CHANGED_FIRST) — oldest certs in the registry
-    "q19_range_predicate_join", "q32_rank_dense_rank", "q37_ntile",
-    "q51_date_arith", "q52_math_funcs", "q54_array_access",
-    "q55_array_dot_product", "q60_exact_dedup_hash",
-    "q61_dedup_keep_first", "q62_neardup_prefix_candidates",
-    "q63_similarity_topk", "q64_tokenize_tf",
-    "q65_profile_by_lang_source", "q66_embedding_label_stats",
-    "q77_lang_id_heuristic", "q78_quality_score_histogram",
-    "q79_token_count_stats", "q80_fingerprint_rolling_hash",
-    "q81_multimodal_decode_stub", "q82_deterministic_split",
-    "q83_hash_sample_per_stratum", "q84_corpus_statistics",
-    "q85_length_percentiles", "q88_topk_per_group",
-    "q89_embedding_centroids", "q90_incremental_dedup_anti_join",
-    "q93_embedding_neardup_pairs", "q96_sequence_packing",
-    "q97_mixture_resample", "q99_tfidf_top_terms",
-    # r5 cohort head (oldest-first by qid; the rest of the r5 cohort —
-    # and then r6 — continues in the r11 rotation from where this
-    # window runs out)
-    "q102_json_extract_shredded", "q105_training_shuffle_shards",
-    "q108_multimodal_feature_extract", "q110_balanced_sample_per_stratum",
-    "q112_hypertable_rollup", "q127_runtime_bloom_filter_join",
+    # r5 cohort — the 34 oldest certs in the registry (complete list;
+    # recomputed from CORRECTNESS_r01–r10 latest-green)
+    "q16_left_anti_join", "q20_asof_join", "q21_self_join",
+    "q26_grouping_sets", "q29_conditional_agg", "q31_row_number",
+    "q33_lag_lead", "q34_running_sum", "q35_sliding_rows_frame",
+    "q36_first_value_full_frame", "q40_limit_offset",
+    "q56_tumbling_window", "q57_sliding_window", "q58_session_window",
+    "q59_stateful_dedup", "q67_uncorrelated_scalar_subquery",
+    "q69_in_subquery", "q70_cte", "q71_values_inline",
+    "q86_latest_event_per_user", "q87_funnel_conversion",
     "q133_gap_fill_locf", "q134_event_path_prefixes",
     "q135_rolling_distinct_types", "q136_snapshot_diff_cdc",
     "q137_outlier_flags", "q139_levenshtein_verify",
     "q140_cohort_retention", "q141_point_in_time_join",
-    "q142_hof_vector_stats",
+    "q142_hof_vector_stats", "q149_audio_feature_stub",
+    "q150_matryoshka_truncation_eval", "q151_temperature_mixture",
+    "q152_bigram_lm_score",
+    # r6 cohort head (oldest-first by qid; the rest of r6 continues in
+    # the r12 rotation from where this window runs out)
+    "q104_top_ngram_fraction", "q106_pivot_event_matrix",
+    "q107_unpivot_long_form", "q109_video_frame_sampling",
+    "q111_curriculum_quartiles", "q115_distribution_drift_psi",
+    "q116_full_data_recipe", "q117_recursive_cte_month_series",
+    "q118_percent_rank_cume_dist", "q119_lateral_topn_per_key",
 )
 
 
@@ -120,7 +100,8 @@ def _ordered_qids() -> list[str]:
             # entries (see the tier comments above).
             return (0, changed_rank[qid], qid)
         if qid in stale_rank:
-            # oldest-cert-first: the rotation refreshes the r2–r4 cohort
+            # oldest-cert-first: the r11 rotation drains the r5 cohort
+            # and bites into r6 (VERDICT r10 directive 1)
             return (1, stale_rank[qid], qid)
         return (2, 0, qid)
 

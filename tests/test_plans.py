@@ -873,3 +873,25 @@ def test_q258_single_corpus_exchange(spark, sf_dir):
     for line in text.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "w#" not in line, line
+
+
+def test_q261_gram_exchanges_carry_digests_only(spark, sf_dir):
+    """Exact-substring dedup: the gram stream must shuffle 16-hex
+    digests + integer offsets only — no exchange may carry document
+    text or the token array — and the duplicate-gram flag must ride
+    ONE explicit gh-exchange via the count window (q210 shape: no
+    aggregate+join-back diamond re-running the shingle chain)."""
+    df = REGISTRY["q261_exact_substring_dedup"].spark(spark, sf_dir)
+    text = inspect.explain_formatted(df)
+    for line in text.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line and "wlist#" not in line, line
+    gh_ex = [ln for ln in text.splitlines()
+             if "hashpartitioning(gh#" in ln]
+    assert len(gh_ex) == 1, gh_ex
+    tree = _plan_tree(text)
+    assert "Window" in tree, tree
+    assert "BatchEvalPython" not in text and "PythonUDF" not in text, text
+    # exactly one Generate: the gram stream is evaluated once (the
+    # groupBy+join-back alternative re-shingles per consumer)
+    assert tree.count("Generate") == 1, tree

@@ -271,14 +271,19 @@ def test_q257_switchover_tracks_stream_generation(spark, sf_dir):
     from tidb_gateway_spark.sources import derived
 
     stream_path = _q254_index(spark, sf_dir)
-    path, _M, _present, _q0 = _q257_index(spark, sf_dir)
+    gen, _M, _present, _q0 = _q257_index(spark, sf_dir)
+    # r11: the companion is generation-managed — _q257_index returns
+    # the CURRENT generation dir; freshness is the manifest at the root
+    root = os.path.dirname(gen)
+    assert os.path.basename(gen).startswith("gen-")
     marker_src = os.path.join(stream_path, "meta.json")
-    assert derived.is_fresh(path, marker_src, marker="meta.json")
+    assert derived.is_fresh(root, marker_src, marker=derived.MANIFEST)
     orig = os.stat(marker_src)
     future = time.time() + 10
     os.utime(marker_src, (future, future))
     try:
-        assert not derived.is_fresh(path, marker_src, marker="meta.json")
+        assert not derived.is_fresh(
+            root, marker_src, marker=derived.MANIFEST)
     finally:
         os.utime(marker_src, (orig.st_atime, orig.st_mtime))
 
@@ -333,13 +338,22 @@ def test_q260_lifecycle_reaches_mixed_generation_steady_state(spark, sf_dir):
     only half the lifecycle)."""
     from tidb_gateway_spark.queries.streaming_retrieval import _q260_index
 
+    from tidb_gateway_spark.queries.streaming_retrieval import (
+        _q260_live_roots,
+    )
+
     path = _q260_index(spark, sf_dir)
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     assert meta["n_folds"] >= 1, meta
     assert meta["deltas_live"] >= 1, meta
-    assert os.path.exists(os.path.join(path, "base", "dict")), meta
-    assert os.path.exists(os.path.join(path, "delta", "dict")), meta
+    roots = _q260_live_roots(path)
+    # manifest must name BOTH a folded base generation and a live
+    # delta epoch, each with a dictionary
+    assert len(roots) == 2, roots
+    assert "base" in roots[0] and "delta" in roots[1], roots
+    for r in roots:
+        assert os.path.exists(os.path.join(r, "dict")), r
 
 
 def test_q260_serve_equals_q220(spark, sf_dir):

@@ -1,0 +1,138 @@
+"""Round-11 operator tests: the manifest-pointer switchover for the
+LSM/companion family (VERDICT r10 directive 4 — directory rename is
+non-atomic on object stores and a crash between q260's delta truncate
+and base swap could serve an inconsistent index) and the q261 exact
+substring-level dedup operator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from tidb_gateway_spark.queries import REGISTRY
+from tidb_gateway_spark.sources import derived
+
+
+def test_write_manifest_atomic_replace(tmp_path):
+    """The manifest flip is a single-file os.replace: the new state is
+    fully visible, the temp file is gone, repeated flips monotone."""
+    root = str(tmp_path / "comp")
+    derived.write_manifest(root, {"seq": 1, "generation": "gen-000001"})
+    assert derived.read_manifest(root) == {
+        "seq": 1, "generation": "gen-000001"}
+    assert not os.path.exists(
+        os.path.join(root, derived.MANIFEST + ".tmp"))
+    derived.write_manifest(root, {"seq": 2, "generation": "gen-000002"})
+    assert derived.read_manifest(root)["seq"] == 2
+
+
+def test_read_manifest_legacy_layout(tmp_path):
+    """A companion without a manifest (legacy single-dir layout, or a
+    plain file path) resolves to itself, never raises."""
+    assert derived.read_manifest(str(tmp_path / "nope")) is None
+    assert derived.current_generation(str(tmp_path)) == str(tmp_path)
+    # a FILE on the path component (NotADirectoryError branch)
+    f = tmp_path / "afile"
+    f.write_text("x")
+    assert derived.read_manifest(str(f)) is None
+
+
+def test_publish_generation_crash_window(tmp_path):
+    """The crash-window contract: a publish that dies AFTER writing
+    (part of) the next generation but BEFORE the manifest flip leaves
+    readers on the old complete generation; the next successful
+    publish reuses the sequence slot and GC's the superseded one."""
+    root = str(tmp_path / "comp")
+
+    def build_v1(gen: str) -> None:
+        os.makedirs(gen)
+        with open(os.path.join(gen, "data.json"), "w") as f:
+            json.dump({"v": 1}, f)
+
+    g1 = derived.publish_generation(root, build_v1)
+    assert derived.current_generation(root) == g1
+
+    # crash mid-publish: the build writes partial content then dies
+    def build_crash(gen: str) -> None:
+        os.makedirs(gen)
+        with open(os.path.join(gen, "data.json"), "w") as f:
+            f.write('{"v": 2')  # truncated — half-written artifact
+        raise RuntimeError("simulated crash before manifest flip")
+
+    with pytest.raises(RuntimeError):
+        derived.publish_generation(root, build_crash)
+    # readers still resolve to the OLD complete generation
+    assert derived.current_generation(root) == g1
+    with open(os.path.join(g1, "data.json")) as f:
+        assert json.load(f) == {"v": 1}
+
+    # a later successful publish supersedes both: the crashed gen-2
+    # leftovers are overwritten, gen-1 GC'd after the flip
+    def build_v2(gen: str) -> None:
+        os.makedirs(gen, exist_ok=True)
+        with open(os.path.join(gen, "data.json"), "w") as f:
+            json.dump({"v": 2}, f)
+
+    g2 = derived.publish_generation(root, build_v2)
+    assert derived.current_generation(root) == g2
+    with open(os.path.join(g2, "data.json")) as f:
+        assert json.load(f) == {"v": 2}
+    assert not os.path.exists(g1)
+
+
+def test_q260_crash_window_serves_old_consistent_index(spark, sf_dir):
+    """Kill-between-fold-and-swap simulation (the r10 verdict's named
+    deployment gap): plant a half-written NEXT base generation beside
+    the finished companion WITHOUT flipping the manifest — the declared
+    serve must ignore it entirely and return the same answer."""
+    import shutil
+
+    from tidb_gateway_spark.queries.streaming_retrieval import (
+        _q260_index,
+        _q260_live_roots,
+    )
+
+    want = [r["doc_id"] for r in REGISTRY[
+        "q260_streaming_lsm_index_lifecycle"].spark(spark, sf_dir)
+        .collect()]
+    path = _q260_index(spark, sf_dir)
+    st = derived.read_manifest(path)
+    assert st is not None and st["base_gen"] >= 1
+    garbage = os.path.join(
+        path, "base", f"gen-{st['base_gen'] + 1:06d}")
+    os.makedirs(os.path.join(garbage, "dict"), exist_ok=True)
+    with open(os.path.join(garbage, "dict", "part-junk.parquet"),
+              "wb") as f:
+        f.write(b"\x00not parquet - crashed fold leftovers")
+    try:
+        assert garbage not in _q260_live_roots(path)
+        got = [r["doc_id"] for r in REGISTRY[
+            "q260_streaming_lsm_index_lifecycle"].spark(spark, sf_dir)
+            .collect()]
+        assert got == want
+    finally:
+        shutil.rmtree(garbage, ignore_errors=True)
+
+
+def test_q257_and_q259_serve_through_manifest(spark, sf_dir):
+    """Both compaction companions are generation-managed: the serving
+    dir is the manifest's current generation, and a stray directory at
+    the root is unreachable."""
+    from tidb_gateway_spark.queries.streaming_retrieval import (
+        _q257_index,
+        _q259_compact,
+    )
+
+    gen, _M, _present, _q0 = _q257_index(spark, sf_dir)
+    root = os.path.dirname(gen)
+    assert derived.current_generation(root) == gen
+    assert os.path.basename(gen) == derived.read_manifest(
+        root)["generation"]
+
+    gen259 = _q259_compact(spark, sf_dir)
+    root259 = os.path.dirname(gen259)
+    assert derived.current_generation(root259) == gen259
+    assert os.path.exists(os.path.join(gen259, "meta.json"))

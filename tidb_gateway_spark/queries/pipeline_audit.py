@@ -578,3 +578,167 @@ _REG["q234_sketch_agreement_audit"] = _dc.replace(
     _REG["q234_sketch_agreement_audit"], oracle=_q234_oracle())
 _REG["q235_dedup_waterfall"] = _dc.replace(
     _REG["q235_dedup_waterfall"], oracle=_q235_oracle())
+
+
+# ---------------------------------------------------------------- Q261
+_Q261_K = 8  # minimum duplicated-substring length, in tokens
+
+# DuckDB twin: recompute the whole chain from raw text — stride-1
+# K-token gram digests, global duplicate detection, per-doc maximal
+# interval merge (gaps-and-islands), per-source report.  Both engines
+# key duplicate detection on substr(md5(gram), 1, 16) — the IDENTICAL
+# function, so even a digest collision (2^-64-class) reproduces
+# identically cross-engine (the q210 convention).
+_Q261_ORACLE = (
+    "WITH wl AS (SELECT doc_id, source, "
+    "list_filter(string_split(text, ' '), x -> x <> '') AS wl "
+    "FROM documents), "
+    "g AS (SELECT doc_id, CAST(u.i AS INT) AS pos, "
+    "substr(md5(array_to_string("
+    f"wl[CAST(u.i + 1 AS INT):CAST(u.i + {_Q261_K} AS INT)], ' ')), "
+    "1, 16) AS gh "
+    f"FROM wl, UNNEST(range(0, len(wl) - {_Q261_K - 1})) AS u(i) "
+    f"WHERE len(wl) >= {_Q261_K}), "
+    "dup AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, "
+    "COUNT(*) OVER (PARTITION BY gh) AS c FROM g) WHERE c >= 2), "
+    "brk AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER "
+    f"(PARTITION BY doc_id ORDER BY pos) > {_Q261_K} THEN 1 ELSE 0 END "
+    "AS b FROM dup), "
+    "isl AS (SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id "
+    "ORDER BY pos) AS island FROM brk), "
+    "sp AS (SELECT doc_id, island, MIN(pos) AS st, "
+    f"MAX(pos) + {_Q261_K} - 1 AS en FROM isl GROUP BY 1, 2), "
+    "per AS (SELECT doc_id, COUNT(*) AS n_spans, "
+    "SUM(en - st + 1) AS dup_tokens FROM sp GROUP BY 1), "
+    "pj AS (SELECT d.source, p.n_spans, p.dup_tokens "
+    "FROM per p JOIN documents d USING (doc_id)), "
+    "fs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_flagged, "
+    "CAST(SUM(n_spans) AS BIGINT) AS n_spans, "
+    "CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens FROM pj GROUP BY 1), "
+    "tot AS (SELECT source, CAST(SUM(len(wl)) AS BIGINT) AS tok_total "
+    "FROM wl GROUP BY 1) "
+    "SELECT tot.source, COALESCE(fs.docs_flagged, 0) AS docs_flagged, "
+    "COALESCE(fs.n_spans, 0) AS n_spans, "
+    "COALESCE(fs.dup_tokens, 0) AS dup_tokens, tot.tok_total, "
+    "CAST((COALESCE(fs.dup_tokens, 0) * 10000) // tot.tok_total "
+    "AS BIGINT) AS dup_bps "
+    "FROM tot LEFT JOIN fs USING (source) ORDER BY tot.source"
+)
+
+
+@register(
+    "q261_exact_substring_dedup",
+    _Q261_ORACLE,
+    doc="Exact substring-level duplication audit — the published "
+        "training-data dedup standard (Lee et al. 2022, 'Deduplicating "
+        "Training Data Makes Language Models Better': exact duplicated "
+        "substrings of >= k tokens at ARBITRARY offsets), which q210's "
+        "fixed non-overlapping chunks only approximate.  The suffix-"
+        "array construction becomes three DataFrame stages: (1) "
+        "stride-1 K-token gram digests with their token offset "
+        "(substr(md5, 1, 16) — the same function both engines compute, "
+        "so duplicate detection is bit-identical cross-engine); (2) "
+        "global duplicate grams via ONE explicit gh-exchange whose "
+        "count window flags repeats in place (the q210 shape — no "
+        "aggregate+join-back diamond, and a duplicated substring of "
+        "length L >= K marks all L-K+1 overlapping grams, giving "
+        "contiguous flagged offsets); (3) per-doc maximal-interval "
+        "merge (gaps-and-islands: break when the offset gap exceeds K, "
+        "running-sum island ids, min/max per island) over the FLAGGED "
+        "rows only — the second exchange carries (doc_id, pos) ints "
+        "for duplicated positions, a small fraction of the corpus.  "
+        "Per-source report: flagged docs, merged spans, duplicated "
+        "tokens, and dup_bps by exact integer division.  100 TB: both "
+        "corpus-scale exchanges carry digests/ints (never text); the "
+        "gram stream is evaluated ONCE (the window form was chosen "
+        "over groupBy+join-back precisely to avoid re-shingling); a "
+        "pathologically hot gram key concentrates one window "
+        "partition — the documented mitigation is pre-aggregating "
+        "(gh, doc, pos-run) before the window, worth it only past "
+        "~1e8 occurrences of a single gram.",
+    tags=("llm", "dedup", "governance", "text"),
+)
+def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    t = F.trim(F.col("text"))
+    wl = d.select(
+        "doc_id", "source",
+        F.when(t != "", F.split(t, " +"))
+        .otherwise(F.expr("CAST(array() AS array<string>)"))
+        .alias("wlist"),
+    )
+    # stride-1 K-gram digests with 0-based token offset; posexplode's
+    # index IS the gram's start offset (matches the oracle's u.i)
+    grams_sql = (
+        f"CASE WHEN size(wlist) >= {_Q261_K} THEN "
+        f"transform(sequence(1, size(wlist) - {_Q261_K - 1}), i -> "
+        f"substring(md5(concat_ws(' ', slice(wlist, i, {_Q261_K}))), "
+        "1, 16)) ELSE CAST(array() AS array<string>) END"
+    )
+    g = (
+        wl.select("doc_id", F.posexplode(F.expr(grams_sql))
+                  .alias("pos", "gh"))
+        # ONE explicit gh-exchange: the count window flags duplicate
+        # grams in place (q210 shape), so the gram stream is computed
+        # once and never re-shuffled
+        .repartition("gh")
+    )
+    dup = (
+        g.select(
+            "doc_id", "pos",
+            F.count("*").over(Window.partitionBy("gh")).alias("c"),
+        )
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
+    # gaps-and-islands maximal-interval merge: intervals [pos, pos+K-1]
+    # merge when overlapping OR adjacent (gap <= K)
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.select(
+        "doc_id", "pos",
+        F.sum(
+            F.when(F.col("pos") - F.lag("pos").over(wd) > _Q261_K, 1)
+            .otherwise(0)
+        ).over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("st"),
+        (F.max("pos") + _Q261_K - 1).alias("en"),
+    )
+    per = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("en") - F.col("st") + 1).alias("dup_tokens"),
+    )
+    fs = (
+        per.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("docs_flagged"),
+            F.sum("n_spans").cast("bigint").alias("n_spans"),
+            F.sum("dup_tokens").cast("bigint").alias("dup_tokens"),
+        )
+    )
+    tot = wl.groupBy("source").agg(
+        F.sum(F.size("wlist")).cast("bigint").alias("tok_total"))
+    return (
+        tot.join(fs, "source", "left")
+        .select(
+            "source",
+            F.coalesce("docs_flagged", F.lit(0)).alias("docs_flagged"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            "tok_total",
+            (F.coalesce("dup_tokens", F.lit(0)) * 10000)
+            .cast("bigint").alias("numer"),
+        )
+        .select(
+            "source", "docs_flagged", "n_spans", "dup_tokens",
+            "tok_total",
+            F.expr("CAST(numer DIV tok_total AS BIGINT)")
+            .alias("dup_bps"),
+        )
+        .orderBy("source")
+    )

@@ -398,10 +398,15 @@ def _q257_index(spark: SparkSession, sf_dir: str):
     key = hashlib.md5(  # v2: non-empty-cell masking (r10 ADVICE)
         f"ivf-refresh-v2|{stream_path}|{_Q257_SCALE}".encode()
     ).hexdigest()[:16]
-    path = derived.derived_path("ivf_refresh", key)
+    # object-store-safe switchover (r10 verdict directive 4): the
+    # refreshed index is published as an immutable GENERATION under the
+    # companion root and readers resolve through the atomically-flipped
+    # manifest — never a directory rename, which S3-class stores make
+    # copy+delete (non-atomic)
+    root = derived.derived_path("ivf_refresh", key)
     marker_src = os.path.join(stream_path, "meta.json")
 
-    if not derived.is_fresh(path, marker_src, marker="meta.json"):
+    if not derived.is_fresh(root, marker_src, marker=derived.MANIFEST):
         idx = spark.read.parquet(os.path.join(stream_path, "cells"))
         dim = 64
         # refreshed centroids: exact integer per-(cell, dim) sums.  The
@@ -475,15 +480,16 @@ def _q257_index(spark: SparkSession, sf_dir: str):
                            "cells": [int(c) for c in present],
                            "centroids": M.astype(int).tolist()}, f)
 
-        derived.build_atomic(path, build)
-    with open(os.path.join(path, "meta.json")) as f:
+        derived.publish_generation(root, build)
+    gen = derived.current_generation(root)
+    with open(os.path.join(gen, "meta.json")) as f:
         meta = json.load(f)
     M = np.array(meta["centroids"], dtype=np.float64)
     present = [int(c) for c in meta["cells"]]
     # serve needs the raw probe vector too
     q0 = ivf_centroids(
         spark, os.path.join(sf_dir, "embeddings.parquet"), 1)[0]
-    return path, M, present, q0
+    return gen, M, present, q0
 
 
 @register(
@@ -561,10 +567,11 @@ def _q259_compact(spark: SparkSession, sf_dir: str) -> str:
 
     stream_path = _q244_index(spark, sf_dir)
     key = hashlib.md5(
-        f"invidx-compact-v1|{stream_path}".encode()).hexdigest()[:16]
-    path = derived.derived_path("invidx_compact", key)
+        f"invidx-compact-v2|{stream_path}".encode()).hexdigest()[:16]
+    # manifest-pointer switchover, not directory rename (see _q257_index)
+    root = derived.derived_path("invidx_compact", key)
     marker_src = os.path.join(stream_path, "meta.json")
-    if not derived.is_fresh(path, marker_src, marker="meta.json"):
+    if not derived.is_fresh(root, marker_src, marker=derived.MANIFEST):
 
         def _n_segments(root: str) -> int:
             return sum(
@@ -593,8 +600,8 @@ def _q259_compact(spark: SparkSession, sf_dir: str) -> str:
                         os.path.join(tmp, "postings")),
                 }, f)
 
-        derived.build_atomic(path, build)
-    return path
+        derived.publish_generation(root, build)
+    return derived.current_generation(root)
 
 
 @register(
@@ -666,10 +673,15 @@ def _q260_index(spark: SparkSession, sf_dir: str) -> str:
 
     Production note: the fold runs inside the same foreachBatch
     transaction slot as the append (Structured Streaming serializes
-    batches), so no concurrent writer exists; a real deployment makes
-    fold-then-truncate crash-atomic with a segment-epoch manifest —
-    here the whole build is wrapped in build_atomic, which gives the
-    fixture the same all-or-nothing property.
+    batches), so no concurrent writer exists; fold-then-truncate is
+    crash-atomic via the segment-epoch MANIFEST (r11): the next base
+    generation is written in full under base/gen-(k+1), then ONE
+    atomic manifest replace flips {base_gen, delta_epoch} together —
+    a crash at any point leaves readers on the old generation plus
+    the whole delta pile (consistent), and superseded directories are
+    GC'd only after the flip.  os.replace of the manifest FILE is the
+    single-key-PUT shape an object-store deployment maps it to; no
+    directory is ever renamed.
 
     Scale: append work ∝ batch; fold work ∝ base+deltas but amortized
     1/N per batch and dictionary exchanges stay vocabulary-sized —
@@ -683,8 +695,8 @@ def _q260_index(spark: SparkSession, sf_dir: str) -> str:
     from tidb_gateway_spark.sources import derived
 
     src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
-    key = hashlib.md5(
-        f"invidx-lsm-v1|{src}|{_Q260_SPLITS}|{_Q260_COMPACT_EVERY}"
+    key = hashlib.md5(  # v2: manifest-pointer fold switchover
+        f"invidx-lsm-v2|{src}|{_Q260_SPLITS}|{_Q260_COMPACT_EVERY}"
         .encode()).hexdigest()[:16]
     path = derived.derived_path("invidx_lsm", key)
     if not derived.is_fresh(path, src, marker="meta.json"):
@@ -699,59 +711,76 @@ def _q260_index(spark: SparkSession, sf_dir: str) -> str:
                 (d.filter(sp == i).repartition(1)
                  .write.mode("append").parquet(stage))
 
-            base_post = os.path.join(tmp, "base", "postings")
-            base_dict = os.path.join(tmp, "base", "dict")
-            delta_post = os.path.join(tmp, "delta", "postings")
-            delta_dict = os.path.join(tmp, "delta", "dict")
+            # LSM state lives behind ONE manifest (r10 verdict
+            # directive 4 — the os.rename fold was local-FS-only and a
+            # crash between the delta truncate and the base swap could
+            # serve an inconsistent index): immutable base GENERATIONS
+            # under base/gen-N, append epochs under delta/epoch-E, and
+            # {base_gen, delta_epoch} flipped in one atomic manifest
+            # replace.  A crash anywhere mid-fold leaves readers on
+            # the old (base_gen, delta_epoch) pair — old base + the
+            # ENTIRE delta pile, a complete consistent index; the
+            # half-written next generation is unreachable garbage.
+            derived.write_manifest(
+                tmp, {"base_gen": 0, "delta_epoch": 1})
             stats = {"n_batches": 0, "n_folds": 0, "deltas_live": 0}
 
+            def _epoch_root(e: int) -> str:
+                return os.path.join(tmp, "delta", f"epoch-{e:06d}")
+
+            def _gen_root(k: int) -> str:
+                return os.path.join(tmp, "base", f"gen-{k:06d}")
+
             def merge(batch: DataFrame, batch_id: int) -> None:
+                st = derived.read_manifest(tmp)
+                e, k = st["delta_epoch"], st["base_gen"]
                 td = _tok(ensure_min_partitions(batch)).distinct()
                 td = td.select(
                     F.substring("w", 1, 1).alias("pfx"), "w", "doc_id")
                 td = td.persist()
                 try:
                     (td.write.mode("append").partitionBy("pfx")
-                     .parquet(delta_post))
+                     .parquet(os.path.join(_epoch_root(e), "postings")))
                     (td.groupBy("pfx", "w")
                      .agg(F.count("*").alias("dfc"))
                      .write.mode("append").partitionBy("pfx")
-                     .parquet(delta_dict))
+                     .parquet(os.path.join(_epoch_root(e), "dict")))
                 finally:
                     td.unpersist()
                 stats["n_batches"] += 1
                 stats["deltas_live"] += 1
                 if stats["n_batches"] % _Q260_COMPACT_EVERY:
                     return
-                # scheduled fold: base := base ∪ deltas (dictionary
-                # summed, postings rewritten one segment per prefix),
-                # then truncate the delta pile
-                # per-root reads unioned: Spark's partition discovery
-                # rejects multiple partitioned roots in one read
-                # (CONFLICTING_DIRECTORY_STRUCTURES)
-                dicts = [delta_dict] + (
-                    [base_dict] if os.path.exists(base_dict) else [])
-                posts = [delta_post] + (
-                    [base_post] if os.path.exists(base_post) else [])
+                # scheduled fold: next base generation := base ∪ delta
+                # epoch (dictionary summed, postings rewritten one
+                # segment per prefix), WRITTEN IN FULL before the
+                # manifest flips to {base_gen: k+1, delta_epoch: e+1};
+                # the superseded generation and epoch are GC'd only
+                # after the flip.  Per-root reads unioned: Spark's
+                # partition discovery rejects multiple partitioned
+                # roots in one read (CONFLICTING_DIRECTORY_STRUCTURES).
+                dicts = [os.path.join(_epoch_root(e), "dict")] + (
+                    [os.path.join(_gen_root(k), "dict")] if k else [])
+                posts = [os.path.join(_epoch_root(e), "postings")] + (
+                    [os.path.join(_gen_root(k), "postings")] if k else [])
                 folded_dict = (
                     _union_roots(spark, dicts)
                     .groupBy("pfx", "w")
                     .agg(F.sum("dfc").cast("bigint").alias("dfc"))
                 )
-                nb_post = os.path.join(tmp, "base.next", "postings")
-                nb_dict = os.path.join(tmp, "base.next", "dict")
                 (folded_dict.repartition("pfx")
                  .write.mode("overwrite").partitionBy("pfx")
-                 .parquet(nb_dict))
+                 .parquet(os.path.join(_gen_root(k + 1), "dict")))
                 (_union_roots(spark, posts).repartition("pfx")
                  .write.mode("overwrite").partitionBy("pfx")
-                 .parquet(nb_post))
-                shutil.rmtree(os.path.join(tmp, "base"),
-                              ignore_errors=True)
-                os.rename(os.path.join(tmp, "base.next"),
-                          os.path.join(tmp, "base"))
-                shutil.rmtree(delta_post, ignore_errors=True)
-                shutil.rmtree(delta_dict, ignore_errors=True)
+                 .parquet(os.path.join(_gen_root(k + 1), "postings")))
+                derived.write_manifest(
+                    tmp, {"base_gen": k + 1, "delta_epoch": e + 1})
+                # lazy GC after the flip (a crash here leaves garbage,
+                # never inconsistency)
+                if k:
+                    shutil.rmtree(_gen_root(k), ignore_errors=True)
+                shutil.rmtree(_epoch_root(e), ignore_errors=True)
                 stats["n_folds"] += 1
                 stats["deltas_live"] = 0
 
@@ -770,6 +799,27 @@ def _q260_index(spark: SparkSession, sf_dir: str) -> str:
 
         derived.build_atomic(path, build)
     return path
+
+
+def _q260_live_roots(path: str) -> list[str]:
+    """Index roots a reader serves from, resolved THROUGH the manifest:
+    the current base generation (if any folds happened) plus the
+    current delta epoch (if it has received appends).  Directories not
+    named by the manifest — e.g. a half-written next generation left
+    by a crashed fold — are unreachable by construction."""
+    from tidb_gateway_spark.sources import derived
+
+    st = derived.read_manifest(path)
+    roots: list[str] = []
+    if st is None:  # pre-manifest layout (not produced anymore)
+        return [os.path.join(path, "base"), os.path.join(path, "delta")]
+    if st["base_gen"]:
+        roots.append(
+            os.path.join(path, "base", f"gen-{st['base_gen']:06d}"))
+    ep = os.path.join(path, "delta", f"epoch-{st['delta_epoch']:06d}")
+    if os.path.exists(ep):
+        roots.append(ep)
+    return roots
 
 
 @register(
@@ -791,7 +841,7 @@ def _q260_index(spark: SparkSession, sf_dir: str) -> str:
 )
 def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _q260_index(spark, sf_dir)
-    gens = [os.path.join(path, "base"), os.path.join(path, "delta")]
+    gens = _q260_live_roots(path)
     dicts = [os.path.join(g, "dict") for g in gens
              if os.path.exists(os.path.join(g, "dict"))]
     posts = [os.path.join(g, "postings") for g in gens

@@ -26,6 +26,7 @@ forever.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from collections.abc import Callable
@@ -67,6 +68,12 @@ def build_atomic(path: str, build: Callable[[str], None]) -> None:
     Required whenever the build is more than ONE Spark write job: the
     first job's ``_SUCCESS`` would otherwise mark a half-built
     artifact fresh if the process dies before the last job commits.
+
+    This is the LOCAL-FILESYSTEM fast path (directory rename is atomic
+    on POSIX).  Companions that must switch over safely on an
+    S3-class object store — where directory rename is copy+delete and
+    non-atomic — use the manifest-pointer machinery below instead
+    (``publish_generation`` / ``current_generation``).
     """
     tmp = path + ".build"
     if os.path.exists(tmp):
@@ -76,3 +83,88 @@ def build_atomic(path: str, build: Callable[[str], None]) -> None:
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)
+
+
+# ---------------------------------------------------------------------
+# Manifest-pointer switchover (r10 verdict directive 4): the
+# object-store-safe form of "atomically replace a companion".
+#
+# Generations are IMMUTABLE directories under the companion root
+# (gen-000001, gen-000002, …); one small MANIFEST.json names the
+# current one.  Publishing writes the new generation IN FULL, then
+# atomically replaces the manifest (write-temp + fsync + os.replace —
+# a single-FILE atomic operation on every POSIX filesystem, and the
+# single-key-PUT shape an object-store deployment maps it to).
+# Readers resolve every access through the manifest, so a crash at ANY
+# point mid-publish leaves them on the old complete generation; a
+# half-written gen directory is garbage, never served.  Superseded
+# generations are garbage-collected only AFTER the flip.
+
+MANIFEST = "MANIFEST.json"
+
+
+def read_manifest(root: str) -> dict | None:
+    """Current manifest of a generation-managed companion, or None if
+    the root has none (missing or legacy single-directory layout)."""
+    try:
+        with open(os.path.join(root, MANIFEST)) as f:
+            return json.load(f)
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+
+
+def write_manifest(root: str, state: dict) -> None:
+    """Atomically replace the companion's manifest with ``state``.
+
+    os.replace of a same-directory file is atomic on POSIX; the fsync
+    before it makes the content durable before the pointer flips, and
+    the directory fsync after it makes the FLIP durable (a crash
+    cannot resurrect the old pointer after a reader saw the new one).
+    """
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, MANIFEST))
+    dfd = os.open(root, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def publish_generation(root: str, build: Callable[[str], None]) -> str:
+    """Build the NEXT immutable generation of a companion and flip the
+    manifest to it; returns the new generation's directory.
+
+    A crash before the ``write_manifest`` call leaves readers on the
+    previous generation (the half-built gen-N directory is unreachable
+    garbage, rebuilt/overwritten on the next publish); a crash after
+    it only skips garbage collection.
+    """
+    cur = read_manifest(root)
+    seq = (int(cur["seq"]) + 1) if cur else 1
+    name = f"gen-{seq:06d}"
+    gen = os.path.join(root, name)
+    if os.path.exists(gen):  # leftovers of a crashed previous publish
+        shutil.rmtree(gen)
+    os.makedirs(root, exist_ok=True)
+    build(gen)
+    write_manifest(root, {"seq": seq, "generation": name})
+    # lazy GC AFTER the flip: readers resolved through the manifest can
+    # no longer reach the superseded generation
+    for d in os.listdir(root):
+        if d.startswith("gen-") and d != name:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return gen
+
+
+def current_generation(root: str) -> str:
+    """Directory readers should serve from: the manifest's current
+    generation, or the root itself for legacy single-dir companions."""
+    m = read_manifest(root)
+    if m is None:
+        return root
+    return os.path.join(root, m["generation"])
