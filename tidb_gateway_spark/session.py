@@ -33,7 +33,13 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
-    "spark.sql.adaptive.enabled": "true",
+    # NOTE: spark.sql.adaptive.enabled is NOT in this dict — it is
+    # decided per working set (see _adaptive_wanted below).  It lived
+    # here through r10, which silently UNDID get_spark's sized
+    # decision on the first load_table call (catalog re-applies these
+    # confs), so every r10 sweep ran AQE's ~100 ms/query stage
+    # barriers against sub-GiB working sets.  Measured at sf0.1 (r11):
+    # AQE off is ~30% faster on multi-stage queries.
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # AQE skew-join splitting: mandatory at 100 TB where key skew is the
@@ -88,6 +94,17 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
             # Non-settable in this deployment — proceed; reads of ns
             # parquet will raise a clear error if truly unsupported.
             pass
+    # AQE follows the working set, the same threshold get_spark uses:
+    # re-planning barriers pay for themselves on large stages (skew
+    # splits, coalescing) and are pure per-stage latency on sub-GiB
+    # inputs.  Applied here too so an externally-owned session (the
+    # correctness driver's vanilla builder) gets the same sizing, and
+    # so repeated load_table calls cannot flip a sized decision back.
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.enabled", str(_adaptive_wanted()).lower())
+    except Exception:
+        pass
     return spark
 
 
