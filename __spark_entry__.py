@@ -46,6 +46,11 @@ _CHANGED_FIRST = (
                                    # generation-managed via manifest
     "q244_streaming_index_maintenance",  # r11: meta field renamed
                                    # n_docs -> n_docs_tokenized
+    "q195_incremental_agg_maintenance",  # r11: base+delta partials
+                                   # from ONE flag-keyed scan (3 corpus
+                                   # reads -> 2; direct stays an
+                                   # independent scan so the merge ≡
+                                   # direct certificate keeps meaning)
 )
 
 # CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6; r10 directive

@@ -275,11 +275,24 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("mn"), F.max("value").alias("mx"),
         )
 
-    pb = partial(e.filter(F.col("event_id") % 10 < 8))
-    pd_ = partial(e.filter(F.col("event_id") % 10 >= 8))
+    # base and delta partial states from ONE corpus scan: the batch id
+    # is just another grouping key of the same aggregate (r11 — the
+    # old two-filtered-scans form read events three times; a real IVM
+    # pipeline computes each arriving batch's partial in the batch's
+    # own single pass exactly like this flag-keyed aggregate does).
+    # `direct` stays an INDEPENDENT full-scan aggregate — deriving it
+    # from the same partials would make the merge ≡ direct certificate
+    # vacuous.
+    parts = (
+        e.withColumn("b", (F.col("event_id") % 10 < 8).cast("int"))
+        .groupBy("b", "event_type")
+        .agg(
+            F.count("*").alias("n"), F.sum("value").alias("s"),
+            F.min("value").alias("mn"), F.max("value").alias("mx"),
+        )
+    )
     merged = (
-        pb.unionByName(pd_)
-        .groupBy("event_type")
+        parts.groupBy("event_type")
         .agg(
             F.sum("n").alias("n"), F.sum("s").alias("s"),
             F.min("mn").alias("mn"), F.max("mx").alias("mx"),
