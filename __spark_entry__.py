@@ -33,6 +33,12 @@ _CHANGED_FIRST = (
     "q261_exact_substring_dedup",  # NEW r11: Lee-et-al exact substring
                                    # dedup (stride-1 gram digests →
                                    # interval merge)
+    "q262_streaming_lsh_band_index",  # NEW r11: streaming MinHash-LSH
+                                   # band index (3rd streaming-index
+                                   # family member)
+    "q263_incremental_neardup_on_arrival",  # NEW r11: per-epoch
+                                   # dup-on-arrival audit vs q262's
+                                   # index
     "q53_json_extract",            # r11: back on the parse-on-read
                                    # VARIANT plan (r10 ADVICE — the
                                    # shredded serving aliased q102)

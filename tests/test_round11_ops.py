@@ -136,3 +136,90 @@ def test_q257_and_q259_serve_through_manifest(spark, sf_dir):
     root259 = os.path.dirname(gen259)
     assert derived.current_generation(root259) == gen259
     assert os.path.exists(os.path.join(gen259, "meta.json"))
+
+
+def test_q262_stream_maintained_lsh_equals_batch_bands(spark, sf_dir):
+    """The stream-maintained band index must hold exactly the
+    batch-computed band rows (signatures are pure per-document
+    functions — bounded-replay convergence with no shared side state),
+    and the epoch column must match the staging hash."""
+    from pyspark.sql import functions as F2
+
+    from tidb_gateway_spark.operators import dedup
+    from tidb_gateway_spark.operators.sampling import hash_bps
+    from tidb_gateway_spark.queries.llm_extended import _BANDS, _K
+    from tidb_gateway_spark.queries.streaming_retrieval import (
+        _Q262_SPLITS,
+        _q262_index,
+    )
+    from tidb_gateway_spark.catalog import load_table
+
+    path = _q262_index(spark, sf_dir)
+    got = {
+        (r["doc_id"], r["band"], r["bv"], r["ep"])
+        for r in spark.read.parquet(os.path.join(path, "bands"))
+        .collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        dedup.doc_shingles(d, distinct=False), k=_K)
+    bl = dedup.lsh_bands(sigs, _BANDS, _K // _BANDS).withColumn(
+        "ep",
+        (hash_bps(F2.col("doc_id"), "q262") % _Q262_SPLITS).cast("int"))
+    want = {
+        (r["doc_id"], r["band"], r["bv"], r["ep"]) for r in bl.collect()
+    }
+    assert got == want
+    with open(os.path.join(path, "meta.json")) as f:
+        assert json.load(f)["n_batches"] == _Q262_SPLITS
+
+
+def test_q263_flag_join_shape(spark, sf_dir):
+    """The dup-on-arrival audit must be the q72 band equi-join
+    restricted by the integer epoch comparison: sort-merge/shuffled
+    hash join on (band, bv) — no BatchEvalPython, no cartesian."""
+    from tidb_gateway_spark.plans import inspect as _inspect
+
+    df = REGISTRY["q263_incremental_neardup_on_arrival"].spark(
+        spark, sf_dir)
+    text = _inspect.explain_formatted(df)
+    assert "CartesianProduct" not in text, text
+    assert "BatchEvalPython" not in text and "PythonUDF" not in text, text
+    # the band join keys must reach a real join operator
+    tree_l = [ln for ln in text.splitlines() if "Join" in ln]
+    assert tree_l, text
+
+
+def test_q263_epoch_zero_can_still_flag_within_batch(spark, sf_dir):
+    """First-occurrence-wins: within one epoch, the lower doc_id is
+    canonical and later ids sharing a bucket ARE flagged — every
+    epoch's flag count must equal the recomputed reference."""
+    from tidb_gateway_spark.operators.sampling import hash_bps
+    from tidb_gateway_spark.queries.streaming_retrieval import (
+        _Q262_SPLITS,
+        _q262_index,
+    )
+    from pyspark.sql import functions as F2
+
+    path = _q262_index(spark, sf_dir)
+    bl = spark.read.parquet(os.path.join(path, "bands")).collect()
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for r in bl:
+        buckets[(r["band"], r["bv"])].append((r["ep"], r["doc_id"]))
+    flagged = set()
+    for members in buckets.values():
+        first = min(members)
+        for m in members:
+            if m > first:
+                flagged.add(m)
+    want = defaultdict(int)
+    for ep, _doc in flagged:
+        want[ep] += 1
+    got = {
+        r["ep"]: r["n_flagged"]
+        for r in REGISTRY["q263_incremental_neardup_on_arrival"]
+        .spark(spark, sf_dir).collect()
+    }
+    assert {e: n for e, n in got.items() if n} == dict(want)

@@ -866,3 +866,243 @@ def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(_Q220_TOPK)
     )
+
+
+# ---------------------------------------------------------------- Q262
+_Q262_SPLITS = 4
+
+
+def _q262_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per fixture) the STREAM-maintained MinHash-LSH band
+    index — the third member of the streaming-index family (q244 =
+    inverted text index, q254 = IVF ANN index, this = the near-dup
+    candidate index): stage the corpus as 4 arrival files, run a
+    Structured Streaming job (file source, maxFilesPerTrigger=1,
+    availableNow) whose foreachBatch computes each arriving document's
+    MinHash signature and appends its (band, bv, doc_id, ep) band
+    rows under the band partitioning — immutable per-batch segments,
+    the same LSM model as the other two.
+
+    Signatures depend ONLY on the document's own text (min over its
+    shingle hashes), so per-batch computation trivially equals the
+    batch build — stronger than q254's frozen-centroid precondition:
+    there is no shared side state at all.  ``ep`` is the arrival epoch
+    recomputed from doc_id (the hash that also staged the splits), so
+    the index carries arrival order in a form any engine can
+    recompute.
+    """
+    import json
+
+    from tidb_gateway_spark.operators import dedup
+    from tidb_gateway_spark.operators.sampling import hash_bps
+    from tidb_gateway_spark.queries.llm_extended import _BANDS, _K
+    from tidb_gateway_spark.sources import derived
+
+    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"lshband-stream-v1|{src}|{_K}|{_BANDS}|{_Q262_SPLITS}"
+        .encode()).hexdigest()[:16]
+    path = derived.derived_path("lsh_stream", key)
+    if not derived.is_fresh(path, src, marker="meta.json"):
+        d = load_table(spark, sf_dir, "documents")
+        schema = d.schema
+
+        def build(tmp: str) -> None:
+            os.makedirs(tmp, exist_ok=True)
+            stage = os.path.join(tmp, "stage")
+            sp = hash_bps(F.col("doc_id"), "q262") % _Q262_SPLITS
+            for i in range(_Q262_SPLITS):
+                (d.filter(sp == i).repartition(1)
+                 .write.mode("append").parquet(stage))
+
+            band_dir = os.path.join(tmp, "bands")
+            counts: list[int] = []
+
+            def assign(batch: DataFrame, batch_id: int) -> None:
+                # per-batch signature: one shingle pass + one
+                # partial-combined min-aggregate over THIS batch only;
+                # the append is the only index write
+                sh = dedup.doc_shingles(
+                    ensure_min_partitions(batch), distinct=False)
+                sigs = dedup.minhash_signatures(sh, k=_K)
+                bl = dedup.lsh_bands(sigs, _BANDS, _K // _BANDS)
+                ep = (hash_bps(F.col("doc_id"), "q262")
+                      % _Q262_SPLITS).cast("int")
+                (bl.withColumn("ep", ep)
+                 .write.mode("append").partitionBy("band")
+                 .parquet(band_dir))
+                counts.append(1)
+
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+                .writeStream.foreachBatch(assign)
+                .option("checkpointLocation", os.path.join(tmp, "chk"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                json.dump({"n_batches": len(counts),
+                           "bands": _BANDS, "k": _K}, f)
+
+        derived.build_atomic(path, build)
+    return path
+
+
+def _q262_oracle() -> str:
+    from tidb_gateway_spark.queries.llm_extended import _Q72_ORACLE
+
+    return _Q72_ORACLE
+
+
+@register(
+    "q262_streaming_lsh_band_index",
+    None,  # assembled below from q72's oracle (import-order safe)
+    doc="Streaming MinHash-LSH band-index maintenance — the near-dup "
+        "candidate index as the third streaming-index family member "
+        "(q244 inverted text, q254 IVF ANN): foreachBatch computes "
+        "arriving documents' MinHash signatures (min over shingle "
+        "hashes — a pure per-document function, so per-batch "
+        "computation ≡ batch build with NO shared side state, stronger "
+        "than q254's frozen-centroid precondition) and appends "
+        "immutable (band, bv, doc_id) segments under the band "
+        "partitioning.  The declared query self-joins the stream-"
+        "maintained index on (band, bv) and must return exactly q72's "
+        "batch-computed candidate-pair set; the oracle recomputes "
+        "signatures from raw text.  Write path per batch ∝ batch; the "
+        "serve join is the same high-cardinality band equi-join the "
+        "batch form uses (AQE splits a hot bucket).",
+    tags=("llm", "dedup", "minhash", "streaming", "layout"),
+)
+def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _q262_index(spark, sf_dir)
+    bl = spark.read.parquet(os.path.join(path, "bands"))
+    x, y = bl.alias("x"), bl.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+        .orderBy("a", "b")
+    )
+
+
+# ---------------------------------------------------------------- Q263
+def _q263_oracle() -> str:
+    """Recompute the dup-on-arrival audit from raw text: shingles →
+    signatures → bands (q72's certified chain), arrival epoch from the
+    same md5-bps hash the staging split uses, flag = shares a band
+    bucket with a strictly earlier arrival ((ep, doc_id) lexicographic
+    — first occurrence wins)."""
+    from tidb_gateway_spark.queries.llm_extended import (
+        _DDB_BANDS,
+        _DDB_SHINGLES,
+        _DDB_SIGS,
+        _ddb_hex_to_int,
+    )
+
+    ep = ("(" + _ddb_hex_to_int(
+        "md5('q262|' || CAST(doc_id AS VARCHAR))", 8)
+        + f" % 10000) % {_Q262_SPLITS}")
+    return (
+        f"WITH {_DDB_SHINGLES}, {_DDB_SIGS}, {_DDB_BANDS}, "
+        f"e AS (SELECT doc_id, CAST({ep} AS INT) AS ep FROM documents), "
+        "be AS (SELECT b.doc_id, b.band, b.bv, e.ep FROM bands b "
+        "JOIN e USING (doc_id)), "
+        "fl AS (SELECT DISTINCT y.doc_id FROM be x JOIN be y "
+        "ON x.band = y.band AND x.bv = y.bv AND "
+        "(x.ep < y.ep OR (x.ep = y.ep AND x.doc_id < y.doc_id))), "
+        "n AS (SELECT ep, CAST(COUNT(*) AS BIGINT) AS n_docs "
+        "FROM e GROUP BY ep), "
+        "f AS (SELECT e.ep, CAST(COUNT(*) AS BIGINT) AS n_flagged "
+        "FROM fl JOIN e USING (doc_id) GROUP BY e.ep) "
+        "SELECT n.ep, n.n_docs, COALESCE(f.n_flagged, 0) AS n_flagged, "
+        "CAST((COALESCE(f.n_flagged, 0) * 10000) // n.n_docs AS BIGINT) "
+        "AS flagged_bps "
+        "FROM n LEFT JOIN f USING (ep) ORDER BY n.ep"
+    )
+
+
+@register(
+    "q263_incremental_neardup_on_arrival",
+    None,  # assembled below (imports q72's oracle fragments)
+    doc="Ingest-time incremental near-dup detection — the operation a "
+        "continuously-ingesting curation pipeline actually runs "
+        "against q262's stream-maintained LSH index: for each arrival "
+        "epoch, how many documents share a band bucket with a "
+        "STRICTLY EARLIER arrival ((epoch, doc_id) lexicographic — "
+        "first occurrence wins), i.e. would be flagged as probable "
+        "duplicates before entering the corpus.  The declared query "
+        "self-joins the band index with the earlier-than predicate "
+        "and reports per-epoch arrival counts, flagged counts, and "
+        "integer-bps rates; the oracle recomputes the whole chain "
+        "(signatures from raw text + the same md5-derived epoch).  "
+        "The arrival epoch is carried IN the index rows (recomputed "
+        "from doc_id), so the audit needs no side channel; at scale "
+        "the flag join is the q72 band equi-join restricted by an "
+        "integer comparison — no new exchange shape.",
+    tags=("llm", "dedup", "minhash", "streaming", "governance"),
+)
+def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.sampling import hash_bps
+
+    path = _q262_index(spark, sf_dir)
+    bl = spark.read.parquet(os.path.join(path, "bands"))
+    x, y = bl.alias("x"), bl.alias("y")
+    flagged = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (
+                (F.col("x.ep") < F.col("y.ep"))
+                | ((F.col("x.ep") == F.col("y.ep"))
+                   & (F.col("x.doc_id") < F.col("y.doc_id")))
+            ),
+        )
+        .select(F.col("y.doc_id").alias("doc_id"),
+                F.col("y.ep").alias("ep"))
+        .distinct()
+        .groupBy("ep")
+        .agg(F.count("*").alias("n_flagged"))
+    )
+    d = load_table(spark, sf_dir, "documents")
+    arrivals = (
+        d.select((hash_bps(F.col("doc_id"), "q262") % _Q262_SPLITS)
+                 .cast("int").alias("ep"))
+        .groupBy("ep")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        arrivals.join(flagged, "ep", "left")
+        .select(
+            "ep",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.coalesce("n_flagged", F.lit(0)).cast("bigint")
+            .alias("n_flagged"),
+        )
+        .select(
+            "ep", "n_docs", "n_flagged",
+            F.expr("CAST((n_flagged * 10000) DIV n_docs AS BIGINT)")
+            .alias("flagged_bps"),
+        )
+        .orderBy("ep")
+    )
+
+
+# Assemble the oracles that reuse q72's certified SQL fragments (the
+# QuerySpec is frozen — swap via dataclasses.replace, the q234 way).
+import dataclasses as _dc  # noqa: E402
+
+from tidb_gateway_spark.queries.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["q262_streaming_lsh_band_index"] = _dc.replace(
+    _REG["q262_streaming_lsh_band_index"], oracle=_q262_oracle())
+_REG["q263_incremental_neardup_on_arrival"] = _dc.replace(
+    _REG["q263_incremental_neardup_on_arrival"], oracle=_q263_oracle())
