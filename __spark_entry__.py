@@ -39,6 +39,9 @@ _CHANGED_FIRST = (
     "q263_incremental_neardup_on_arrival",  # NEW r11: per-epoch
                                    # dup-on-arrival audit vs q262's
                                    # index
+    "q264_exact_substring_dedup_apply",  # NEW r11: the APPLY step of
+                                   # q261 (interval-cover sweep,
+                                   # removed == audited pinned)
     "q53_json_extract",            # r11: back on the parse-on-read
                                    # VARIANT plan (r10 ADVICE — the
                                    # shredded serving aliased q102)

@@ -223,3 +223,35 @@ def test_q263_epoch_zero_can_still_flag_within_batch(spark, sf_dir):
         .spark(spark, sf_dir).collect()
     }
     assert {e: n for e, n in got.items() if n} == dict(want)
+
+
+def test_q264_removed_equals_q261_span_totals(spark, sf_dir):
+    """Cross-operator invariant: the tokens q264 REMOVES per source
+    must equal q261's merged-span token totals (union of [p, p+K-1]
+    == the maximal intervals) — audit and apply agree exactly."""
+    audit = {
+        r["source"]: (r["dup_tokens"], r["dup_bps"])
+        for r in REGISTRY["q261_exact_substring_dedup"]
+        .spark(spark, sf_dir).collect()
+    }
+    apply_ = {
+        r["source"]: (r["tok_before"] - r["tok_after"], r["removed_bps"])
+        for r in REGISTRY["q264_exact_substring_dedup_apply"]
+        .spark(spark, sf_dir).collect()
+    }
+    assert audit == apply_
+
+
+def test_q264_exchanges_carry_no_text(spark, sf_dir):
+    """Both corpus-scale exchanges of the apply (gh digests; doc-keyed
+    integer events) must never carry token text or the token array."""
+    from tidb_gateway_spark.plans import inspect as _inspect
+
+    df = REGISTRY["q264_exact_substring_dedup_apply"].spark(
+        spark, sf_dir)
+    text = _inspect.explain_formatted(df)
+    for line in text.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line and "wlist#" not in line \
+                and "w#" not in line, line
+    assert "BatchEvalPython" not in text and "PythonUDF" not in text, text

@@ -626,6 +626,50 @@ _Q261_ORACLE = (
 )
 
 
+def _q261_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, wlist) token-array frame shared by the
+    substring-dedup family (q261 audit, q264 apply)."""
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    t = F.trim(F.col("text"))
+    return d.select(
+        "doc_id", "source",
+        F.when(t != "", F.split(t, " +"))
+        .otherwise(F.expr("CAST(array() AS array<string>)"))
+        .alias("wlist"),
+    )
+
+
+def _q261_dup_positions(wl: DataFrame) -> DataFrame:
+    """(doc_id, pos) of every stride-1 K-gram that repeats ANYWHERE in
+    the corpus — the shared detection chain of q261/q264.  One gram
+    posexplode, ONE explicit gh-exchange whose count window flags
+    duplicates in place (q210 shape — the gram stream is computed once
+    and never re-shuffled)."""
+    from pyspark.sql import Window
+
+    # stride-1 K-gram digests with 0-based token offset; posexplode's
+    # index IS the gram's start offset (matches the oracle's u.i)
+    grams_sql = (
+        f"CASE WHEN size(wlist) >= {_Q261_K} THEN "
+        f"transform(sequence(1, size(wlist) - {_Q261_K - 1}), i -> "
+        f"substring(md5(concat_ws(' ', slice(wlist, i, {_Q261_K}))), "
+        "1, 16)) ELSE CAST(array() AS array<string>) END"
+    )
+    g = (
+        wl.select("doc_id", F.posexplode(F.expr(grams_sql))
+                  .alias("pos", "gh"))
+        .repartition("gh")
+    )
+    return (
+        g.select(
+            "doc_id", "pos",
+            F.count("*").over(Window.partitionBy("gh")).alias("c"),
+        )
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
+
+
 @register(
     "q261_exact_substring_dedup",
     _Q261_ORACLE,
@@ -662,37 +706,8 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    t = F.trim(F.col("text"))
-    wl = d.select(
-        "doc_id", "source",
-        F.when(t != "", F.split(t, " +"))
-        .otherwise(F.expr("CAST(array() AS array<string>)"))
-        .alias("wlist"),
-    )
-    # stride-1 K-gram digests with 0-based token offset; posexplode's
-    # index IS the gram's start offset (matches the oracle's u.i)
-    grams_sql = (
-        f"CASE WHEN size(wlist) >= {_Q261_K} THEN "
-        f"transform(sequence(1, size(wlist) - {_Q261_K - 1}), i -> "
-        f"substring(md5(concat_ws(' ', slice(wlist, i, {_Q261_K}))), "
-        "1, 16)) ELSE CAST(array() AS array<string>) END"
-    )
-    g = (
-        wl.select("doc_id", F.posexplode(F.expr(grams_sql))
-                  .alias("pos", "gh"))
-        # ONE explicit gh-exchange: the count window flags duplicate
-        # grams in place (q210 shape), so the gram stream is computed
-        # once and never re-shuffled
-        .repartition("gh")
-    )
-    dup = (
-        g.select(
-            "doc_id", "pos",
-            F.count("*").over(Window.partitionBy("gh")).alias("c"),
-        )
-        .filter(F.col("c") >= 2)
-        .select("doc_id", "pos")
-    )
+    wl = _q261_wl(spark, sf_dir)
+    dup = _q261_dup_positions(wl)
     # gaps-and-islands maximal-interval merge: intervals [pos, pos+K-1]
     # merge when overlapping OR adjacent (gap <= K)
     wd = Window.partitionBy("doc_id").orderBy("pos")
@@ -739,6 +754,132 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok_total",
             F.expr("CAST(numer DIV tok_total AS BIGINT)")
             .alias("dup_bps"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------- Q264
+# DuckDB twin: recompute detection (q261's chain) + the interval-cover
+# sweep from raw text.  Coverage is computed by the same +1/-1 event
+# running sum both engines use, so the kept-token set is identical by
+# construction.
+_Q264_ORACLE = (
+    "WITH wl AS (SELECT doc_id, source, "
+    "list_filter(string_split(text, ' '), x -> x <> '') AS wl "
+    "FROM documents), "
+    "g AS (SELECT doc_id, CAST(u.i AS INT) AS pos, "
+    "substr(md5(array_to_string("
+    f"wl[CAST(u.i + 1 AS INT):CAST(u.i + {_Q261_K} AS INT)], ' ')), "
+    "1, 16) AS gh "
+    f"FROM wl, UNNEST(range(0, len(wl) - {_Q261_K - 1})) AS u(i) "
+    f"WHERE len(wl) >= {_Q261_K}), "
+    "dup AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, "
+    "COUNT(*) OVER (PARTITION BY gh) AS c FROM g) WHERE c >= 2), "
+    "ev AS (SELECT doc_id, pos AS at, 0 AS kind, 1 AS delta, "
+    "CAST(0 AS BIGINT) AS L FROM dup "
+    f"UNION ALL SELECT doc_id, pos + {_Q261_K} AS at, 0 AS kind, "
+    "-1 AS delta, CAST(0 AS BIGINT) AS L FROM dup "
+    "UNION ALL SELECT doc_id, CAST(u.i AS INT) AS at, 1 AS kind, "
+    "0 AS delta, CAST(len(wl[CAST(u.i + 1 AS INT)]) AS BIGINT) AS L "
+    "FROM wl, UNNEST(range(0, len(wl))) AS u(i)), "
+    "cov AS (SELECT doc_id, kind, L, SUM(delta) OVER "
+    "(PARTITION BY doc_id ORDER BY at, kind) AS c FROM ev), "
+    "tk AS (SELECT doc_id, L, (c > 0) AS covered FROM cov "
+    "WHERE kind = 1), "
+    "per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tok_b, "
+    "CAST(SUM(CASE WHEN covered THEN 0 ELSE 1 END) AS BIGINT) AS tok_a, "
+    "CAST(SUM(CASE WHEN covered THEN 0 ELSE L END) AS BIGINT) "
+    "AS chars_a FROM tk GROUP BY 1), "
+    "pj AS (SELECT d.source, p.* FROM per p "
+    "JOIN documents d USING (doc_id)) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(tok_b) AS BIGINT) AS tok_before, "
+    "CAST(SUM(tok_a) AS BIGINT) AS tok_after, "
+    "CAST(SUM(chars_a) AS BIGINT) AS chars_after, "
+    "CAST((SUM(tok_b - tok_a) * 10000) // SUM(tok_b) AS BIGINT) "
+    "AS removed_bps "
+    "FROM pj GROUP BY 1 ORDER BY source"
+)
+
+
+@register(
+    "q264_exact_substring_dedup_apply",
+    _Q264_ORACLE,
+    doc="Exact substring-level dedup APPLY — the transformation q261's "
+        "audit gates: remove every token covered by a duplicated "
+        "substring of >= K tokens (the RefinedWeb/Lee-et-al. apply "
+        "step) and certify the cleaned corpus by per-source token and "
+        "character totals.  Detection reuses q261's chain "
+        "(_q261_dup_positions — one gh-exchange, digests only); the "
+        "cover is computed WITHOUT materializing spans per token: "
+        "each flagged gram start contributes +1 at pos and -1 at "
+        "pos+K, the token stream contributes 0-delta rows carrying "
+        "only the token LENGTH, and one per-doc running sum over "
+        "(offset, kind) yields the coverage count at every token — a "
+        "token is dropped iff its count > 0.  The doc-keyed exchange "
+        "therefore carries pure integers (offset, kind, delta, len); "
+        "token TEXT never shuffles in either exchange.  Certified "
+        "invariant: removed_bps here == q261's dup_bps per source "
+        "(union of [p, p+K-1] == the merged maximal intervals), "
+        "pinned by test.  100 TB: same two corpus-scale digest/int "
+        "exchanges as q261 plus the 0-cost event union.",
+    tags=("llm", "dedup", "governance", "text"),
+)
+def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    wl = _q261_wl(spark, sf_dir)
+    dup = _q261_dup_positions(wl)
+    opens = dup.select(
+        "doc_id", F.col("pos").alias("at"),
+        F.lit(0).alias("kind"), F.lit(1).alias("delta"),
+        F.lit(0).cast("bigint").alias("L"),
+    )
+    closes = dup.select(
+        "doc_id", (F.col("pos") + _Q261_K).alias("at"),
+        F.lit(0).alias("kind"), F.lit(-1).alias("delta"),
+        F.lit(0).cast("bigint").alias("L"),
+    )
+    toks = (
+        wl.select("doc_id", F.posexplode("wlist").alias("at", "w"))
+        .select(
+            "doc_id", "at", F.lit(1).alias("kind"),
+            F.lit(0).alias("delta"),
+            F.length("w").cast("bigint").alias("L"),
+        )
+    )
+    ev = opens.unionByName(closes).unionByName(toks)
+    wd = (
+        Window.partitionBy("doc_id").orderBy("at", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tk = (
+        ev.select(
+            "doc_id", "kind", "L",
+            F.sum("delta").over(wd).alias("c"),
+        )
+        .filter(F.col("kind") == 1)
+    )
+    per = tk.groupBy("doc_id").agg(
+        F.count("*").alias("tok_b"),
+        F.sum(F.when(F.col("c") == 0, 1).otherwise(0)).alias("tok_a"),
+        F.sum(F.when(F.col("c") == 0, F.col("L")).otherwise(0))
+        .alias("chars_a"),
+    )
+    return (
+        per.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("tok_b").cast("bigint").alias("tok_before"),
+            F.sum("tok_a").cast("bigint").alias("tok_after"),
+            F.sum("chars_a").cast("bigint").alias("chars_after"),
+            F.expr(
+                "CAST((SUM(tok_b - tok_a) * 10000) DIV SUM(tok_b) "
+                "AS BIGINT)"
+            ).alias("removed_bps"),
         )
         .orderBy("source")
     )
