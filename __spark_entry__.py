@@ -42,6 +42,9 @@ _CHANGED_FIRST = (
     "q264_exact_substring_dedup_apply",  # NEW r11: the APPLY step of
                                    # q261 (interval-cover sweep,
                                    # removed == audited pinned)
+    "q265_streaming_dedup_gate",   # NEW r11: ingest-time quarantine
+                                   # vs the accumulated ADMITTED index
+                                   # (sequential; unrolled oracle)
     "q53_json_extract",            # r11: back on the parse-on-read
                                    # VARIANT plan (r10 ADVICE — the
                                    # shredded serving aliased q102)

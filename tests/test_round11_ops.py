@@ -255,3 +255,30 @@ def test_q264_exchanges_carry_no_text(spark, sf_dir):
             assert "text#" not in line and "wlist#" not in line \
                 and "w#" not in line, line
     assert "BatchEvalPython" not in text and "PythonUDF" not in text, text
+
+
+def test_q265_gate_accounting_and_bound_vs_q263(spark, sf_dir):
+    """Gate invariants: (a) arrivals = admitted + quarantined per
+    epoch; (b) epoch 0 admits everything (empty index); (c) the gate's
+    quarantine count is bounded above by q263's flag count per epoch —
+    the gate compares only against ADMITTED history, while q263 flags
+    against ALL earlier arrivals (a doc matching only a quarantined
+    doc is admitted by the gate but flagged by the audit)."""
+    gate = {
+        r["ep"]: r
+        for r in REGISTRY["q265_streaming_dedup_gate"]
+        .spark(spark, sf_dir).collect()
+    }
+    audit = {
+        r["ep"]: r["n_flagged"]
+        for r in REGISTRY["q263_incremental_neardup_on_arrival"]
+        .spark(spark, sf_dir).collect()
+    }
+    assert gate, gate
+    for ep, r in gate.items():
+        assert r["n_arrived"] == r["n_admitted"] + r["n_quarantined"], r
+    assert gate[0]["n_quarantined"] == 0, gate[0]
+    for ep, r in gate.items():
+        # q263 additionally flags within-epoch duplicates, so its
+        # count dominates even before the admitted-only restriction
+        assert r["n_quarantined"] <= audit[ep], (ep, r, audit[ep])

@@ -1106,3 +1106,296 @@ _REG["q262_streaming_lsh_band_index"] = _dc.replace(
     _REG["q262_streaming_lsh_band_index"], oracle=_q262_oracle())
 _REG["q263_incremental_neardup_on_arrival"] = _dc.replace(
     _REG["q263_incremental_neardup_on_arrival"], oracle=_q263_oracle())
+
+
+# ---------------------------------------------------------------- Q265
+def _q265_gate(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per fixture) the STREAMING DEDUP GATE state — the
+    APPLY member of the q262/q263 family and the operation a
+    production ingest pipeline actually runs: each arriving batch is
+    probed against the index of PREVIOUSLY ADMITTED documents; docs
+    sharing a band bucket with an admitted doc are QUARANTINED, the
+    rest are admitted and their band rows appended to the index.  The
+    gate is sequential by construction (what epoch 2 admits depends on
+    what epochs 0–1 admitted), which is exactly what makes it an
+    ingest-time operator rather than a batch afterthought.
+
+    Within-batch duplicates are deliberately NOT gated (batch-internal
+    dedup is q60/q72's batch job); the gate compares only against
+    ADMITTED history — a doc matching only a quarantined doc is
+    admitted, which is why q265's quarantine count is a lower bound of
+    q263's flag count (pinned by test).
+
+    Arrival order: the file source lists oldest-mtime-first and the
+    staging writes splits in epoch order, so epochs arrive 0,1,2,3;
+    each batch's epoch is recomputed from its rows and asserted
+    monotonic (a reordering would silently change gate semantics).
+
+    Scale notes (100 TB): the admitted index is partitioned by
+    (band, bvp = first hex of the band value), and the probe collects
+    the batch's ≤ bands×16 distinct (bvp) values driver-side and
+    filters the index read with them — partition pruning bounds the
+    probe to matching buckets (plan-pruned here; at real scale the
+    layout has more bvp digits and the probe reads a vanishing
+    fraction of the index).  Everything exchanged is band rows
+    (digests + ids), never text.
+    """
+    import json
+
+    from tidb_gateway_spark.operators import dedup
+    from tidb_gateway_spark.operators.sampling import hash_bps
+    from tidb_gateway_spark.queries.llm_extended import _BANDS, _K
+    from tidb_gateway_spark.sources import derived
+
+    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"lshgate-stream-v1|{src}|{_K}|{_BANDS}|{_Q262_SPLITS}"
+        .encode()).hexdigest()[:16]
+    path = derived.derived_path("lsh_gate", key)
+    if not derived.is_fresh(path, src, marker="meta.json"):
+        d = load_table(spark, sf_dir, "documents")
+        schema = d.schema
+
+        def build(tmp: str) -> None:
+            from tidb_gateway_spark.operators.partitioning import (
+                session_parallelism,
+            )
+
+            os.makedirs(tmp, exist_ok=True)
+            stage = os.path.join(tmp, "stage")
+            sp = hash_bps(F.col("doc_id"), "q262") % _Q262_SPLITS
+            # epoch order = write order = the file source's
+            # oldest-mtime-first listing order
+            for i in range(_Q262_SPLITS):
+                (d.filter(sp == i).repartition(1)
+                 .write.mode("append").parquet(stage))
+
+            adm_dir = os.path.join(tmp, "admitted_bands")
+            quar_dir = os.path.join(tmp, "quarantine")
+            stats = {"epochs_seen": [], "admitted": [], "quarantined": []}
+
+            # BUILD-SCOPED shuffle sizing: the gate runs ~6 shuffling
+            # jobs per micro-batch; under an externally-owned session's
+            # default 200 shuffle partitions that is ~5000 tiny tasks
+            # of pure scheduling overhead (measured 23 s vs 6 s at
+            # sf0.01).  Sized to the session's parallelism for the
+            # build only, restored after.
+            old_sp = None
+            try:
+                old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(session_parallelism(spark)))
+            except Exception:
+                old_sp = None
+
+            def gate(batch: DataFrame, batch_id: int) -> None:
+                sh = dedup.doc_shingles(
+                    ensure_min_partitions(batch), distinct=False)
+                sigs = dedup.minhash_signatures(sh, k=_K)
+                ep_col = (hash_bps(F.col("doc_id"), "q262")
+                          % _Q262_SPLITS).cast("int")
+                bl = (
+                    dedup.lsh_bands(sigs, _BANDS, _K // _BANDS)
+                    .withColumn("ep", ep_col)
+                    .withColumn("bvp", F.substring("bv", 1, 1))
+                    .persist()
+                )
+                try:
+                    eps = [r["ep"] for r in
+                           bl.select("ep").distinct().collect()]
+                    assert len(eps) == 1, f"mixed-epoch batch: {eps}"
+                    ep = eps[0]
+                    assert all(ep > e for e in stats["epochs_seen"]), (
+                        stats["epochs_seen"], ep)
+                    stats["epochs_seen"].append(ep)
+
+                    has_index = os.path.exists(adm_dir) and any(
+                        True for _r, _d, fs in os.walk(adm_dir)
+                        for f in fs if f.endswith(".parquet"))
+                    if has_index:
+                        bvps = [r["bvp"] for r in
+                                bl.select("bvp").distinct().collect()]
+                        adm = (spark.read.parquet(adm_dir)
+                               .filter(F.col("bvp").isin(bvps))
+                               .select(F.col("band").alias("aband"),
+                                       F.col("bv").alias("abv")))
+                        flagged = (
+                            bl.join(
+                                adm,
+                                (F.col("band") == F.col("aband"))
+                                & (F.col("bv") == F.col("abv")),
+                                "leftsemi",
+                            )
+                            .select("doc_id").distinct()
+                        )
+                    else:
+                        flagged = bl.select("doc_id").distinct().limit(0)
+                    # WAL ordering, and not just for crash-safety: the
+                    # quarantine DECISION is materialized to files
+                    # FIRST, while the probe's plan still reads the
+                    # pre-batch index listing; the admitted append
+                    # then anti-joins against the FILE-BACKED decision.
+                    # (The lazy form — persist flagged, append
+                    # admitted, then re-use flagged — re-evaluated the
+                    # probe after the append, at which point every
+                    # admitted doc matched its own just-written band
+                    # rows and the whole batch read as flagged.)
+                    (flagged.withColumn("ep", F.lit(ep))
+                     .write.mode("append").parquet(quar_dir))
+                    flagged_file = (
+                        spark.read
+                        .schema("doc_id long, ep int")
+                        .parquet(quar_dir)
+                        .filter(F.col("ep") == ep)
+                        .select("doc_id")
+                    )
+                    admitted_rows = bl.join(flagged_file, "doc_id",
+                                            "left_anti")
+                    (admitted_rows.write.mode("append")
+                     .partitionBy("band", "bvp").parquet(adm_dir))
+                    nq = flagged_file.count()
+                    stats["quarantined"].append(nq)
+                    stats["admitted"].append(
+                        bl.select("doc_id").distinct().count() - nq)
+                finally:
+                    bl.unpersist()
+
+            try:
+                q = (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(stage)
+                    .writeStream.foreachBatch(gate)
+                    .option("checkpointLocation",
+                            os.path.join(tmp, "chk"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            finally:
+                if old_sp is not None:
+                    try:
+                        spark.conf.set(
+                            "spark.sql.shuffle.partitions", old_sp)
+                    except Exception:
+                        pass
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                json.dump(stats, f)
+
+        derived.build_atomic(path, build)
+    return path
+
+
+def _q265_oracle() -> str:
+    """Unrolled sequential-admission recompute from raw text: epoch k's
+    quarantine = docs sharing a band bucket with the UNION of epochs
+    < k's admitted sets (first epoch admits everything)."""
+    from tidb_gateway_spark.queries.llm_extended import (
+        _DDB_BANDS,
+        _DDB_SHINGLES,
+        _DDB_SIGS,
+        _ddb_hex_to_int,
+    )
+
+    ep = ("(" + _ddb_hex_to_int(
+        "md5('q262|' || CAST(doc_id AS VARCHAR))", 8)
+        + f" % 10000) % {_Q262_SPLITS}")
+    chain = ["a0 AS (SELECT doc_id FROM e WHERE ep = 0)"]
+    adm_terms = ["SELECT doc_id FROM a0"]
+    for k in range(1, _Q262_SPLITS):
+        prev = " UNION ALL ".join(adm_terms)
+        chain.append(
+            f"f{k} AS (SELECT DISTINCT y.doc_id FROM be x JOIN be y "
+            f"ON x.band = y.band AND x.bv = y.bv "
+            f"AND x.doc_id IN ({prev}) AND y.ep = {k})")
+        chain.append(
+            f"a{k} AS (SELECT doc_id FROM e WHERE ep = {k} "
+            f"AND doc_id NOT IN (SELECT doc_id FROM f{k}))")
+        adm_terms.append(f"SELECT doc_id FROM a{k}")
+    adm_union = " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS ep FROM a{k}"
+        for k in range(_Q262_SPLITS))
+    return (
+        f"WITH {_DDB_SHINGLES}, {_DDB_SIGS}, {_DDB_BANDS}, "
+        f"e AS (SELECT doc_id, CAST({ep} AS INT) AS ep FROM documents), "
+        "be AS (SELECT b.doc_id, b.band, b.bv, e.ep FROM bands b "
+        "JOIN e USING (doc_id)), "
+        + ", ".join(chain) + ", "
+        f"adm AS ({adm_union}) "
+        "SELECT e.ep, CAST(COUNT(*) AS BIGINT) AS n_arrived, "
+        "CAST(SUM(CASE WHEN adm.doc_id IS NULL THEN 0 ELSE 1 END) "
+        "AS BIGINT) AS n_admitted, "
+        "CAST(SUM(CASE WHEN adm.doc_id IS NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_quarantined, "
+        "CAST(SUM(CASE WHEN adm.doc_id IS NULL THEN 0 ELSE e.doc_id "
+        "END) AS BIGINT) AS admitted_idsum "
+        "FROM e LEFT JOIN adm ON adm.doc_id = e.doc_id "
+        "GROUP BY e.ep ORDER BY e.ep"
+    )
+
+
+@register(
+    "q265_streaming_dedup_gate",
+    None,  # assembled below (imports q72's oracle fragments)
+    doc="Streaming dedup GATE — ingest-time quarantine, the apply "
+        "member of the q262/q263 family and the operation a production "
+        "pipeline runs BEFORE data enters the corpus: each arriving "
+        "epoch is probed against the index of previously ADMITTED "
+        "documents (band-bucket match ⇒ quarantine; admitted docs' "
+        "band rows join the index — so the decision basis is itself "
+        "gated, making the operator inherently sequential).  The "
+        "declared query reports per-epoch arrivals, admissions, "
+        "quarantines and an admitted-id checksum from the gate's "
+        "persisted state; the oracle recomputes the whole sequential "
+        "admission by an unrolled epoch chain from raw text — the "
+        "value-hash certifies every admit/quarantine decision.  "
+        "Probe reads are bounded by (band, bvp) partition pruning "
+        "(batch's ≤48 bucket keys collected driver-side); all "
+        "exchanges carry band rows (digests+ids), never text.",
+    tags=("llm", "dedup", "minhash", "streaming", "governance"),
+)
+def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.sampling import hash_bps
+
+    path = _q265_gate(spark, sf_dir)
+    adm = (
+        spark.read.parquet(os.path.join(path, "admitted_bands"))
+        .select("doc_id", "ep").distinct()
+        .groupBy("ep")
+        .agg(
+            F.count("*").alias("n_admitted"),
+            F.sum("doc_id").alias("admitted_idsum"),
+        )
+    )
+    quar = (
+        spark.read.schema("doc_id long, ep int")
+        .parquet(os.path.join(path, "quarantine"))
+        .groupBy("ep")
+        .agg(F.count("*").alias("n_quarantined"))
+    )
+    d = load_table(spark, sf_dir, "documents")
+    arrivals = (
+        d.select((hash_bps(F.col("doc_id"), "q262") % _Q262_SPLITS)
+                 .cast("int").alias("ep"))
+        .groupBy("ep")
+        .agg(F.count("*").alias("n_arrived"))
+    )
+    return (
+        arrivals.join(adm, "ep", "left").join(quar, "ep", "left")
+        .select(
+            "ep",
+            F.col("n_arrived").cast("bigint").alias("n_arrived"),
+            F.coalesce("n_admitted", F.lit(0)).cast("bigint")
+            .alias("n_admitted"),
+            F.coalesce("n_quarantined", F.lit(0)).cast("bigint")
+            .alias("n_quarantined"),
+            F.coalesce("admitted_idsum", F.lit(0)).cast("bigint")
+            .alias("admitted_idsum"),
+        )
+        .orderBy("ep")
+    )
+
+
+_REG["q265_streaming_dedup_gate"] = _dc.replace(
+    _REG["q265_streaming_dedup_gate"], oracle=_q265_oracle())
