@@ -1132,7 +1132,8 @@ def _q265_gate(spark: SparkSession, sf_dir: str) -> str:
     monotonic (a reordering would silently change gate semantics).
 
     Scale notes (100 TB): the admitted index is partitioned by
-    (band, bvp = first hex of the band value), and the probe collects
+    (band, bvp = LAST hex char of the band value — the first char of a
+    min-of-hashes is heavily biased toward '0'), and the probe collects
     the batch's ≤ bands×16 distinct (bvp) values driver-side and
     filters the index read with them — partition pruning bounds the
     probe to matching buckets (plan-pruned here; at real scale the
@@ -1149,7 +1150,7 @@ def _q265_gate(spark: SparkSession, sf_dir: str) -> str:
 
     src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
     key = hashlib.md5(
-        f"lshgate-stream-v1|{src}|{_K}|{_BANDS}|{_Q262_SPLITS}"
+        f"lshgate-stream-v2|{src}|{_K}|{_BANDS}|{_Q262_SPLITS}"
         .encode()).hexdigest()[:16]
     path = derived.derived_path("lsh_gate", key)
     if not derived.is_fresh(path, src, marker="meta.json"):
@@ -1198,7 +1199,7 @@ def _q265_gate(spark: SparkSession, sf_dir: str) -> str:
                 bl = (
                     dedup.lsh_bands(sigs, _BANDS, _K // _BANDS)
                     .withColumn("ep", ep_col)
-                    .withColumn("bvp", F.substring("bv", 1, 1))
+                    .withColumn("bvp", F.substring("bv", -1, 1))
                     .persist()
                 )
                 try:
@@ -1216,7 +1217,15 @@ def _q265_gate(spark: SparkSession, sf_dir: str) -> str:
                     if has_index:
                         bvps = [r["bvp"] for r in
                                 bl.select("bvp").distinct().collect()]
-                        adm = (spark.read.parquet(adm_dir)
+                        # explicit schema: partition-column TYPE
+                        # INFERENCE over bvp dirs crashes under ANSI
+                        # when digit-only early state later meets a
+                        # hex-letter value ('a' -> BIGINT cast); naming
+                        # the partition columns skips inference
+                        adm = (spark.read
+                               .schema("doc_id long, bv string, "
+                                       "ep int, band int, bvp string")
+                               .parquet(adm_dir)
                                .filter(F.col("bvp").isin(bvps))
                                .select(F.col("band").alias("aband"),
                                        F.col("bv").alias("abv")))
