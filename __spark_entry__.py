@@ -45,6 +45,9 @@ _CHANGED_FIRST = (
     "q265_streaming_dedup_gate",   # NEW r11: ingest-time quarantine
                                    # vs the accumulated ADMITTED index
                                    # (sequential; unrolled oracle)
+    "q266_gate_precision_audit",   # NEW r11: exact-Jaccard verify of
+                                   # every gate decision (per-epoch
+                                   # precision bps)
     "q53_json_extract",            # r11: back on the parse-on-read
                                    # VARIANT plan (r10 ADVICE — the
                                    # shredded serving aliased q102)

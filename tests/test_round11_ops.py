@@ -282,3 +282,23 @@ def test_q265_gate_accounting_and_bound_vs_q263(spark, sf_dir):
         # q263 additionally flags within-epoch duplicates, so its
         # count dominates even before the admitted-only restriction
         assert r["n_quarantined"] <= audit[ep], (ep, r, audit[ep])
+
+
+def test_q266_quarantine_counts_match_gate(spark, sf_dir):
+    """The precision audit's per-epoch quarantine counts must equal
+    the gate's own report (both read the same persisted decision log),
+    and verified <= quarantined."""
+    gate = {
+        r["ep"]: r["n_quarantined"]
+        for r in REGISTRY["q265_streaming_dedup_gate"]
+        .spark(spark, sf_dir).collect()
+    }
+    audit = {
+        r["ep"]: (r["n_quarantined"], r["n_verified"])
+        for r in REGISTRY["q266_gate_precision_audit"]
+        .spark(spark, sf_dir).collect()
+    }
+    assert set(gate) == set(audit)
+    for ep, (nq, nv) in audit.items():
+        assert nq == gate[ep], (ep, nq, gate[ep])
+        assert 0 <= nv <= nq, (ep, nv, nq)

@@ -1408,3 +1408,184 @@ def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REG["q265_streaming_dedup_gate"] = _dc.replace(
     _REG["q265_streaming_dedup_gate"], oracle=_q265_oracle())
+
+
+# ---------------------------------------------------------------- Q266
+def _q266_oracle() -> str:
+    """q265's unrolled sequential admission + exact shingle-set Jaccard
+    verification of every quarantine decision: a quarantined doc is
+    VERIFIED when some admitted doc from a strictly earlier epoch that
+    shares a band bucket has exact Jaccard >= 0.5 (the integer form
+    2i >= |a|+|b|-i, bit-identical cross-engine)."""
+    from tidb_gateway_spark.queries.llm_extended import (
+        _DDB_BANDS,
+        _DDB_SHINGLES,
+        _DDB_SIGS,
+        _ddb_hex_to_int,
+    )
+
+    ep = ("(" + _ddb_hex_to_int(
+        "md5('q262|' || CAST(doc_id AS VARCHAR))", 8)
+        + f" % 10000) % {_Q262_SPLITS}")
+    chain = ["a0 AS (SELECT doc_id FROM e WHERE ep = 0)"]
+    adm_terms = ["SELECT doc_id FROM a0"]
+    for k in range(1, _Q262_SPLITS):
+        prev = " UNION ALL ".join(adm_terms)
+        chain.append(
+            f"f{k} AS (SELECT DISTINCT y.doc_id FROM be x JOIN be y "
+            f"ON x.band = y.band AND x.bv = y.bv "
+            f"AND x.doc_id IN ({prev}) AND y.ep = {k})")
+        chain.append(
+            f"a{k} AS (SELECT doc_id FROM e WHERE ep = {k} "
+            f"AND doc_id NOT IN (SELECT doc_id FROM f{k}))")
+        adm_terms.append(f"SELECT doc_id FROM a{k}")
+    adm_union = " UNION ALL ".join(
+        f"SELECT doc_id FROM a{k}" for k in range(_Q262_SPLITS))
+    quar_union = " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS ep FROM f{k}"
+        for k in range(1, _Q262_SPLITS))
+    return (
+        f"WITH {_DDB_SHINGLES}, {_DDB_SIGS}, {_DDB_BANDS}, "
+        f"e AS (SELECT doc_id, CAST({ep} AS INT) AS ep FROM documents), "
+        "be AS (SELECT b.doc_id, b.band, b.bv, e.ep FROM bands b "
+        "JOIN e USING (doc_id)), "
+        + ", ".join(chain) + ", "
+        f"admset AS ({adm_union}), quar AS ({quar_union}), "
+        # candidates: quarantined y vs admitted x from strictly
+        # earlier epochs sharing a band bucket — exactly the matches
+        # the gate acted on
+        "candq AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
+        "FROM be x JOIN be y ON x.band = y.band AND x.bv = y.bv "
+        "AND x.ep < y.ep AND x.doc_id IN (SELECT doc_id FROM admset) "
+        "AND y.doc_id IN (SELECT doc_id FROM quar)), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles "
+        "GROUP BY doc_id), "
+        "inter AS (SELECT c.a, c.b, COUNT(*) AS i FROM candq c "
+        "JOIN shingles wa ON wa.doc_id = c.a "
+        "JOIN shingles wb ON wb.doc_id = c.b AND wb.w = wa.w "
+        "GROUP BY c.a, c.b), "
+        "ver AS (SELECT t.b, MAX(CASE WHEN 2 * t.i >= "
+        "sa.sz + sb.sz - t.i THEN 1 ELSE 0 END) AS v FROM inter t "
+        "JOIN sizes sa ON sa.doc_id = t.a "
+        "JOIN sizes sb ON sb.doc_id = t.b GROUP BY t.b), "
+        "per AS (SELECT quar.ep, CAST(COUNT(*) AS BIGINT) AS n_q, "
+        "CAST(SUM(COALESCE(ver.v, 0)) AS BIGINT) AS n_v "
+        "FROM quar LEFT JOIN ver ON ver.b = quar.doc_id "
+        "GROUP BY quar.ep), "
+        "eps AS (SELECT DISTINCT ep FROM e) "
+        "SELECT eps.ep, COALESCE(per.n_q, 0) AS n_quarantined, "
+        "COALESCE(per.n_v, 0) AS n_verified, "
+        "CAST(CASE WHEN COALESCE(per.n_q, 0) = 0 THEN 0 ELSE "
+        "(per.n_v * 10000) // per.n_q END AS BIGINT) AS precision_bps "
+        "FROM eps LEFT JOIN per USING (ep) ORDER BY eps.ep"
+    )
+
+
+@register(
+    "q266_gate_precision_audit",
+    None,  # assembled below
+    doc="Gate PRECISION audit — the governance closing piece of the "
+        "q262/q263/q265 family: every quarantine decision the "
+        "streaming gate made is re-examined by EXACT shingle-set "
+        "Jaccard against the admitted docs it band-matched (integer "
+        "predicate 2i >= |a|+|b|-i, bit-identical cross-engine); "
+        "per-epoch report of quarantined, verified (J >= 0.5), and "
+        "precision in integer bps.  This is the measurement that "
+        "justifies the gate's (k, bands) operating point before a "
+        "100 TB deployment — LSH candidates are a superset of true "
+        "near-dups, and an over-eager gate silently discards good "
+        "data.  Candidates come from the gate's own persisted state "
+        "(quarantine log × admitted index on (band, bv), earlier-"
+        "epoch-only); verification is the q74 row-local "
+        "array_intersect form, cost ∝ candidates; the oracle replays "
+        "the whole sequential admission + verification from raw "
+        "text.",
+    tags=("llm", "dedup", "minhash", "streaming", "governance"),
+)
+def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators import dedup
+    from tidb_gateway_spark.operators.sampling import hash_bps
+
+    path = _q265_gate(spark, sf_dir)
+    adm = (
+        spark.read
+        .schema("doc_id long, bv string, ep int, band int, bvp string")
+        .parquet(os.path.join(path, "admitted_bands"))
+        .select(F.col("band").alias("aband"), F.col("bv").alias("abv"),
+                F.col("doc_id").alias("a"), F.col("ep").alias("epa"))
+    )
+    quar = (
+        spark.read.schema("doc_id long, ep int")
+        .parquet(os.path.join(path, "quarantine"))
+        .select(F.col("doc_id").alias("b"), F.col("ep").alias("epb"))
+    )
+    d = load_table(spark, sf_dir, "documents")
+    # band rows for the quarantined docs (the gate never indexed them)
+    # — recomputed from text, then matched against the admitted index
+    from tidb_gateway_spark.queries.llm_extended import _BANDS, _K
+
+    qdocs = d.join(quar.select(F.col("b").alias("doc_id"), "epb"),
+                   "doc_id", "inner")
+    qsigs = dedup.minhash_signatures(
+        dedup.doc_shingles(qdocs, distinct=False), k=_K)
+    qbands = (
+        dedup.lsh_bands(qsigs, _BANDS, _K // _BANDS)
+        .join(quar.select(F.col("b").alias("doc_id"), "epb"), "doc_id")
+        .select(F.col("doc_id").alias("b"), "epb", "band", "bv")
+    )
+    cand = (
+        qbands.join(
+            adm,
+            (F.col("band") == F.col("aband"))
+            & (F.col("bv") == F.col("abv"))
+            & (F.col("epa") < F.col("epb")),
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    sharr = dedup.doc_shingle_arrays(d)
+    jp = dedup.jaccard_pairs_arrays(cand, sharr)
+    # verified flag per quarantined doc: any matched admitted doc with
+    # J >= 0.5.  The double compare is exact here: jac = i/u with
+    # u <= a few hundred, so the only value within an ulp of 0.5 IS
+    # 2i == u, which divides to exactly 0.5 — same predicate as the
+    # oracle's integer 2i >= u.
+    ver = (
+        jp.select(
+            "b",
+            (F.col("jac") >= 0.5).cast("int").alias("v"),
+        )
+        .groupBy("b")
+        .agg(F.max("v").alias("v"))
+    )
+    perq = (
+        quar.join(ver, "b", "left")
+        .groupBy("epb")
+        .agg(
+            F.count("*").alias("n_q"),
+            F.sum(F.coalesce("v", F.lit(0))).alias("n_v"),
+        )
+    )
+    eps = (
+        d.select((hash_bps(F.col("doc_id"), "q262") % _Q262_SPLITS)
+                 .cast("int").alias("ep"))
+        .distinct()
+    )
+    return (
+        eps.join(perq, eps.ep == perq.epb, "left")
+        .select(
+            "ep",
+            F.coalesce("n_q", F.lit(0)).cast("bigint")
+            .alias("n_quarantined"),
+            F.coalesce("n_v", F.lit(0)).cast("bigint")
+            .alias("n_verified"),
+            F.when(F.coalesce("n_q", F.lit(0)) == 0, F.lit(0))
+            .otherwise(F.expr("CAST((n_v * 10000) DIV n_q AS BIGINT)"))
+            .cast("bigint").alias("precision_bps"),
+        )
+        .orderBy("ep")
+    )
+
+
+_REG["q266_gate_precision_audit"] = _dc.replace(
+    _REG["q266_gate_precision_audit"], oracle=_q266_oracle())
