@@ -1150,7 +1150,7 @@ def _q265_gate(spark: SparkSession, sf_dir: str) -> str:
 
     src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
     key = hashlib.md5(
-        f"lshgate-stream-v2|{src}|{_K}|{_BANDS}|{_Q262_SPLITS}"
+        f"lshgate-stream-v3|{src}|{_K}|{_BANDS}|{_Q262_SPLITS}"
         .encode()).hexdigest()[:16]
     path = derived.derived_path("lsh_gate", key)
     if not derived.is_fresh(path, src, marker="meta.json"):
@@ -1261,7 +1261,12 @@ def _q265_gate(spark: SparkSession, sf_dir: str) -> str:
                     )
                     admitted_rows = bl.join(flagged_file, "doc_id",
                                             "left_anti")
-                    (admitted_rows.write.mode("append")
+                    # one exchange on the partition key -> ONE file per
+                    # (band, bvp) dir per batch; the unpartitioned
+                    # write emitted tasks x dirs tiny files, which the
+                    # serve path pays in listing/footer reads
+                    (admitted_rows.repartition("band", "bvp")
+                     .write.mode("append")
                      .partitionBy("band", "bvp").parquet(adm_dir))
                     nq = flagged_file.count()
                     stats["quarantined"].append(nq)
