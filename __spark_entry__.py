@@ -28,75 +28,66 @@ def entry(spark: SparkSession) -> DataFrame:
 # is PRIORITY-ORDERED (tuple position, not qid) and more than ~50
 # entries means the tail defers to the next round by design.
 _CHANGED_FIRST = (
-    # Tier 0 — round 11 changes, riskiest first.  All entries pass the
+    # Tier 0 — round 12 changes, riskiest first.  All entries pass the
     # in-repo driver-faithful oracle diff at sf0.01 before queueing.
-    "q261_exact_substring_dedup",  # NEW r11: Lee-et-al exact substring
-                                   # dedup (stride-1 gram digests →
-                                   # interval merge)
-    "q262_streaming_lsh_band_index",  # NEW r11: streaming MinHash-LSH
-                                   # band index (3rd streaming-index
-                                   # family member)
-    "q263_incremental_neardup_on_arrival",  # NEW r11: per-epoch
-                                   # dup-on-arrival audit vs q262's
-                                   # index
-    "q264_exact_substring_dedup_apply",  # NEW r11: the APPLY step of
-                                   # q261 (interval-cover sweep,
-                                   # removed == audited pinned)
-    "q265_streaming_dedup_gate",   # NEW r11: ingest-time quarantine
-                                   # vs the accumulated ADMITTED index
-                                   # (sequential; unrolled oracle)
-    "q266_gate_precision_audit",   # NEW r11: exact-Jaccard verify of
-                                   # every gate decision (per-epoch
-                                   # precision bps)
-    "q53_json_extract",            # r11: back on the parse-on-read
-                                   # VARIANT plan (r10 ADVICE — the
-                                   # shredded serving aliased q102)
-    "q257_ivf_centroid_refresh",   # r11: empty-cell masking (r10
-                                   # ADVICE) + manifest-pointer
-                                   # generation switchover
-    "q260_streaming_lsm_index_lifecycle",  # r11: in-stream fold now
-                                   # flips a {base_gen, delta_epoch}
-                                   # manifest — no directory rename
-    "q259_index_delta_compaction",  # r11: compacted companion is
-                                   # generation-managed via manifest
-    "q244_streaming_index_maintenance",  # r11: meta field renamed
-                                   # n_docs -> n_docs_tokenized
-    "q195_incremental_agg_maintenance",  # r11: base+delta partials
-                                   # from ONE flag-keyed scan (3 corpus
-                                   # reads -> 2; direct stays an
-                                   # independent scan so the merge ≡
-                                   # direct certificate keeps meaning)
+    "q267_streaming_gate_lsm_fold",  # NEW r12: the gate composed with
+                                   # the q259/q260 manifest LSM fold —
+                                   # admitted band segments fold into
+                                   # base generations (VERDICT r11
+                                   # directive 2); decisions pinned
+                                   # bit-identical to q265
+    "q264_exact_substring_dedup_apply",  # r12: fused single token pass
+                                   # (covered tokens from spans,
+                                   # covered chars via broadcast span
+                                   # lists + slice-aggregate HOF; the
+                                   # corpus token explode and doc-keyed
+                                   # sweep window are gone — 1.87x ->
+                                   # 0.55x at sf10)
+    "q261_exact_substring_dedup",  # r12: hot-gram skew guard (sampled
+                                   # gh diagnostic gating run-compressed
+                                   # detection; output pinned unchanged)
+    "q265_streaming_dedup_gate",   # r12: O(1) has-index check (the
+                                   # per-batch os.walk of the admitted
+                                   # dir is gone — directive 8)
 )
 
-# CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6; r10 directive
-# 1: spend the r11 window draining the r5 cohort and biting into r6).
-# PRIORITY-ORDERED oldest-cert-first; the tail defers to the next
-# round by design.
+# CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6; r11 directive
+# 1: spend the r12 window emptying the 43-entry r6 cohort, then bite
+# into r7).  PRIORITY-ORDERED oldest-cert-first; the tail defers to
+# the next round by design.
 _STALE_CERT = (
-    # r5 cohort — the 34 oldest certs in the registry (complete list;
-    # recomputed from CORRECTNESS_r01–r10 latest-green)
-    "q16_left_anti_join", "q20_asof_join", "q21_self_join",
-    "q26_grouping_sets", "q29_conditional_agg", "q31_row_number",
-    "q33_lag_lead", "q34_running_sum", "q35_sliding_rows_frame",
-    "q36_first_value_full_frame", "q40_limit_offset",
-    "q56_tumbling_window", "q57_sliding_window", "q58_session_window",
-    "q59_stateful_dedup", "q67_uncorrelated_scalar_subquery",
-    "q69_in_subquery", "q70_cte", "q71_values_inline",
-    "q86_latest_event_per_user", "q87_funnel_conversion",
-    "q133_gap_fill_locf", "q134_event_path_prefixes",
-    "q135_rolling_distinct_types", "q136_snapshot_diff_cdc",
-    "q137_outlier_flags", "q139_levenshtein_verify",
-    "q140_cohort_retention", "q141_point_in_time_join",
-    "q142_hof_vector_stats", "q149_audio_feature_stub",
-    "q150_matryoshka_truncation_eval", "q151_temperature_mixture",
-    "q152_bigram_lm_score",
-    # r6 cohort head (oldest-first by qid; the rest of r6 continues in
-    # the r12 rotation from where this window runs out)
-    "q104_top_ngram_fraction", "q106_pivot_event_matrix",
-    "q107_unpivot_long_form", "q109_video_frame_sampling",
+    # r6 cohort — the 43 oldest certs in the registry (complete list;
+    # recomputed from CORRECTNESS_r01–r11 latest-green)
     "q111_curriculum_quartiles", "q115_distribution_drift_psi",
     "q116_full_data_recipe", "q117_recursive_cte_month_series",
     "q118_percent_rank_cume_dist", "q119_lateral_topn_per_key",
+    "q120_range_interval_frame", "q121_salted_skew_join",
+    "q123_csv_source_roundtrip", "q124_jsonl_source_roundtrip",
+    "q125_string_agg_sorted", "q126_map_aggregate_functions",
+    "q128_orc_source_roundtrip", "q131_nth_value_lead_default",
+    "q132_bitwise_bool_aggs", "q138_skew_diagnostics",
+    "q145_ratio_to_report", "q146_grouping_id_rollup",
+    "q147_try_cast_dirty_parse", "q148_union_by_name_missing_cols",
+    "q153_batch_sessionization", "q154_rolling_zscore_anomaly",
+    "q155_k_anonymity_audit", "q156_soft_quality_sampling",
+    "q157_stratified_interleave", "q158_rag_chunking",
+    "q159_touch_attribution", "q160_dataset_card",
+    "q161_nested_struct_ops", "q162_explode_outer_empty_arrays",
+    "q163_string_parsing_family", "q164_keyset_pagination",
+    "q167_ab_test_zstat", "q168_gini_concentration",
+    "q169_weighted_reservoir", "q170_period_over_period",
+    "q171_gap_latency_report", "q172_geometric_harmonic_means",
+    "q173_deterministic_mode", "q174_adoption_curve",
+    "q175_null_safe_join", "q176_multiset_set_ops",
+    "q177_topk_with_ties",
+    # r7 cohort head (oldest-first by qid; the rest of r7 continues in
+    # the r13 rotation from where this window runs out)
+    "q72_minhash_lsh_candidates", "q73_simhash_clusters",
+    "q74_jaccard_verify", "q91_contamination_check",
+    "q98_word_repetition_filter", "q101_dedup_clusters",
+    "q103_ngram_decontamination", "q129_approx_distinct_bounds",
+    "q130_canonical_doc_per_cluster", "q143_approx_percentile_bounds",
+    "q178_referential_integrity_audit", "q179_cms_heavy_hitters",
 )
 
 

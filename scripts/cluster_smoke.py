@@ -117,6 +117,12 @@ def main() -> int:
               f"{len(q257)} rows (mapInPandas reassignment ran on "
               f"remote executors)")
         assert len(q257) == 3, q257
+        # gate family (r12): the folded gate's sequential admission
+        # decisions must survive cluster mode AND equal the flat
+        # gate's — both fixtures rebuilt through the two executor JVMs
+        q265 = rows("q265_streaming_dedup_gate")
+        check("q267 gate LSM fold == q265 flat gate (cluster)",
+              rows("q267_streaming_gate_lsm_fold"), q265)
     finally:
         spark.stop()
         shutil.rmtree(scratch, ignore_errors=True)

@@ -1,0 +1,160 @@
+"""Round-12 operator tests: the gate-family LSM fold (q267 — VERDICT
+r11 directive 2: q265's flat form accumulates one file per (band, bvp)
+dir per batch forever; the fold composes the gate with the q259/q260
+manifest machinery), the fused q264 apply (directive 3), and the
+q261 hot-gram skew guard (directive 6).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from tidb_gateway_spark.queries import REGISTRY
+from tidb_gateway_spark.sources import derived
+
+
+def _gate_paths(spark, sf_dir):
+    from tidb_gateway_spark.queries.streaming_retrieval import (
+        _Q267_FOLD_EVERY,
+        _q265_gate,
+    )
+
+    flat = _q265_gate(spark, sf_dir)
+    lsm = _q265_gate(spark, sf_dir, fold_every=_Q267_FOLD_EVERY)
+    return flat, lsm
+
+
+def test_q267_decisions_identical_to_q265(spark, sf_dir):
+    """The fold only reorganizes files, never rows: every per-epoch
+    arrival/admit/quarantine count and the admitted-id checksum must
+    equal the flat gate's bit-for-bit."""
+    flat = [
+        tuple(r)
+        for r in REGISTRY["q265_streaming_dedup_gate"]
+        .spark(spark, sf_dir).collect()
+    ]
+    lsm = [
+        tuple(r)
+        for r in REGISTRY["q267_streaming_gate_lsm_fold"]
+        .spark(spark, sf_dir).collect()
+    ]
+    assert flat == lsm and flat
+
+
+def test_q267_fold_ran_and_bounded_file_count(spark, sf_dir):
+    """After the 4-epoch fixture with fold-every-3: exactly one fold
+    ran, the manifest names {base_gen: 1, delta_epoch: 2}, the folded
+    base holds AT MOST one parquet file per (band, bvp) leaf (bands x
+    16 hex chars), and the live delta holds epoch 3 only.  The flat
+    gate's admitted dir, by contrast, accumulates one file per leaf
+    PER BATCH — the unbounded growth the fold removes."""
+    from tidb_gateway_spark.queries.llm_extended import _BANDS
+
+    flat, lsm = _gate_paths(spark, sf_dir)
+    meta = json.load(open(os.path.join(lsm, "meta.json")))
+    assert meta["n_folds"] == 1, meta
+    st = derived.read_manifest(lsm)
+    assert st == {"base_gen": 1, "delta_epoch": 2}, st
+    base_files = glob.glob(os.path.join(
+        lsm, "base", "gen-000001", "*", "*", "*.parquet"))
+    assert 0 < len(base_files) <= _BANDS * 16, len(base_files)
+    # superseded delta epoch GC'd after the flip
+    assert not os.path.exists(os.path.join(lsm, "delta", "epoch-000001"))
+    delta_files = glob.glob(os.path.join(
+        lsm, "delta", "epoch-000002", "*", "*", "*.parquet"))
+    assert 0 < len(delta_files) <= _BANDS * 16, len(delta_files)
+    # the flat layout pays per-batch segment accumulation: strictly
+    # more files than the folded base for the same admitted rows
+    flat_files = glob.glob(os.path.join(
+        flat, "admitted_bands", "*", "*", "*.parquet"))
+    assert len(flat_files) > len(base_files) + len(delta_files)
+
+
+def test_q267_crash_window_unreachable(spark, sf_dir, tmp_path):
+    """A half-written next generation beside an unflipped manifest is
+    unreachable: live roots name only what the manifest points at."""
+    import shutil
+
+    from tidb_gateway_spark.queries.streaming_retrieval import (
+        _q267_live_roots,
+    )
+
+    _, lsm = _gate_paths(spark, sf_dir)
+    crash = str(tmp_path / "gate_crash")
+    shutil.copytree(lsm, crash)
+    # simulate a fold that crashed after writing gen-2 but before the
+    # manifest flip
+    shutil.copytree(
+        os.path.join(crash, "base", "gen-000001"),
+        os.path.join(crash, "base", "gen-000002"))
+    roots = _q267_live_roots(crash)
+    assert os.path.join(crash, "base", "gen-000001") in roots
+    assert all("gen-000002" not in r for r in roots)
+
+
+def _hot_fixture(spark, tmp_path):
+    """200 docs of one token repeated 50x: every 8-gram is the same
+    digest corpus-wide — the pathological key the guard exists for."""
+    import pandas as pd
+
+    tmp = str(tmp_path / "hotcorpus")
+    pdf = pd.DataFrame({
+        "doc_id": range(200),
+        "source": ["s"] * 200,
+        "text": ["tok " * 50] * 200,
+    })
+    (spark.createDataFrame(pdf).write.mode("overwrite")
+     .parquet(os.path.join(tmp, "documents.parquet")))
+    return tmp
+
+
+def test_q261_hot_gram_guard_activates_and_output_unchanged(
+        spark, sf_dir, tmp_path):
+    """Directive 6: the sampled skew diagnostic must trip on a
+    synthetic hot-gram corpus (and stay off on the benchmark fixture),
+    and the guarded run-compressed detection must produce the exact
+    flagged-position set of the plain window path on BOTH corpora."""
+    from tidb_gateway_spark.queries.pipeline_audit import (
+        _q261_dup_positions,
+        _q261_hot_gram_detected,
+        _q261_wl,
+    )
+
+    wl = _q261_wl(spark, sf_dir)
+    assert _q261_hot_gram_detected(wl) is False
+    plain = sorted(tuple(r) for r in
+                   _q261_dup_positions(wl, hot_guard=False).collect())
+    guarded = sorted(tuple(r) for r in
+                     _q261_dup_positions(wl, hot_guard=True).collect())
+    assert plain == guarded and plain
+
+    hot = _hot_fixture(spark, tmp_path)
+    wl2 = _q261_wl(spark, hot)
+    # full-sample diagnostic with a test-scale threshold: 200 docs x
+    # 43 grams of ONE digest >> 100
+    assert _q261_hot_gram_detected(wl2, threshold=100, sample_mod=1)
+    p2 = sorted(tuple(r) for r in
+                _q261_dup_positions(wl2, hot_guard=False).collect())
+    g2 = sorted(tuple(r) for r in
+                _q261_dup_positions(wl2, hot_guard=True).collect())
+    assert p2 == g2 and p2
+
+
+def test_q261_guarded_exchange_carries_runs_not_positions(spark, sf_dir):
+    """The guarded plan's gh-exchange must carry run rows (st, len),
+    never per-position rows, and still no text."""
+    from tidb_gateway_spark.plans import inspect as _inspect
+    from tidb_gateway_spark.queries.pipeline_audit import (
+        _q261_dup_positions,
+        _q261_wl,
+    )
+
+    df = _q261_dup_positions(_q261_wl(spark, sf_dir), hot_guard=True)
+    text = _inspect.explain_formatted(df)
+    assert "sequence(st" in text or "sequence(run.st" in text \
+        or "sequence" in text, text
+    for line in text.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line and "wlist#" not in line, line

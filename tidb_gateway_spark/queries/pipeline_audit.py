@@ -639,34 +639,145 @@ def _q261_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q261_dup_positions(wl: DataFrame) -> DataFrame:
+# Hot-gram skew guard (VERDICT r11 directive 6): a pathologically
+# repeated K-gram concentrates one window partition of the gh-exchange.
+# The guard is a cheap deterministic doc-sample diagnostic; past the
+# threshold the detection switches to run-compressed (gh, doc, pos-run)
+# rows whose volume is bounded by the number of DISTINCT-gram runs,
+# not occurrences.  ~5e7 occurrences of one gram is where a single
+# sorted window partition stops being acceptable on one executor.
+_Q261_HOT_THRESHOLD = 50_000_000
+_Q261_HOT_SAMPLE_MOD = 64  # diagnose on a deterministic 1/64 doc sample
+
+# stride-1 K-gram digests with 0-based token offset; the transform
+# index / posexplode index IS the gram's start offset (matches the
+# oracle's u.i)
+_Q261_GRAMS_SQL = (
+    f"CASE WHEN size(wlist) >= {_Q261_K} THEN "
+    f"transform(sequence(1, size(wlist) - {_Q261_K - 1}), i -> "
+    f"substring(md5(concat_ws(' ', slice(wlist, i, {_Q261_K}))), "
+    "1, 16)) ELSE CAST(array() AS array<string>) END"
+)
+
+
+def _q261_hot_gram_detected(
+    wl: DataFrame,
+    threshold: int = _Q261_HOT_THRESHOLD,
+    sample_mod: int = _Q261_HOT_SAMPLE_MOD,
+) -> bool:
+    """q138-shape skew diagnostic on the gram key, over a deterministic
+    1/sample_mod doc sample (hash-selected — reproducible across runs
+    and engines, never time- or RNG-seeded): True when any single gram
+    digest's sampled occurrence count implies ~threshold global
+    occurrences.  Cost: one partial-aggregated pass over the sample's
+    grams, collecting a single row."""
+    from tidb_gateway_spark.operators.sampling import hash_bps
+
+    sample = wl.filter(hash_bps(F.col("doc_id"), "q261hot")
+                       % sample_mod == 0)
+    top = (
+        sample.select(F.explode(F.expr(_Q261_GRAMS_SQL)).alias("gh"))
+        .groupBy("gh").count()
+        .agg(F.max("count").alias("mx"))
+        .collect()
+    )
+    mx = top[0]["mx"] or 0
+    return mx >= max(threshold // sample_mod, 2)
+
+
+def _q261_dup_positions(
+    wl: DataFrame, hot_guard: bool | None = None
+) -> DataFrame:
     """(doc_id, pos) of every stride-1 K-gram that repeats ANYWHERE in
     the corpus — the shared detection chain of q261/q264.  One gram
     posexplode, ONE explicit gh-exchange whose count window flags
     duplicates in place (q210 shape — the gram stream is computed once
-    and never re-shuffled)."""
+    and never re-shuffled).
+
+    ``hot_guard``: None = auto (run the sampled skew diagnostic and
+    switch when it trips); True/False force the path.  The guarded
+    path compresses each doc's consecutive equal-gram stretches into
+    (gh, pos-run) rows SCAN-SIDE before the exchange, so a gram
+    repeated R times consecutively in one doc ships as ONE row of
+    run-length R instead of R rows; the global count becomes
+    sum(run_len) over gh and flagged runs re-expand to positions via
+    sequence().  Output is identical by construction — only the
+    exchange's row distribution changes."""
     from pyspark.sql import Window
 
-    # stride-1 K-gram digests with 0-based token offset; posexplode's
-    # index IS the gram's start offset (matches the oracle's u.i)
-    grams_sql = (
-        f"CASE WHEN size(wlist) >= {_Q261_K} THEN "
-        f"transform(sequence(1, size(wlist) - {_Q261_K - 1}), i -> "
-        f"substring(md5(concat_ws(' ', slice(wlist, i, {_Q261_K}))), "
-        "1, 16)) ELSE CAST(array() AS array<string>) END"
+    if hot_guard is None:
+        hot_guard = _q261_hot_gram_detected(wl)
+    if not hot_guard:
+        g = (
+            wl.select("doc_id", F.posexplode(F.expr(_Q261_GRAMS_SQL))
+                      .alias("pos", "gh"))
+            .repartition("gh")
+        )
+        return (
+            g.select(
+                "doc_id", "pos",
+                F.count("*").over(Window.partitionBy("gh")).alias("c"),
+            )
+            .filter(F.col("c") >= 2)
+            .select("doc_id", "pos")
+        )
+    # guarded: run-compress per doc scan-side.  starts = indices where
+    # the gram differs from its predecessor; run j spans
+    # [starts[j], nextstart[j]) — zip starts with its shift-by-one
+    # (tail + total length) to get lengths without a second pass.
+    gs = F.expr(_Q261_GRAMS_SQL)
+    starts_sql = (
+        "filter(sequence(0, size(gs) - 1), "
+        "i -> i = 0 OR element_at(gs, i + 1) != element_at(gs, i))"
     )
-    g = (
-        wl.select("doc_id", F.posexplode(F.expr(grams_sql))
-                  .alias("pos", "gh"))
+    runs_sql = (
+        "zip_with(starts, "
+        "concat(slice(starts, 2, size(starts) - 1), "
+        "array(size(gs))), "
+        "(s, nxt) -> struct(element_at(gs, s + 1) AS gh, "
+        "s AS st, nxt - s AS len))"
+    )
+    r = (
+        wl.select("doc_id", gs.alias("gs"))
+        .filter(F.size("gs") > 0)
+        .select("doc_id", "gs", F.expr(starts_sql).alias("starts"))
+        .select("doc_id", F.explode(F.expr(runs_sql)).alias("run"))
+        .select("doc_id", "run.gh", "run.st", "run.len")
         .repartition("gh")
     )
-    return (
-        g.select(
-            "doc_id", "pos",
-            F.count("*").over(Window.partitionBy("gh")).alias("c"),
+    flagged_runs = (
+        r.select(
+            "doc_id", "st", "len",
+            F.sum("len").over(Window.partitionBy("gh")).alias("c"),
         )
         .filter(F.col("c") >= 2)
-        .select("doc_id", "pos")
+    )
+    return flagged_runs.select(
+        "doc_id",
+        F.explode(F.expr("sequence(st, st + len - 1)")).alias("pos"),
+    )
+
+
+def _q261_spans(dup: DataFrame) -> DataFrame:
+    """(doc_id, st, en) maximal merged duplicate intervals from the
+    flagged gram starts — gaps-and-islands over (doc_id, pos):
+    intervals [pos, pos+K-1] merge when overlapping OR adjacent
+    (gap <= K).  Shared by q261 (audit) and q264 (apply) so their
+    span sets are identical by construction."""
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.select(
+        "doc_id", "pos",
+        F.sum(
+            F.when(F.col("pos") - F.lag("pos").over(wd) > _Q261_K, 1)
+            .otherwise(0)
+        ).over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("st"),
+        (F.max("pos") + _Q261_K - 1).alias("en"),
     )
 
 
@@ -696,33 +807,21 @@ def _q261_dup_positions(wl: DataFrame) -> DataFrame:
         "corpus-scale exchanges carry digests/ints (never text); the "
         "gram stream is evaluated ONCE (the window form was chosen "
         "over groupBy+join-back precisely to avoid re-shingling); a "
-        "pathologically hot gram key concentrates one window "
-        "partition — the documented mitigation is pre-aggregating "
-        "(gh, doc, pos-run) before the window, worth it only past "
-        "~1e8 occurrences of a single gram.",
+        "pathologically hot gram key would concentrate one window "
+        "partition, so the chain is GUARDED (r12): a deterministic "
+        "sampled (gh, count) diagnostic runs first, and past "
+        "~5e7 occurrences of one gram the detection switches to "
+        "scan-side run-compressed (gh, doc, pos-run) rows — identical "
+        "output, exchange volume bounded by runs not occurrences "
+        "(_q261_dup_positions; equivalence pinned on a synthetic "
+        "hot-gram fixture).",
     tags=("llm", "dedup", "governance", "text"),
 )
 def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     wl = _q261_wl(spark, sf_dir)
     dup = _q261_dup_positions(wl)
-    # gaps-and-islands maximal-interval merge: intervals [pos, pos+K-1]
-    # merge when overlapping OR adjacent (gap <= K)
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    isl = dup.select(
-        "doc_id", "pos",
-        F.sum(
-            F.when(F.col("pos") - F.lag("pos").over(wd) > _Q261_K, 1)
-            .otherwise(0)
-        ).over(wd.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("island"),
-    )
-    spans = isl.groupBy("doc_id", "island").agg(
-        F.min("pos").alias("st"),
-        (F.max("pos") + _Q261_K - 1).alias("en"),
-    )
+    spans = _q261_spans(dup)
     per = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         F.sum(F.col("en") - F.col("st") + 1).alias("dup_tokens"),
@@ -811,73 +910,73 @@ _Q264_ORACLE = (
         "substring of >= K tokens (the RefinedWeb/Lee-et-al. apply "
         "step) and certify the cleaned corpus by per-source token and "
         "character totals.  Detection reuses q261's chain "
-        "(_q261_dup_positions — one gh-exchange, digests only); the "
-        "cover is computed WITHOUT materializing spans per token: "
-        "each flagged gram start contributes +1 at pos and -1 at "
-        "pos+K, the token stream contributes 0-delta rows carrying "
-        "only the token LENGTH, and one per-doc running sum over "
-        "(offset, kind) yields the coverage count at every token — a "
-        "token is dropped iff its count > 0.  The doc-keyed exchange "
-        "therefore carries pure integers (offset, kind, delta, len); "
-        "token TEXT never shuffles in either exchange.  Certified "
+        "(_q261_dup_positions — one gh-exchange, digests only) and "
+        "its merged maximal spans (_q261_spans); the r11 form then "
+        "paid a SECOND full token pass (posexplode of every doc's "
+        "wlist into +1/-1 sweep events plus a corpus-sized doc-keyed "
+        "window sort — 1.87x DuckDB at sf10).  r12 fuses it: covered "
+        "TOKEN counts come straight from the spans (sum(en-st+1), "
+        "pure ints), and covered CHAR sums come from broadcasting the "
+        "per-doc span lists (flagged docs only — ints) back into the "
+        "ONE stats scan, where a slice-aggregate higher-order "
+        "function sums token lengths inside each span map-side.  No "
+        "token ever explodes outside the gram chain, no doc-keyed "
+        "corpus window exists, and token TEXT never shuffles (the "
+        "span join is a broadcast; the only hash exchanges carry gh "
+        "digests, span ints, and the per-source partials).  Certified "
         "invariant: removed_bps here == q261's dup_bps per source "
         "(union of [p, p+K-1] == the merged maximal intervals), "
-        "pinned by test.  100 TB: same two corpus-scale digest/int "
-        "exchanges as q261 plus the 0-cost event union.",
+        "pinned by test.  100 TB: the broadcast carries one "
+        "(st, en) list per FLAGGED doc — metadata-scale next to the "
+        "corpus; past broadcast capacity the same plan degrades "
+        "gracefully to a bloom-filtered semi-join feeding a "
+        "flagged-docs-only sweep (false positives are benign — an "
+        "unflagged doc has no spans and contributes zero cover).",
     tags=("llm", "dedup", "governance", "text"),
 )
 def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     wl = _q261_wl(spark, sf_dir)
     dup = _q261_dup_positions(wl)
-    opens = dup.select(
-        "doc_id", F.col("pos").alias("at"),
-        F.lit(0).alias("kind"), F.lit(1).alias("delta"),
-        F.lit(0).cast("bigint").alias("L"),
-    )
-    closes = dup.select(
-        "doc_id", (F.col("pos") + _Q261_K).alias("at"),
-        F.lit(0).alias("kind"), F.lit(-1).alias("delta"),
-        F.lit(0).cast("bigint").alias("L"),
-    )
-    toks = (
-        wl.select("doc_id", F.posexplode("wlist").alias("at", "w"))
-        .select(
-            "doc_id", "at", F.lit(1).alias("kind"),
-            F.lit(0).alias("delta"),
-            F.length("w").cast("bigint").alias("L"),
+    spans_pd = (
+        _q261_spans(dup)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("st", "en")).alias("spans"),
+            F.sum(F.col("en") - F.col("st") + 1).alias("cov_tok"),
         )
     )
-    ev = opens.unionByName(closes).unionByName(toks)
-    wd = (
-        Window.partitionBy("doc_id").orderBy("at", "kind")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    tk = (
-        ev.select(
-            "doc_id", "kind", "L",
-            F.sum("delta").over(wd).alias("c"),
-        )
-        .filter(F.col("kind") == 1)
-    )
-    per = tk.groupBy("doc_id").agg(
-        F.count("*").alias("tok_b"),
-        F.sum(F.when(F.col("c") == 0, 1).otherwise(0)).alias("tok_a"),
-        F.sum(F.when(F.col("c") == 0, F.col("L")).otherwise(0))
-        .alias("chars_a"),
+    # one stats scan: per-doc totals are scan-side HOF aggregates; the
+    # covered-char sum evaluates each broadcast span against the doc's
+    # own wlist (slice + length fold) before anything shuffles
+    cov_chars = F.when(
+        F.col("spans").isNotNull(),
+        F.expr(
+            "aggregate(spans, CAST(0 AS BIGINT), (acc, s) -> acc + "
+            "aggregate(slice(wlist, s.st + 1, s.en - s.st + 1), "
+            "CAST(0 AS BIGINT), (a, x) -> a + length(x)))"
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    j = wl.join(F.broadcast(spans_pd), "doc_id", "left").select(
+        "source",
+        F.size("wlist").cast("bigint").alias("tok_b"),
+        F.expr(
+            "aggregate(wlist, CAST(0 AS BIGINT), "
+            "(a, x) -> a + length(x))"
+        ).alias("chars_tot"),
+        F.coalesce("cov_tok", F.lit(0)).cast("bigint").alias("cov_tok"),
+        cov_chars.alias("cov_chars"),
     )
     return (
-        per.join(d.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
+        j.groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("tok_b").cast("bigint").alias("tok_before"),
-            F.sum("tok_a").cast("bigint").alias("tok_after"),
-            F.sum("chars_a").cast("bigint").alias("chars_after"),
+            (F.sum("tok_b") - F.sum("cov_tok")).cast("bigint")
+            .alias("tok_after"),
+            (F.sum("chars_tot") - F.sum("cov_chars")).cast("bigint")
+            .alias("chars_after"),
             F.expr(
-                "CAST((SUM(tok_b - tok_a) * 10000) DIV SUM(tok_b) "
+                "CAST((SUM(cov_tok) * 10000) DIV SUM(tok_b) "
                 "AS BIGINT)"
             ).alias("removed_bps"),
         )

@@ -1109,7 +1109,8 @@ _REG["q263_incremental_neardup_on_arrival"] = _dc.replace(
 
 
 # ---------------------------------------------------------------- Q265
-def _q265_gate(spark: SparkSession, sf_dir: str) -> str:
+def _q265_gate(spark: SparkSession, sf_dir: str,
+               fold_every: int | None = None) -> str:
     """Build (once per fixture) the STREAMING DEDUP GATE state — the
     APPLY member of the q262/q263 family and the operation a
     production ingest pipeline actually runs: each arriving batch is
@@ -1140,8 +1141,21 @@ def _q265_gate(spark: SparkSession, sf_dir: str) -> str:
     layout has more bvp digits and the probe reads a vanishing
     fraction of the index).  Everything exchanged is band rows
     (digests + ids), never text.
+
+    ``fold_every`` (q267): when set, the admitted index is an LSM
+    tree behind ONE {base_gen, delta_epoch} manifest — per-batch
+    appends land in the live delta epoch, and every Nth batch the
+    base generation and the delta pile are folded into the next base
+    generation (rewritten ONE file per (band, bvp) leaf) before a
+    single atomic manifest replace flips both pointers; superseded
+    directories are GC'd only after the flip.  The flat form
+    (fold_every=None, q265) appends one file per (band, bvp) dir per
+    batch FOREVER — the listing/footer cost a continuously-running
+    gate accumulates linearly, which is exactly what the fold
+    amortizes away (q259/q260's model applied to band segments).
     """
     import json
+    import shutil
 
     from tidb_gateway_spark.operators import dedup
     from tidb_gateway_spark.operators.sampling import hash_bps
@@ -1149,10 +1163,16 @@ def _q265_gate(spark: SparkSession, sf_dir: str) -> str:
     from tidb_gateway_spark.sources import derived
 
     src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
-    key = hashlib.md5(
-        f"lshgate-stream-v3|{src}|{_K}|{_BANDS}|{_Q262_SPLITS}"
-        .encode()).hexdigest()[:16]
-    path = derived.derived_path("lsh_gate", key)
+    if fold_every is None:
+        key = hashlib.md5(
+            f"lshgate-stream-v3|{src}|{_K}|{_BANDS}|{_Q262_SPLITS}"
+            .encode()).hexdigest()[:16]
+        path = derived.derived_path("lsh_gate", key)
+    else:
+        key = hashlib.md5(
+            f"lshgate-lsm-v1|{src}|{_K}|{_BANDS}|{_Q262_SPLITS}|"
+            f"{fold_every}".encode()).hexdigest()[:16]
+        path = derived.derived_path("lsh_gate_lsm", key)
     if not derived.is_fresh(path, src, marker="meta.json"):
         d = load_table(spark, sf_dir, "documents")
         schema = d.schema
@@ -1173,7 +1193,54 @@ def _q265_gate(spark: SparkSession, sf_dir: str) -> str:
 
             adm_dir = os.path.join(tmp, "admitted_bands")
             quar_dir = os.path.join(tmp, "quarantine")
-            stats = {"epochs_seen": [], "admitted": [], "quarantined": []}
+            stats = {"epochs_seen": [], "admitted": [], "quarantined": [],
+                     "n_folds": 0}
+            if fold_every is not None:
+                derived.write_manifest(
+                    tmp, {"base_gen": 0, "delta_epoch": 1})
+
+            def _gen_root(k: int) -> str:
+                return os.path.join(tmp, "base", f"gen-{k:06d}")
+
+            def _epoch_root(e: int) -> str:
+                return os.path.join(tmp, "delta", f"epoch-{e:06d}")
+
+            _ADM_SCHEMA = ("doc_id long, bv string, ep int, "
+                           "band int, bvp string")
+
+            def _adm_roots() -> list[str]:
+                """Admitted-index roots the probe serves from.  Flat
+                mode: the single append dir.  LSM mode: resolved
+                THROUGH the manifest — current base generation plus
+                the live delta epoch; a half-written next generation
+                left by a crashed fold is unreachable."""
+                if fold_every is None:
+                    return [adm_dir]
+                st = derived.read_manifest(tmp)
+                roots = []
+                if st["base_gen"]:
+                    roots.append(_gen_root(st["base_gen"]))
+                ep_root = _epoch_root(st["delta_epoch"])
+                if os.path.exists(ep_root):
+                    roots.append(ep_root)
+                return roots
+
+            def _read_adm(roots: list[str], bvps: list[str]) -> DataFrame:
+                # explicit schema per root: partition-column TYPE
+                # INFERENCE over bvp dirs crashes under ANSI when
+                # digit-only early state later meets a hex-letter
+                # value ('a' -> BIGINT cast); per-root reads because
+                # multiple partitioned roots in one read raise
+                # CONFLICTING_DIRECTORY_STRUCTURES
+                parts = [
+                    spark.read.schema(_ADM_SCHEMA).parquet(r)
+                    .filter(F.col("bvp").isin(bvps))
+                    for r in roots
+                ]
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                return out
 
             # BUILD-SCOPED shuffle sizing: the gate runs ~6 shuffling
             # jobs per micro-batch; under an externally-owned session's
@@ -1211,22 +1278,16 @@ def _q265_gate(spark: SparkSession, sf_dir: str) -> str:
                         stats["epochs_seen"], ep)
                     stats["epochs_seen"].append(ep)
 
-                    has_index = os.path.exists(adm_dir) and any(
-                        True for _r, _d, fs in os.walk(adm_dir)
-                        for f in fs if f.endswith(".parquet"))
+                    # O(1) existence check (r11 walked the whole
+                    # admitted dir per batch — O(index files) driver
+                    # work that defeats the fold's point): the gate
+                    # admitted rows before iff any prior batch
+                    # reported admissions
+                    has_index = sum(stats["admitted"]) > 0
                     if has_index:
                         bvps = [r["bvp"] for r in
                                 bl.select("bvp").distinct().collect()]
-                        # explicit schema: partition-column TYPE
-                        # INFERENCE over bvp dirs crashes under ANSI
-                        # when digit-only early state later meets a
-                        # hex-letter value ('a' -> BIGINT cast); naming
-                        # the partition columns skips inference
-                        adm = (spark.read
-                               .schema("doc_id long, bv string, "
-                                       "ep int, band int, bvp string")
-                               .parquet(adm_dir)
-                               .filter(F.col("bvp").isin(bvps))
+                        adm = (_read_adm(_adm_roots(), bvps)
                                .select(F.col("band").alias("aband"),
                                        F.col("bv").alias("abv")))
                         flagged = (
@@ -1265,13 +1326,45 @@ def _q265_gate(spark: SparkSession, sf_dir: str) -> str:
                     # (band, bvp) dir per batch; the unpartitioned
                     # write emitted tasks x dirs tiny files, which the
                     # serve path pays in listing/footer reads
+                    if fold_every is None:
+                        dest = adm_dir
+                    else:
+                        st0 = derived.read_manifest(tmp)
+                        dest = _epoch_root(st0["delta_epoch"])
                     (admitted_rows.repartition("band", "bvp")
                      .write.mode("append")
-                     .partitionBy("band", "bvp").parquet(adm_dir))
+                     .partitionBy("band", "bvp").parquet(dest))
                     nq = flagged_file.count()
                     stats["quarantined"].append(nq)
                     stats["admitted"].append(
                         bl.select("doc_id").distinct().count() - nq)
+                    if (fold_every is not None
+                            and len(stats["epochs_seen"]) % fold_every
+                            == 0):
+                        # scheduled fold (q259/q260's LSM step on band
+                        # segments): next base generation := base ∪
+                        # delta, rewritten ONE file per (band, bvp)
+                        # leaf, WRITTEN IN FULL before the manifest
+                        # flips {base_gen, delta_epoch} together; GC
+                        # only after the flip — a crash anywhere
+                        # mid-fold leaves readers on old base + the
+                        # whole delta pile (consistent)
+                        st0 = derived.read_manifest(tmp)
+                        k, e = st0["base_gen"], st0["delta_epoch"]
+                        roots = ([_gen_root(k)] if k else []) + (
+                            [_epoch_root(e)]
+                            if os.path.exists(_epoch_root(e)) else [])
+                        folded = _read_adm(roots, list("0123456789abcdef"))
+                        (folded.repartition("band", "bvp")
+                         .write.mode("overwrite")
+                         .partitionBy("band", "bvp")
+                         .parquet(_gen_root(k + 1)))
+                        derived.write_manifest(
+                            tmp, {"base_gen": k + 1, "delta_epoch": e + 1})
+                        if k:
+                            shutil.rmtree(_gen_root(k), ignore_errors=True)
+                        shutil.rmtree(_epoch_root(e), ignore_errors=True)
+                        stats["n_folds"] += 1
                 finally:
                     bl.unpersist()
 
@@ -1594,3 +1687,106 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REG["q266_gate_precision_audit"] = _dc.replace(
     _REG["q266_gate_precision_audit"], oracle=_q266_oracle())
+
+
+# ---------------------------------------------------------------- Q267
+_Q267_FOLD_EVERY = 3
+
+
+def _q267_live_roots(path: str) -> list[str]:
+    """Admitted-index roots of the FOLDED gate, resolved THROUGH the
+    manifest: current base generation (if any fold ran) plus the live
+    delta epoch.  A half-written next generation left by a crashed
+    fold is not named by the manifest and therefore unreachable."""
+    from tidb_gateway_spark.sources import derived
+
+    st = derived.read_manifest(path)
+    roots: list[str] = []
+    if st["base_gen"]:
+        roots.append(
+            os.path.join(path, "base", f"gen-{st['base_gen']:06d}"))
+    ep = os.path.join(path, "delta", f"epoch-{st['delta_epoch']:06d}")
+    if os.path.exists(ep):
+        roots.append(ep)
+    return roots
+
+
+@register(
+    "q267_streaming_gate_lsm_fold",
+    None,  # q265's unrolled sequential-admission oracle, bound below
+    doc="Streaming dedup gate WITH the LSM fold — the composition "
+        "that completes the gate family (VERDICT r11 directive 2): "
+        "q265's flat form appends one file per (band, bvp) dir per "
+        "micro-batch forever, so a continuously-running gate pays "
+        "listing/footer cost linear in batches; here the admitted "
+        "index lives behind ONE {base_gen, delta_epoch} manifest "
+        "(the q259/q260 machinery applied to band segments) — "
+        "per-batch appends land in the live delta epoch and every "
+        "3rd batch the base and delta fold into the next base "
+        "generation, rewritten ONE file per (band, bvp) leaf, then a "
+        "single atomic manifest replace flips both pointers (crash "
+        "anywhere mid-fold leaves readers on old base + whole delta "
+        "pile — consistent; GC only after the flip).  The 4-epoch "
+        "fixture ends in the steady state a real gate serves from: a "
+        "folded base (epochs 0-2) PLUS a live delta (epoch 3).  The "
+        "quarantine DECISIONS are bit-identical to q265's (pinned by "
+        "test — the fold only reorganizes files, never rows) and the "
+        "oracle recomputes the full sequential admission from raw "
+        "text.  Probe reads stay (band, bvp) partition-pruned within "
+        "each live root; driver work per batch is O(1) manifest "
+        "reads, never an index walk.",
+    tags=("llm", "dedup", "minhash", "streaming", "governance",
+          "layout"),
+)
+def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.sampling import hash_bps
+
+    path = _q265_gate(spark, sf_dir, fold_every=_Q267_FOLD_EVERY)
+    roots = _q267_live_roots(path)
+    parts = [
+        spark.read.schema("doc_id long, bv string, ep int, "
+                          "band int, bvp string").parquet(r)
+        for r in roots
+    ]
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = rows.unionByName(p)
+    adm = (
+        rows.select("doc_id", "ep").distinct()
+        .groupBy("ep")
+        .agg(
+            F.count("*").alias("n_admitted"),
+            F.sum("doc_id").alias("admitted_idsum"),
+        )
+    )
+    quar = (
+        spark.read.schema("doc_id long, ep int")
+        .parquet(os.path.join(path, "quarantine"))
+        .groupBy("ep")
+        .agg(F.count("*").alias("n_quarantined"))
+    )
+    d = load_table(spark, sf_dir, "documents")
+    arrivals = (
+        d.select((hash_bps(F.col("doc_id"), "q262") % _Q262_SPLITS)
+                 .cast("int").alias("ep"))
+        .groupBy("ep")
+        .agg(F.count("*").alias("n_arrived"))
+    )
+    return (
+        arrivals.join(adm, "ep", "left").join(quar, "ep", "left")
+        .select(
+            "ep",
+            F.col("n_arrived").cast("bigint").alias("n_arrived"),
+            F.coalesce("n_admitted", F.lit(0)).cast("bigint")
+            .alias("n_admitted"),
+            F.coalesce("n_quarantined", F.lit(0)).cast("bigint")
+            .alias("n_quarantined"),
+            F.coalesce("admitted_idsum", F.lit(0)).cast("bigint")
+            .alias("admitted_idsum"),
+        )
+        .orderBy("ep")
+    )
+
+
+_REG["q267_streaming_gate_lsm_fold"] = _dc.replace(
+    _REG["q267_streaming_gate_lsm_fold"], oracle=_q265_oracle())
