@@ -30,6 +30,11 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHANGED_FIRST = (
     # Tier 0 — round 12 changes, riskiest first.  All entries pass the
     # in-repo driver-faithful oracle diff at sf0.01 before queueing.
+    "q268_streaming_substring_dup_on_arrival",  # NEW r12: q261's
+                                   # semantics at ingest — gram-digest
+                                   # index + on-arrival cross-epoch
+                                   # dup audit (4th streaming-index
+                                   # family member)
     "q267_streaming_gate_lsm_fold",  # NEW r12: the gate composed with
                                    # the q259/q260 manifest LSM fold —
                                    # admitted band segments fold into

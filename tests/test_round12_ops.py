@@ -158,3 +158,45 @@ def test_q261_guarded_exchange_carries_runs_not_positions(spark, sf_dir):
     for line in text.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line and "wlist#" not in line, line
+
+
+def test_q268_hits_subset_of_q261_dups_and_epoch0_clean(spark, sf_dir):
+    """Cross-family invariant: every cross-epoch substring hit (gram
+    start matching a strictly earlier epoch) is by definition a
+    globally duplicated gram start, so q268's hit set must be a strict
+    subset of q261's detection-chain output; and the first-arriving
+    epoch can never hit an empty index."""
+    from pyspark.sql import functions as F
+
+    from tidb_gateway_spark.queries.pipeline_audit import (
+        _q261_dup_positions,
+        _q261_wl,
+    )
+    from tidb_gateway_spark.queries.streaming_retrieval import (
+        _q268_index,
+    )
+
+    path = _q268_index(spark, sf_dir)
+    hits = {
+        (r["doc_id"], r["pos"], r["ep"])
+        for r in spark.read.schema("doc_id long, pos int, ep int")
+        .parquet(os.path.join(path, "hits")).collect()
+    }
+    assert hits, "fixture has cross-epoch duplicated substrings"
+    assert all(ep > 0 for _, _, ep in hits)
+    dup = {
+        (r["doc_id"], r["pos"])
+        for r in _q261_dup_positions(
+            _q261_wl(spark, sf_dir), hot_guard=False).collect()
+    }
+    assert {(d, p) for d, p, _ in hits} <= dup
+    meta = json.load(open(os.path.join(path, "meta.json")))
+    assert meta["epochs_seen"] == sorted(meta["epochs_seen"])
+    # declared report consistent with persisted stats
+    rep = {r["ep"]: r for r in
+           REGISTRY["q268_streaming_substring_dup_on_arrival"]
+           .spark(spark, sf_dir).collect()}
+    assert rep[0]["n_hits"] == 0
+    for i, ep in enumerate(meta["epochs_seen"]):
+        assert rep[ep]["n_grams"] == meta["n_grams"][i]
+        assert rep[ep]["n_hits"] == meta["n_hits"][i]

@@ -1790,3 +1790,288 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REG["q267_streaming_gate_lsm_fold"] = _dc.replace(
     _REG["q267_streaming_gate_lsm_fold"], oracle=_q265_oracle())
+
+
+# ---------------------------------------------------------------- Q268
+def _q268_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per fixture) the STREAM-maintained exact-substring
+    gram-digest index — the q262/q263 analogue for q261's semantics
+    and the fourth streaming-index family member (q244 = inverted
+    text, q254 = IVF, q262 = LSH bands, this = K-gram digests): the
+    corpus arrives as 4 epoch files; each micro-batch computes its
+    docs' stride-1 K-token gram digests (q261's _Q261_GRAMS_SQL — the
+    identical function both engines evaluate), probes them against
+    the ACCUMULATED index of earlier epochs' distinct digests (a gram
+    start whose digest already exists is a cross-epoch substring
+    duplicate hit), logs per-epoch hit accounting, then appends THIS
+    batch's distinct digests as an immutable prefix-partitioned
+    segment.
+
+    Unlike the q265 gate, the index is append-only and decisions do
+    NOT feed back (a flagged doc's grams still enter the index), so
+    the operator is order-dependent but not sequential-gated — which
+    is why the oracle needs only one strict ep-inequality join, not an
+    unrolled admission chain.
+
+    Scale notes (100 TB): per-batch work = one gram pass over the
+    batch (map-side) + one digest-keyed semi-join against the index +
+    one distinct-digest append; every exchange carries 16-char hex
+    digests and ints, never text.  Per-batch segments fold with the
+    q259/q267 manifest machinery when segment counts matter (not
+    composed here — q267 certifies that composition for the family).
+    """
+    import json
+
+    from tidb_gateway_spark.operators.sampling import hash_bps
+    from tidb_gateway_spark.queries.pipeline_audit import (
+        _Q261_GRAMS_SQL,
+        _q261_wl,
+    )
+    from tidb_gateway_spark.sources import derived
+
+    del _q261_wl  # batch frames are built inline from the stream batch
+
+    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"gramidx-stream-v1|{src}|{_Q262_SPLITS}".encode()
+    ).hexdigest()[:16]
+    path = derived.derived_path("gram_stream", key)
+    if not derived.is_fresh(path, src, marker="meta.json"):
+        d = load_table(spark, sf_dir, "documents")
+        schema = d.schema
+
+        def build(tmp: str) -> None:
+            from tidb_gateway_spark.operators.partitioning import (
+                session_parallelism,
+            )
+
+            os.makedirs(tmp, exist_ok=True)
+            stage = os.path.join(tmp, "stage")
+            sp = hash_bps(F.col("doc_id"), "q262") % _Q262_SPLITS
+            for i in range(_Q262_SPLITS):
+                (d.filter(sp == i).repartition(1)
+                 .write.mode("append").parquet(stage))
+
+            idx_dir = os.path.join(tmp, "grams")
+            hits_dir = os.path.join(tmp, "hits")
+            stats = {"epochs_seen": [], "n_grams": [], "n_hits": []}
+
+            old_sp = None
+            try:
+                old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(session_parallelism(spark)))
+            except Exception:
+                old_sp = None
+
+            def ingest(batch: DataFrame, batch_id: int) -> None:
+                t = F.trim(F.col("text"))
+                wl = ensure_min_partitions(batch).select(
+                    "doc_id",
+                    F.when(t != "", F.split(t, " +"))
+                    .otherwise(F.expr("CAST(array() AS array<string>)"))
+                    .alias("wlist"),
+                )
+                ep_col = (hash_bps(F.col("doc_id"), "q262")
+                          % _Q262_SPLITS).cast("int")
+                g = (
+                    wl.select(
+                        "doc_id",
+                        F.posexplode(F.expr(_Q261_GRAMS_SQL))
+                        .alias("pos", "gh"),
+                    )
+                    .withColumn("ep", ep_col)
+                    .persist()
+                )
+                try:
+                    eps = [r["ep"] for r in
+                           g.select("ep").distinct().collect()]
+                    assert len(eps) <= 1, f"mixed-epoch batch: {eps}"
+                    ep = eps[0] if eps else None
+                    if ep is None:
+                        return
+                    assert all(ep > e for e in stats["epochs_seen"]), (
+                        stats["epochs_seen"], ep)
+                    stats["epochs_seen"].append(ep)
+
+                    has_index = sum(stats["n_grams"]) > 0
+                    if has_index:
+                        idx = (spark.read
+                               .schema("gh string, pfx string")
+                               .parquet(idx_dir)
+                               .select("gh"))
+                        hits = g.join(idx, "gh", "semi")
+                    else:
+                        hits = g.limit(0)
+                    (hits.select("doc_id", "pos", "ep")
+                     .write.mode("append").parquet(hits_dir))
+                    # append AFTER the probe materialized (the hits
+                    # write above is the ordering barrier — Structured
+                    # Streaming serializes batches, and the probe plan
+                    # must never see this batch's own digests)
+                    (g.select("gh").distinct()
+                     .withColumn("pfx", F.substring("gh", 1, 1))
+                     .repartition("pfx")
+                     .write.mode("append").partitionBy("pfx")
+                     .parquet(idx_dir))
+                    stats["n_grams"].append(g.count())
+                    stats["n_hits"].append(
+                        spark.read.schema("doc_id long, pos int, ep int")
+                        .parquet(hits_dir)
+                        .filter(F.col("ep") == ep).count())
+                finally:
+                    g.unpersist()
+
+            try:
+                q = (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(stage)
+                    .writeStream.foreachBatch(ingest)
+                    .option("checkpointLocation",
+                            os.path.join(tmp, "chk"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            finally:
+                if old_sp is not None:
+                    try:
+                        spark.conf.set(
+                            "spark.sql.shuffle.partitions", old_sp)
+                    except Exception:
+                        pass
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                json.dump(stats, f)
+
+        derived.build_atomic(path, build)
+    return path
+
+
+def _q268_oracle() -> str:
+    """Cross-epoch substring-dup hits recomputed from raw text: a gram
+    start in epoch k is a hit iff the same digest occurs in ANY
+    strictly earlier epoch — one EXISTS join, no unrolling (the index
+    is append-only; decisions never feed back)."""
+    from tidb_gateway_spark.queries.llm_extended import _ddb_hex_to_int
+    from tidb_gateway_spark.queries.pipeline_audit import _Q261_K
+
+    ep = ("(" + _ddb_hex_to_int(
+        "md5('q262|' || CAST(doc_id AS VARCHAR))", 8)
+        + f" % 10000) % {_Q262_SPLITS}")
+    return (
+        "WITH wl AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS wl "
+        "FROM documents), "
+        "e AS (SELECT doc_id, "
+        f"CAST({ep} AS INT) AS ep FROM documents), "
+        "g AS (SELECT doc_id, CAST(u.i AS INT) AS pos, "
+        "substr(md5(array_to_string("
+        f"wl[CAST(u.i + 1 AS INT):CAST(u.i + {_Q261_K} AS INT)], ' ')), "
+        "1, 16) AS gh "
+        f"FROM wl, UNNEST(range(0, len(wl) - {_Q261_K - 1})) AS u(i) "
+        f"WHERE len(wl) >= {_Q261_K}), "
+        "ge AS (SELECT g.doc_id, g.pos, g.gh, e.ep FROM g "
+        "JOIN e USING (doc_id)), "
+        "hit AS (SELECT y.ep, y.doc_id FROM ge y WHERE EXISTS ("
+        "SELECT 1 FROM ge x WHERE x.gh = y.gh AND x.ep < y.ep)), "
+        "hp AS (SELECT ep, CAST(COUNT(*) AS BIGINT) AS n_hits, "
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_flagged "
+        "FROM hit GROUP BY 1), "
+        "tot AS (SELECT e.ep, CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) "
+        "AS n_docs, CAST(COUNT(g.gh) AS BIGINT) AS n_grams "
+        "FROM e LEFT JOIN ge g ON g.doc_id = e.doc_id AND g.ep = e.ep "
+        "GROUP BY 1) "
+        "SELECT tot.ep, tot.n_docs, tot.n_grams, "
+        "COALESCE(hp.docs_flagged, 0) AS docs_flagged, "
+        "COALESCE(hp.n_hits, 0) AS n_hits, "
+        "CASE WHEN tot.n_grams = 0 THEN 0 ELSE "
+        "CAST((COALESCE(hp.n_hits, 0) * 10000) // tot.n_grams "
+        "AS BIGINT) END AS hit_bps "
+        "FROM tot LEFT JOIN hp ON hp.ep = tot.ep ORDER BY tot.ep"
+    )
+
+
+@register(
+    "q268_streaming_substring_dup_on_arrival",
+    None,  # assembled below (imports q261/q72 oracle fragments)
+    doc="Streaming exact-substring dup-on-arrival — q261's semantics "
+        "as an ingest-time operator and the fourth streaming-index "
+        "family member (q244 inverted text, q254 IVF, q262 LSH bands, "
+        "this = K-gram digests): each arriving epoch's stride-1 "
+        "8-token gram digests are probed against the accumulated "
+        "index of earlier epochs' DISTINCT digests (digest match = "
+        "cross-epoch duplicated substring hit — the decontamination/"
+        "novelty screen run before data enters a training corpus), "
+        "hits logged per epoch, then the batch's distinct digests "
+        "append as an immutable prefix-partitioned segment.  "
+        "Append-only, no decision feedback (unlike the q265 gate), so "
+        "the oracle is ONE strict ep-inequality EXISTS join from raw "
+        "text, not an unrolled chain.  Declared output: per-epoch "
+        "docs, gram count, flagged docs, hits, hit_bps.  All "
+        "exchanges carry digests/ints, never text; per-batch segments "
+        "fold with the q267 manifest machinery when counts matter.",
+    tags=("llm", "dedup", "governance", "text", "streaming"),
+)
+def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.sampling import hash_bps
+    from tidb_gateway_spark.queries.pipeline_audit import _Q261_K
+
+    path = _q268_index(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    wl = d.select(
+        "doc_id",
+        F.when(t != "", F.split(t, " +"))
+        .otherwise(F.expr("CAST(array() AS array<string>)"))
+        .alias("wlist"),
+    )
+    ep_col = (hash_bps(F.col("doc_id"), "q262")
+              % _Q262_SPLITS).cast("int")
+    # gram COUNT is pure arithmetic — never evaluate the digests just
+    # to size them
+    ng = F.when(
+        F.size("wlist") >= _Q261_K,
+        F.size("wlist") - (_Q261_K - 1),
+    ).otherwise(F.lit(0))
+    totals = (
+        wl.select("doc_id", ng.alias("ng"))
+        .withColumn("ep", ep_col)
+        .groupBy("ep")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("ng").cast("bigint").alias("n_grams"),
+        )
+    )
+    hits = (
+        spark.read.schema("doc_id long, pos int, ep int")
+        .parquet(os.path.join(path, "hits"))
+        .groupBy("ep")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint")
+            .alias("docs_flagged"),
+            F.count("*").cast("bigint").alias("n_hits"),
+        )
+    )
+    return (
+        totals.join(hits, "ep", "left")
+        .select(
+            "ep", "n_docs", "n_grams",
+            F.coalesce("docs_flagged", F.lit(0)).cast("bigint")
+            .alias("docs_flagged"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint")
+            .alias("n_hits"),
+            F.when(F.col("n_grams") == 0, F.lit(0).cast("bigint"))
+            .otherwise(F.expr(
+                "CAST((COALESCE(n_hits, 0) * 10000) DIV n_grams "
+                "AS BIGINT)"))
+            .alias("hit_bps"),
+        )
+        .orderBy("ep")
+    )
+
+
+_REG["q268_streaming_substring_dup_on_arrival"] = _dc.replace(
+    _REG["q268_streaming_substring_dup_on_arrival"],
+    oracle=_q268_oracle())
