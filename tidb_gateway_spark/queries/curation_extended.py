@@ -180,39 +180,48 @@ _Q203_ORACLE = (
     _Q203_ORACLE,
     doc="Top-K vocabulary build + per-language out-of-vocabulary "
         "audit — the tokenizer-coverage check run before committing a "
-        "vocab: (1) global token counts (map-side combined, "
-        "vocabulary-sized exchange), top-K by (count, token) rank; "
-        "(2) the K-word vocabulary broadcast-joins back onto the "
-        "token stream and the per-lang OOV share aggregates in one "
-        "more partial-combined pass (integer bps).  At 100 TB the "
-        "vocab is dimension-sized state over a corpus-sized stream — "
-        "the same broadcast-model shape as q183's classifier.",
+        "vocab.  ONE corpus tokenize pass (r12 — the r6 form "
+        "evaluated the token explode twice, once for the vocab count "
+        "and once for the OOV join, while DuckDB materializes its tok "
+        "CTE once): the explode partial-aggregates into (lang, word) "
+        "counts — a VOCABULARY × |langs| sized exchange — and that "
+        "small persisted frame serves both the global top-K rank "
+        "(single-partition window, dimension-sized by construction, "
+        "like q104) and the per-lang OOV aggregate (weighted by the "
+        "counts, so no second corpus pass exists).  At 100 TB the "
+        "corpus stream is touched exactly once; everything after the "
+        "first exchange is dimension-sized state.",
     tags=("llm", "text", "curation"),
 )
 def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.cache import tracked_persist
+
     d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     t = F.trim(F.col("text"))
     tok = d.filter(t != "").select(
         "lang",
         F.explode(text_ops.nonempty_words(F.col("text"))).alias("w"),
     )
+    # the ONLY corpus-scale stage: map-side combined into (lang, w)
+    # counts; persisted because both the vocab rank and the OOV
+    # aggregate read it (recompute would re-tokenize the corpus)
+    lw = tracked_persist(
+        tok.groupBy("lang", "w").agg(F.count("*").alias("c")))
     rk = Window.orderBy(F.desc("cnt"), "w")
-    # a global rank over VOCABULARY-sized rows (distinct tokens), not
-    # corpus rows — the single-partition window is dimension-sized by
-    # construction, like q104's top-ngram rank
     vocab = (
-        tok.groupBy("w").agg(F.count("*").alias("cnt"))
+        lw.groupBy("w").agg(F.sum("c").alias("cnt"))
         .withColumn("rk", F.row_number().over(rk))
         .filter(F.col("rk") <= _Q203_TOPK)
         .select("w", F.lit(True).alias("in_vocab"))
     )
-    joined = tok.join(F.broadcast(vocab), "w", "left")
+    joined = lw.join(F.broadcast(vocab), "w", "left")
     oov = F.col("in_vocab").isNull()
     return (
         joined.groupBy("lang")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum(oov.cast("long")).alias("oov_tokens"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(oov, F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint").alias("oov_tokens"),
         )
         .select(
             "lang", "n_tokens", "oov_tokens",
