@@ -200,3 +200,18 @@ def test_q268_hits_subset_of_q261_dups_and_epoch0_clean(spark, sf_dir):
     for i, ep in enumerate(meta["epochs_seen"]):
         assert rep[ep]["n_grams"] == meta["n_grams"][i]
         assert rep[ep]["n_hits"] == meta["n_hits"][i]
+
+
+def test_q268_exchanges_carry_digests_only(spark, sf_dir):
+    """The declared q268 report's hash exchanges must carry digests
+    and ints, never text or token arrays (the index/hits reads plus
+    the per-epoch totals aggregate)."""
+    from tidb_gateway_spark.plans import inspect as _inspect
+
+    df = REGISTRY["q268_streaming_substring_dup_on_arrival"].spark(
+        spark, sf_dir)
+    text = _inspect.explain_formatted(df)
+    for line in text.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line and "wlist#" not in line, line
+    assert "BatchEvalPython" not in text and "PythonUDF" not in text
