@@ -30,6 +30,11 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHANGED_FIRST = (
     # Tier 0 — round 12 changes, riskiest first.  All entries pass the
     # in-repo driver-faithful oracle diff at sf0.01 before queueing.
+    "q269_pq_adc_recall",          # NEW r12: product-quantization ADC
+                                   # recall@1/@10 eval — the
+                                   # compression member of the ANN
+                                   # family (integer-exact ADC sums,
+                                   # one Arrow corpus pass)
     "q268_streaming_substring_dup_on_arrival",  # NEW r12: q261's
                                    # semantics at ingest — gram-digest
                                    # index + on-arrival cross-epoch

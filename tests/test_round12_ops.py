@@ -215,3 +215,51 @@ def test_q268_exchanges_carry_digests_only(spark, sf_dir):
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line and "wlist#" not in line, line
     assert "BatchEvalPython" not in text and "PythonUDF" not in text
+
+
+# ---------------------------------------------------------------- q269
+def test_q269_pq_invariants(spark, sf_dir):
+    """PQ-ADC recall eval: recall@10 ⊇ recall@1 (the @1 winner is rank
+    1 of the same shortlist), counts bounded by the probe set, and the
+    ADC sum is strictly positive (quantized vectors are distinct on
+    the fixture, so no probe's shortlist winner has distance 0)."""
+    row = REGISTRY["q269_pq_adc_recall"].spark(spark, sf_dir).collect()[0]
+    assert row["n_probes"] == 10
+    assert 0 <= row["hits"] <= row["hits_at10"] <= row["n_probes"]
+    assert row["recall_bps"] == row["hits"] * 1000
+    assert row["recall10_bps"] == row["hits_at10"] * 1000
+    assert row["sum_adc_d2"] > 0
+
+
+def test_q269_partials_bounded_per_batch(spark, sf_dir):
+    """The kernel's map-side reduction: each Arrow batch emits at most
+    1 exact + 10 ADC rows per probe, so the single exchange carries
+    O(batches × probes) rows — never corpus-sized.  Verified by
+    running the partial stage directly over one batch."""
+    import pandas as pd
+
+    from tidb_gateway_spark.catalog import load_table
+    from tidb_gateway_spark.operators.similarity import pq_adc_eval
+    from tidb_gateway_spark.queries.ann_compression import (
+        _Q269_K,
+        _Q269_PROBES,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = (e.filter((e.vec_id < _Q269_K)
+                     | ((e.vec_id >= _Q269_PROBES[0])
+                        & (e.vec_id < _Q269_PROBES[1])))
+            .select("vec_id", "embedding").collect())
+    by_id = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+             for r in rows}
+    codebook = [by_id[k] for k in range(_Q269_K)]
+    probes = [(q, by_id[q])
+              for q in range(_Q269_PROBES[0], _Q269_PROBES[1])]
+    out = pq_adc_eval(e.coalesce(1), probes, codebook)
+    # with ONE input partition the partial stage yields ≤ 11 rows per
+    # probe total; the joined per-probe result must be exactly 10 rows
+    pdf = out.toPandas()
+    assert len(pdf) == 10
+    assert set(pdf.columns) == {
+        "qid", "exact_nn", "pq_nn", "adc_d2", "hit10"}
+    assert (pdf["adc_d2"] >= 0).all()

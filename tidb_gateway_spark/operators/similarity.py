@@ -900,3 +900,137 @@ def semantic_dedup_report(assigned: DataFrame, tau_bps: int = 3500,
 
     return assigned.groupBy("cell").applyInPandas(
         cell_report, schema="cell long, n_vecs long, n_pairs long, n_dropped long")
+
+
+# ------------------------------------------------ Product quantization
+# PQ (Jégou/Douze/Schmid 2011, "Product Quantization for Nearest
+# Neighbor Search"): split each D-dim vector into M subvectors, encode
+# every subvector as the id of its nearest codeword in a per-subspace
+# codebook, and answer queries with the Asymmetric Distance Computation
+# (ADC) — a per-query (M × K) lookup table of subspace distances summed
+# over the stored codes.  The index stores M small ints per vector
+# (here 8 codes for a 64-dim vector = 64× smaller than float32), which
+# is what makes billion-scale ANN shippable.
+#
+# All arithmetic is integer-quantized q_i = floor(scale · double(x_i))
+# with scale a POWER OF TWO, so the float→int step is exact in both
+# engines (multiplying a float32 by 256 is lossless; floor is defined
+# identically in numpy / Spark / DuckDB) and every squared distance /
+# ADC sum is an exact int64 an external SQL oracle reproduces
+# bit-for-bit regardless of summation order.
+
+def pq_adc_eval(corpus: DataFrame,
+                probes: list[tuple[int, list[float]]],
+                codebook: list[list[float]],
+                n_sub: int = 8,
+                scale: int = 256,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Per-probe exact-L2 top-1 neighbor AND PQ-ADC top-1 neighbor in
+    ONE corpus pass — the recall evaluation run before trusting a PQ
+    index (q208's shape for the compression member of the ANN family).
+
+    ``codebook``: K full-width vectors (metadata-sized, collected
+    driver-side like the IVF centroids); codeword k of subspace m is
+    ``codebook[k][m*d : (m+1)*d]`` — one shared codeword table sliced
+    per subspace, the deterministic analogue of per-subspace k-means
+    seeds (matches q94/q208's seed-vector centroid convention).
+
+    Same sanctioned-Python shape as :func:`cosine_nn_arrow`: probes,
+    codebook, and the per-probe ADC lookup tables broadcast in the
+    task closure; each Arrow batch computes integer codes + both
+    distance sides vectorized and emits one partial-argmin row per
+    probe per side, so the shuffle carries O(batches × probes) rows at
+    any corpus size.  Ties break toward the lowest neighbor id.
+
+    Returns one row per probe:
+    (qid, exact_nn, pq_nn, adc_d2, hit10) with adc_d2 the winning ADC
+    distance (exact int64 — certifies the lookup-table arithmetic, not
+    just the argmin) and hit10 whether the exact neighbor appears in
+    the ADC top-10 (recall@10 — the metric PQ deployments actually
+    report, since a 16-codeword ADC argmin is a shortlist generator,
+    not a final ranking).
+    """
+    import numpy as np
+
+    K = len(codebook)
+    D = len(codebook[0])
+    d = D // n_sub
+    assert n_sub * d == D, (n_sub, D)
+
+    def _q(mat) -> "np.ndarray":
+        return np.floor(
+            np.asarray(mat, dtype=np.float64) * scale).astype(np.int64)
+
+    CB = _q([c for c in codebook])                    # K × D
+    QP = _q([v for _, v in probes])                   # P × D
+    qids = [int(q) for q, _ in probes]
+    P = len(qids)
+    # per-probe ADC lookup tables: LT[p, m, k] = ||q_sub - cb_k_sub||²
+    LT = np.empty((P, n_sub, K), dtype=np.int64)
+    for m in range(n_sub):
+        sl = slice(m * d, (m + 1) * d)
+        diff = QP[:, None, sl] - CB[None, :, sl]      # P × K × d
+        LT[:, m, :] = (diff * diff).sum(axis=-1)
+    SENT = np.iinfo(np.int64).max
+
+    def partial(batches):
+        import pandas as pd
+
+        marange = np.arange(n_sub)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _q(np.vstack(pdf[vec_col].to_numpy()))  # B × D
+            ids = pdf[id_col].to_numpy()
+            B = len(ids)
+            # PQ encode: codes[b, m] = argmin_k d²(sub, codeword) —
+            # np.argmin takes the FIRST minimum, i.e. ties break
+            # k-ascending, matching ROW_NUMBER (d2, k)
+            codes = np.empty((B, n_sub), dtype=np.int64)
+            for m in range(n_sub):
+                sl = slice(m * d, (m + 1) * d)
+                diff = X[:, None, sl] - CB[None, :, sl]  # B × K × d
+                codes[:, m] = (diff * diff).sum(axis=-1).argmin(axis=1)
+            rows = []
+            for j, qid in enumerate(qids):
+                ex = ((X - QP[j]) ** 2).sum(axis=1)      # B exact d²
+                ex[ids == qid] = SENT                    # exclude self
+                mn = ex.min()
+                if mn != SENT:
+                    rows.append((qid, "x", int(mn),
+                                 int(ids[ex == mn].min())))
+                adc = LT[j][marange[None, :], codes].sum(axis=1)
+                adc = adc.copy()
+                adc[ids == qid] = SENT
+                # batch-partial top-10 under the global (d2, nn)
+                # lexicographic order — every row that could survive
+                # the final rank-10 cut must be emitted
+                order = np.lexsort((ids, adc))[:10]
+                for i in order:
+                    if adc[i] == SENT:
+                        break
+                    rows.append((qid, "a", int(adc[i]), int(ids[i])))
+            yield pd.DataFrame(rows, columns=["qid", "s", "d2", "nn"])
+
+    from pyspark.sql.window import Window
+
+    partials = corpus.select(id_col, vec_col).mapInPandas(
+        partial, schema="qid long, s string, d2 long, nn long")
+    # O(batches × probes) rows from here down — driver-small plans
+    ex = (partials.filter(F.col("s") == "x")
+          .groupBy("qid")
+          .agg(F.min(F.struct(F.col("d2"), F.col("nn"))).alias("b"))
+          .select("qid", F.col("b.nn").alias("exact_nn")))
+    w = Window.partitionBy("qid").orderBy("d2", "nn")
+    top10 = (partials.filter(F.col("s") == "a")
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 10))
+    pq = top10.filter(F.col("rn") == 1).select(
+        "qid", F.col("nn").alias("pq_nn"), F.col("d2").alias("adc_d2"))
+    per = ex.join(pq, "qid")
+    hit10 = (top10.join(ex, "qid")
+             .groupBy("qid")
+             .agg(F.max((F.col("nn") == F.col("exact_nn")).cast("long"))
+                  .alias("hit10")))
+    return per.join(hit10, "qid")

@@ -33,5 +33,6 @@ try:  # extended ops (Q72+) — registered when present
     from tidb_gateway_spark.queries import streaming_retrieval  # noqa: F401
     from tidb_gateway_spark.queries import distribution_quality  # noqa: F401
     from tidb_gateway_spark.queries import drift_monitoring  # noqa: F401
+    from tidb_gateway_spark.queries import ann_compression  # noqa: F401
 except ImportError:
     pass

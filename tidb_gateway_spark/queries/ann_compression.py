@@ -1,0 +1,180 @@
+"""Q269+: vector-compression members of the ANN family — product
+quantization (PQ) recall evaluation.
+
+The reference relays vector workloads as opaque SQL to its backends
+(/root/reference/gateway/relay.go:47-66); this module declares the
+compression-side audit every PQ deployment runs: encode the corpus
+against per-subspace codebooks, answer probes via the ADC lookup-table
+sum, and score recall@1 against exact L2 over the same quantized
+vectors.
+
+Scale design notes (100 TB):
+
+* The codebook (K full-width vectors) and the probe set are
+  metadata-sized driver collects — the same sanctioned class as the
+  IVF centroids (q94/q208) and rank boundaries.  The per-probe ADC
+  lookup tables (P × M × K ints, a few KB) broadcast inside the Arrow
+  task closure.
+* The corpus is scanned ONCE: each Arrow batch computes integer PQ
+  codes + both distance sides vectorized (the sanctioned dense-linear-
+  algebra Python stage, q75/q208's shape) and emits ≤ 2·|probes|
+  partial-argmin rows, so the one exchange carries O(batches × probes)
+  rows at any corpus size — never codes, never vectors.
+* All arithmetic is integer (floor(256·x) quantization; 256 is a power
+  of two so the float32→int step is lossless in every engine), which is
+  what lets a SQL oracle reproduce ADC sums bit-for-bit — float
+  summation order would make the argmin engine-dependent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tidb_gateway_spark.catalog import load_table
+from tidb_gateway_spark.queries.registry import register
+
+# ---------------------------------------------------------------- Q269
+_Q269_K = 16          # codewords per subspace (codebook = vec_id < 16)
+_Q269_M = 8           # subspaces over 64 dims -> 8-dim subvectors
+_Q269_DSUB = 8
+_Q269_SCALE = 256     # power of two: float32 * 256 is exact
+_Q269_PROBES = (20, 30)
+
+# metadata cache: (sf_dir, mtime) -> (probes, codebook) — keyed on data
+# only, never on the session (id(spark) can be reused after GC; r7
+# ADVICE precedent from llm_extended._probe_cache)
+_meta_cache: dict = {}
+
+
+def _q269_oracle() -> str:
+    lo, hi = _Q269_PROBES
+    d = _Q269_DSUB
+    # quantized DOUBLE[] (integer-valued; exact — see module doc)
+    qv = ("list_transform(CAST(embedding AS DOUBLE[]), "
+          f"x -> floor(x * {_Q269_SCALE}))")
+    # squared L2 between two integer-valued DOUBLE lists via three dot
+    # products — exact (all terms < 2^53)
+    def d2(a: str, b: str) -> str:
+        return (f"(list_dot_product({a}, {a}) "
+                f"- 2 * list_dot_product({a}, {b}) "
+                f"+ list_dot_product({b}, {b}))")
+
+    return (
+        f"WITH v AS (SELECT vec_id, {qv} AS e FROM embeddings), "
+        f"ms AS (SELECT CAST(unnest(range({_Q269_M})) AS INT) AS m), "
+        # per-(vector, subspace) subvector slices
+        "vsub AS (SELECT vec_id, m, "
+        f"e[m * {d} + 1 : m * {d} + {d}] AS se FROM v CROSS JOIN ms), "
+        f"csub AS (SELECT m, vec_id AS k, se AS ce FROM vsub "
+        f"WHERE vec_id < {_Q269_K}), "
+        # PQ encode: nearest codeword per subspace, ties k-ascending
+        "cd AS (SELECT s.vec_id, s.m, c.k, "
+        + d2("s.se", "c.ce") + " AS d2 "
+        "FROM vsub s JOIN csub c USING (m)), "
+        "codes AS (SELECT vec_id, m, k FROM ("
+        "SELECT vec_id, m, k, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM cd) "
+        "WHERE rn = 1), "
+        f"p AS (SELECT vec_id AS qid, e AS qe FROM v "
+        f"WHERE vec_id >= {lo} AND vec_id < {hi}), "
+        "psub AS (SELECT qid, m, "
+        f"qe[m * {d} + 1 : m * {d} + {d}] AS se FROM p CROSS JOIN ms), "
+        # per-probe ADC lookup table over (subspace, codeword)
+        "lt AS (SELECT s.qid, c.m, c.k, "
+        + d2("s.se", "c.ce") + " AS d2 "
+        "FROM psub s JOIN csub c USING (m)), "
+        "adc AS (SELECT lt.qid, codes.vec_id, SUM(lt.d2) AS adc "
+        "FROM codes JOIN lt ON lt.m = codes.m AND lt.k = codes.k "
+        "GROUP BY 1, 2), "
+        "pqtop AS (SELECT qid, vec_id AS nn, adc, rn FROM ("
+        "SELECT qid, vec_id, adc, ROW_NUMBER() OVER ("
+        "PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM adc "
+        "WHERE vec_id <> qid) WHERE rn <= 10), "
+        "pq AS (SELECT qid, nn, adc FROM pqtop WHERE rn = 1), "
+        "exact AS (SELECT qid, vec_id AS nn FROM ("
+        "SELECT p.qid, x.vec_id, ROW_NUMBER() OVER ("
+        "PARTITION BY p.qid ORDER BY " + d2("x.e", "p.qe") + ", x.vec_id"
+        ") AS rn FROM v x CROSS JOIN p WHERE x.vec_id <> p.qid) "
+        "WHERE rn = 1), "
+        "h10 AS (SELECT e.qid, MAX(CASE WHEN t.nn = e.nn THEN 1 "
+        "ELSE 0 END) AS hit10 FROM exact e "
+        "JOIN pqtop t ON t.qid = e.qid GROUP BY 1) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_probes, "
+        "CAST(SUM(CASE WHEN e.nn = q.nn THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS hits, "
+        "CAST(FLOOR(SUM(CASE WHEN e.nn = q.nn THEN 1 ELSE 0 END) "
+        "* 10000.0 / COUNT(*)) AS BIGINT) AS recall_bps, "
+        "CAST(SUM(h10.hit10) AS BIGINT) AS hits_at10, "
+        "CAST(FLOOR(SUM(h10.hit10) * 10000.0 / COUNT(*)) AS BIGINT) "
+        "AS recall10_bps, "
+        "CAST(SUM(q.adc) AS BIGINT) AS sum_adc_d2 "
+        "FROM exact e JOIN pq q USING (qid) JOIN h10 USING (qid)"
+    )
+
+
+@register(
+    "q269_pq_adc_recall",
+    _q269_oracle(),
+    doc="Product-quantization recall evaluation (Jégou et al. 2011) — "
+        "the compression member of the ANN family beside LSH buckets "
+        "(q76), IVF (q94), int8 (q95), and the IVF recall audit "
+        "(q208): the corpus is PQ-encoded against 16 codewords × 8 "
+        "subspaces (codebook = the vec_id<16 seed vectors, the "
+        "q94/q208 deterministic-centroid convention), 10 probes are "
+        "answered both EXACTLY (integer L2 argmin over the full "
+        "corpus) and via ADC lookup-table sums over the stored codes, "
+        "and recall@1, recall@10 (ADC is a shortlist generator — @10 "
+        "is the metric PQ deployments re-rank from), and the total "
+        "winning ADC distance are reported — the audit run before "
+        "shipping an index that stores 8 bytes/vector instead of 256. "
+        "ONE Arrow corpus pass "
+        "computes codes + both distance sides (batch-partial argmins, "
+        "shuffle = O(batches × probes) rows); all arithmetic is "
+        "integer-quantized (floor(256·x) — a power-of-two scale makes "
+        "the quantization float-exact) so the SQL oracle reproduces "
+        "every ADC sum bit-for-bit.",
+    tags=("similarity", "llm", "ann", "governance"),
+)
+def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.similarity import pq_adc_eval
+
+    path = f"{sf_dir}/embeddings.parquet"
+    e = load_table(spark, sf_dir, "embeddings")
+
+    pk = ("q269", sf_dir, os.path.getmtime(path))
+    meta = _meta_cache.get(pk)
+    if meta is None:
+        rows = (
+            e.filter(
+                (F.col("vec_id") < _Q269_K)
+                | ((F.col("vec_id") >= _Q269_PROBES[0])
+                   & (F.col("vec_id") < _Q269_PROBES[1])))
+            .select("vec_id", "embedding").collect()
+        )  # sanctioned collect: 16 codebook + 10 probe vectors
+        by_id = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+                 for r in rows}
+        codebook = [by_id[k] for k in range(_Q269_K)]
+        probes = [(q, by_id[q])
+                  for q in range(_Q269_PROBES[0], _Q269_PROBES[1])]
+        meta = (probes, codebook)
+        _meta_cache[pk] = meta
+    probes, codebook = meta
+
+    per = pq_adc_eval(
+        e, probes, codebook,
+        n_sub=_Q269_M, scale=_Q269_SCALE,
+    )
+    hit = (F.col("exact_nn") == F.col("pq_nn")).cast("long")
+    return per.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(hit).alias("hits"),
+        F.floor(F.sum(hit) * 10000.0 / F.count("*"))
+        .cast("bigint").alias("recall_bps"),
+        F.sum("hit10").cast("bigint").alias("hits_at10"),
+        F.floor(F.sum("hit10") * 10000.0 / F.count("*"))
+        .cast("bigint").alias("recall10_bps"),
+        F.sum("adc_d2").cast("bigint").alias("sum_adc_d2"),
+    )
