@@ -30,6 +30,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHANGED_FIRST = (
     # Tier 0 — round 12 changes, riskiest first.  All entries pass the
     # in-repo driver-faithful oracle diff at sf0.01 before queueing.
+    "q270_decontamination_apply",  # NEW r12: GPT-3 any-13-gram
+                                   # removal rule — the decontamination
+                                   # family's apply member (q103's
+                                   # hash-only exchange discipline)
     "q269_pq_adc_recall",          # NEW r12: product-quantization ADC
                                    # recall@1/@10 eval — the
                                    # compression member of the ANN

@@ -263,3 +263,31 @@ def test_q269_partials_bounded_per_batch(spark, sf_dir):
     assert set(pdf.columns) == {
         "qid", "exact_nn", "pq_nn", "adc_d2", "hit10"}
     assert (pdf["adc_d2"] >= 0).all()
+
+
+# ---------------------------------------------------------------- q270
+def test_q270_removes_contaminated_doc(spark, tmp_path):
+    """Synthetic contamination: a corpus doc embedding a benchmark
+    doc's 13-token run is removed; a clean doc survives.  Pins the
+    GPT-3 any-13-gram rule end-to-end (flag join + token accounting),
+    which the driver fixture exercises only sparsely (1 removal at
+    sf0.01 — real decontamination is a tail event)."""
+    bench_text = " ".join(f"b{i}" for i in range(20))
+    dirty = "x y z " + " ".join(f"b{i}" for i in range(13)) + " tail"
+    clean = " ".join(f"c{i}" for i in range(30))
+    rows = [(i, bench_text, "en", "bench", 0) for i in range(10)]
+    rows += [(10, dirty, "en", "src", 0), (11, clean, "en", "src", 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in REGISTRY[
+        "q270_decontamination_apply"].spark(
+        spark, str(tmp_path)).collect()}
+    src = out["src"]
+    assert src["n_docs"] == 2
+    assert src["n_removed"] == 1
+    assert src["tok_before"] == 17 + 30   # dirty(17 tokens) + clean(30)
+    assert src["tok_after"] == 30          # dirty removed whole-doc
+    assert src["removed_bps"] == (17 * 10000) // 47

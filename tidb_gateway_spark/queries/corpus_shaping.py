@@ -1234,3 +1234,98 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------- Q270
+_Q270_ORACLE = (
+    f"WITH {_DDB_WL}, {_DDB_G13}, "
+    "gh AS (SELECT doc_id, substr(md5(w), 1, 16) AS gh FROM grams), "
+    f"bench AS (SELECT DISTINCT gh FROM gh WHERE doc_id < {_BENCH_MAX_ID}), "
+    f"corpus AS (SELECT doc_id, gh FROM gh WHERE doc_id >= {_BENCH_MAX_ID}), "
+    # GPT-3 rule: ANY colliding 13-gram removes the document
+    "flagged AS (SELECT DISTINCT c.doc_id FROM corpus c "
+    "JOIN bench b USING (gh)), "
+    "tok AS (SELECT d.doc_id, d.source, "
+    "CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) "
+    "AS BIGINT) AS nt FROM documents d "
+    f"WHERE d.doc_id >= {_BENCH_MAX_ID}) "
+    "SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_removed, "
+    "CAST(SUM(t.nt) AS BIGINT) AS tok_before, "
+    "CAST(SUM(CASE WHEN f.doc_id IS NULL THEN t.nt ELSE 0 END) "
+    "AS BIGINT) AS tok_after, "
+    "CASE WHEN SUM(t.nt) = 0 THEN 0 ELSE CAST(("
+    "SUM(CASE WHEN f.doc_id IS NOT NULL THEN t.nt ELSE 0 END) * 10000"
+    ") // SUM(t.nt) AS BIGINT) END AS removed_bps "
+    "FROM tok t LEFT JOIN flagged f USING (doc_id) "
+    "GROUP BY 1 ORDER BY 1"
+)
+
+
+@register(
+    "q270_decontamination_apply",
+    _Q270_ORACLE,
+    doc="Eval-set decontamination APPLY — the transformation q91/q103 "
+        "audit (the GPT-3 appendix-C rule: remove every training "
+        "document sharing ANY 13-gram with the benchmark set), closing "
+        "the decontamination family's operational loop the way q264 "
+        "closed q261's: per-source documents removed, tokens "
+        "before/after, and removed_bps.  Same exchange discipline as "
+        "q103 — the ONE corpus-scale shuffle carries (doc_id, 16-hex "
+        "gram hash) rows (never gram text), the benchmark side is "
+        "broadcast into the semi-join with runtime bloom prefiltering, "
+        "and the flagged-doc set (contamination-sized, not corpus-"
+        "sized) joins back to a single stats scan whose token counts "
+        "are row-local arithmetic.  At 100 TB: flagged docs are a tiny "
+        "fraction of the corpus, so the join-back broadcasts; if "
+        "contamination were ever corpus-scale the same plan degrades "
+        "to a shuffled left join with no new exchange shape.",
+    tags=("dedup", "llm", "text", "governance"),
+)
+def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        dedup.doc_shingles(d, n=_NGRAM_N, distinct=False)
+        .select("doc_id", F.substring(F.md5("w"), 1, 16).alias("gh"))
+        .distinct()
+    )
+    bench = (grams.filter(F.col("doc_id") < _BENCH_MAX_ID)
+             .select("gh").distinct())
+    corpus = grams.filter(F.col("doc_id") >= _BENCH_MAX_ID)
+    flagged = (
+        corpus.join(F.broadcast(bench), "gh", "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("rm", F.lit(1))
+    )
+    t = F.trim(F.col("text"))
+    tok = (
+        d.filter(F.col("doc_id") >= _BENCH_MAX_ID)
+        .select(
+            "doc_id", "source",
+            F.when(t != "", F.size(F.split(t, " +")))
+            .otherwise(F.lit(0)).cast("bigint").alias("nt"),
+        )
+    )
+    j = tok.join(flagged, "doc_id", "left")
+    removed = F.col("rm").isNotNull()
+    tok_before = F.sum("nt")
+    tok_removed = F.sum(F.when(removed, F.col("nt")).otherwise(F.lit(0)))
+    agg = (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(removed.cast("long")).cast("bigint").alias("n_removed"),
+            tok_before.cast("bigint").alias("tok_before"),
+            (tok_before - tok_removed).cast("bigint").alias("tok_after"),
+        )
+    )
+    # integer DIV, never double division + cast: float rounding could
+    # drift one bps off the oracle's floor division
+    return agg.select(
+        "source", "n_docs", "n_removed", "tok_before", "tok_after",
+        F.when(F.col("tok_before") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr(
+            "CAST(((tok_before - tok_after) * 10000) DIV tok_before "
+            "AS BIGINT)")).alias("removed_bps"),
+    ).orderBy("source")
