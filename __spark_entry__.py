@@ -60,9 +60,6 @@ _CHANGED_FIRST = (
     "q261_exact_substring_dedup",  # r12: hot-gram skew guard (sampled
                                    # gh diagnostic gating run-compressed
                                    # detection; output pinned unchanged)
-    "q265_streaming_dedup_gate",   # r12: O(1) has-index check (the
-                                   # per-batch os.walk of the admitted
-                                   # dir is gone — directive 8)
     "q203_vocab_oov_rate",         # r12: ONE corpus tokenize pass —
                                    # (lang, w) counts serve both the
                                    # vocab rank and the OOV aggregate
@@ -98,6 +95,13 @@ _STALE_CERT = (
     "q173_deterministic_mode", "q174_adoption_curve",
     "q175_null_safe_join", "q176_multiset_set_ops",
     "q177_topk_with_ties",
+    # q265's r12 change (O(1) has-index check — directive 8) is a
+    # BUILD-PATH-only edit: the declared output is pinned bit-identical
+    # to the r11-certified decisions by q267's test and re-proved by
+    # the in-repo oracle diff at HEAD, so its cert refresh yields to
+    # the r6 cohort (7 changed + 43 r6 = the exact 50-slot window) and
+    # lands first in r13
+    "q265_streaming_dedup_gate",
     # r7 cohort head (oldest-first by qid; the rest of r7 continues in
     # the r13 rotation from where this window runs out)
     "q72_minhash_lsh_candidates", "q73_simhash_clusters",

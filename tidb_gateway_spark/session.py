@@ -51,6 +51,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # answer that AQE's runtime-only view cannot give.
     "spark.sql.cbo.enabled": "true",
     "spark.sql.cbo.joinReorder.enabled": "true",
+    # Broadcast-build timeout: the 300 s default assumes an idle
+    # cluster; on a contended host (or a busy production cluster) a
+    # broadcast build legitimately queues behind other stages and a
+    # timeout turns contention into a spurious query failure.  20 min
+    # matches the driver-side patience of the rest of the stack.
+    "spark.sql.broadcastTimeout": "1200",
 }
 
 
