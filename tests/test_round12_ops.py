@@ -291,3 +291,13 @@ def test_q270_removes_contaminated_doc(spark, tmp_path):
     assert src["tok_before"] == 17 + 30   # dirty(17 tokens) + clean(30)
     assert src["tok_after"] == 30          # dirty removed whole-doc
     assert src["removed_bps"] == (17 * 10000) // 47
+
+
+def test_q269_partials_persisted_single_kernel_pass(spark, sf_dir):
+    """The per-probe partials frame feeds three consumers (exact
+    argmin, ADC top-10, recall@10 membership); without the persist the
+    corpus Arrow kernel would re-run per consumer.  InMemoryTableScan
+    in the executed plan pins the single-pass shape."""
+    df = REGISTRY["q269_pq_adc_recall"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3

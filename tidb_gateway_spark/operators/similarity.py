@@ -1015,8 +1015,14 @@ def pq_adc_eval(corpus: DataFrame,
 
     from pyspark.sql.window import Window
 
-    partials = corpus.select(id_col, vec_col).mapInPandas(
-        partial, schema="qid long, s string, d2 long, nn long")
+    from tidb_gateway_spark.operators.cache import tracked_persist
+
+    # persist the partials: three consumers (exact argmin, ADC top-10,
+    # recall@10 membership) would otherwise re-run the corpus Arrow
+    # kernel three times — the frame is O(batches × probes) rows, so
+    # the persist is metadata-sized while the saved work is corpus-sized
+    partials = tracked_persist(corpus.select(id_col, vec_col).mapInPandas(
+        partial, schema="qid long, s string, d2 long, nn long"))
     # O(batches × probes) rows from here down — driver-small plans
     ex = (partials.filter(F.col("s") == "x")
           .groupBy("qid")
