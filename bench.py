@@ -49,6 +49,31 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 LONG_RUN_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_LONGRUN_SEC", "60"))
 
 
+_PROBE_BUF = None
+
+
+def contention_probe() -> float:
+    """Fixed-work host-contention sentinel (~40 ms on an idle host).
+
+    Runs a single-threaded numpy pass over a preallocated 4 M-element
+    float64 buffer — CPU + memory-bandwidth bound, no BLAS thread pool,
+    no allocation after first use — so its wall time moves ONLY with
+    host load.  Recorded before each query's timed runs, the per-query
+    sentinel series lets a sweep artifact self-diagnose contention
+    windows (the BENCH_r12 q150/q151/q152 anomaly was indistinguishable
+    from a code regression without one — VERDICT r12 directive 1).
+    """
+    global _PROBE_BUF
+    import numpy as np
+
+    if _PROBE_BUF is None:
+        _PROBE_BUF = np.arange(4_000_000, dtype=np.float64) * 1e-6
+    t0 = time.perf_counter()
+    float(np.sqrt(_PROBE_BUF).sum())
+    float(np.sqrt(_PROBE_BUF + 1.0).sum())
+    return time.perf_counter() - t0
+
+
 def sf_label(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -106,13 +131,16 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     warm_queries: dict[str, float] = {}
+    sentinel: dict[str, float] = {}
     long_cold: list[str] = []
     failed: dict[str, str] = {}
+    contention_probe()  # first call pays the buffer allocation
     for qid in sorted(REGISTRY):
         spec = REGISTRY[qid]
         if clear_cache:
             opcache.clear_tracked()
             spark.catalog.clearCache()
+        sentinel[qid] = round(contention_probe(), 4)
         best = float("inf")
         n_runs = 0
         try:
@@ -146,6 +174,11 @@ def main() -> None:
     }
     if warm_queries:
         result["warm_queries"] = warm_queries
+    if sentinel:
+        vals = sorted(sentinel.values())
+        result["sentinel_queries"] = sentinel
+        result["sentinel_median"] = vals[len(vals) // 2]
+        result["sentinel_max"] = vals[-1]
 
     # DuckDB twin is DEFAULT-ON so every BENCH_rN is self-normalizing:
     # cross-round comparisons of engine-only absolutes across host
@@ -259,10 +292,12 @@ print(json.dumps({"best": best, "n_runs": n_runs}))
 
         con = _connect() if con_scope != "fresh" else None
         ddb: dict[str, float] = {}
+        ddb_sentinel: dict[str, float] = {}
         for qid in sorted(REGISTRY):
             spec = REGISTRY[qid]
             if not spec.oracle:
                 continue
+            ddb_sentinel[qid] = round(contention_probe(), 4)
             try:
                 if con_scope == "fresh":
                     best, n_runs = _run_oracle_subprocess(spec.oracle)
@@ -292,6 +327,7 @@ print(json.dumps({"best": best, "n_runs": n_runs}))
                 long_cold.append(f"{qid}:duckdb")
         result["duckdb_queries"] = ddb
         result["duckdb_total"] = round(sum(ddb.values()), 4)
+        result["duckdb_sentinel_queries"] = ddb_sentinel
 
     if long_cold:
         result["long_cold"] = sorted(long_cold)
@@ -342,6 +378,9 @@ print(json.dumps({"best": best, "n_runs": n_runs}))
         "n_queries": len(per_query),
         "detail_file": detail_path,
     }
+    if "sentinel_median" in result:
+        summary["sentinel_median"] = result["sentinel_median"]
+        summary["sentinel_max"] = result["sentinel_max"]
     if "duckdb_total" in result:
         summary["duckdb_total"] = result["duckdb_total"]
         # ratio-friendly headline pairs in the parse-safe final line

@@ -939,9 +939,10 @@ def pq_adc_eval(corpus: DataFrame,
     Same sanctioned-Python shape as :func:`cosine_nn_arrow`: probes,
     codebook, and the per-probe ADC lookup tables broadcast in the
     task closure; each Arrow batch computes integer codes + both
-    distance sides vectorized and emits one partial-argmin row per
-    probe per side, so the shuffle carries O(batches × probes) rows at
-    any corpus size.  Ties break toward the lowest neighbor id.
+    distance sides vectorized and emits ≤ (1 exact partial-argmin +
+    10 ADC batch-partial top-10) = 11 rows per probe, so the shuffle
+    carries O(batches × probes) rows at any corpus size.  Ties break
+    toward the lowest neighbor id.
 
     Returns one row per probe:
     (qid, exact_nn, pq_nn, adc_d2, hit10) with adc_d2 the winning ADC
@@ -1001,7 +1002,6 @@ def pq_adc_eval(corpus: DataFrame,
                     rows.append((qid, "x", int(mn),
                                  int(ids[ex == mn].min())))
                 adc = LT[j][marange[None, :], codes].sum(axis=1)
-                adc = adc.copy()
                 adc[ids == qid] = SENT
                 # batch-partial top-10 under the global (d2, nn)
                 # lexicographic order — every row that could survive

@@ -17,9 +17,10 @@ Scale design notes (100 TB):
   task closure.
 * The corpus is scanned ONCE: each Arrow batch computes integer PQ
   codes + both distance sides vectorized (the sanctioned dense-linear-
-  algebra Python stage, q75/q208's shape) and emits ≤ 2·|probes|
-  partial-argmin rows, so the one exchange carries O(batches × probes)
-  rows at any corpus size — never codes, never vectors.
+  algebra Python stage, q75/q208's shape) and emits ≤ (1 exact +
+  10 ADC-top-10) = 11·|probes| partial rows, so the one exchange
+  carries O(batches × probes) rows at any corpus size — never codes,
+  never vectors.
 * All arithmetic is integer (floor(256·x) quantization; 256 is a power
   of two so the float32→int step is lossless in every engine), which is
   what lets a SQL oracle reproduce ADC sums bit-for-bit — float
@@ -147,6 +148,10 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
     pk = ("q269", sf_dir, os.path.getmtime(path))
     meta = _meta_cache.get(pk)
     if meta is None:
+        # evict stale-mtime entries for the same sf_dir so fixture
+        # regeneration can't accumulate dead 26-vector payloads
+        for k in [k for k in _meta_cache if k[:2] == pk[:2]]:
+            del _meta_cache[k]
         rows = (
             e.filter(
                 (F.col("vec_id") < _Q269_K)
