@@ -129,6 +129,34 @@ def main() -> None:
     # protocol number.
     warm_col = os.environ.get("SPARK_GRAFT_BENCH_WARMCOL", "0") == "1"
 
+    # Settle gate: the probe revealed (r13 diagnosis) that this host has
+    # brief windows — right after JVM boot, a heavy query's toArrow(),
+    # or clearCache — where even a no-allocation numpy pass over a
+    # resident buffer runs 100-500x slower while fully on-CPU (thread
+    # CPU time ≈ wall, zero page faults; an external-process probe slows
+    # too, so it is host-level vCPU/bandwidth contention, not GC or the
+    # GIL).  The window dissipates within seconds.  Timed runs that
+    # start inside one record garbage (the BENCH_r12 q152 7.1x
+    # 'regression' was exactly this), so before each query we re-probe
+    # until the host is clean or the retry budget runs out; the FINAL
+    # probe is the recorded sentinel, so a high value means the query
+    # was measured contended despite the wait.
+    settle = os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "1") != "0"
+    settle_thresh = float(os.environ.get(
+        "SPARK_GRAFT_BENCH_SETTLE_THRESH", "0.15"))
+    settle_tries = int(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_TRIES", "6"))
+
+    def settled_probe() -> float:
+        t = contention_probe()
+        if not settle:
+            return t
+        for _ in range(settle_tries):
+            if t <= settle_thresh:
+                break
+            time.sleep(0.5)
+            t = contention_probe()
+        return t
+
     per_query: dict[str, float] = {}
     warm_queries: dict[str, float] = {}
     sentinel: dict[str, float] = {}
@@ -140,7 +168,7 @@ def main() -> None:
         if clear_cache:
             opcache.clear_tracked()
             spark.catalog.clearCache()
-        sentinel[qid] = round(contention_probe(), 4)
+        sentinel[qid] = round(settled_probe(), 4)
         best = float("inf")
         n_runs = 0
         try:
@@ -297,7 +325,7 @@ print(json.dumps({"best": best, "n_runs": n_runs}))
             spec = REGISTRY[qid]
             if not spec.oracle:
                 continue
-            ddb_sentinel[qid] = round(contention_probe(), 4)
+            ddb_sentinel[qid] = round(settled_probe(), 4)
             try:
                 if con_scope == "fresh":
                     best, n_runs = _run_oracle_subprocess(spec.oracle)
