@@ -28,88 +28,60 @@ def entry(spark: SparkSession) -> DataFrame:
 # is PRIORITY-ORDERED (tuple position, not qid) and more than ~50
 # entries means the tail defers to the next round by design.
 _CHANGED_FIRST = (
-    # Tier 0 — round 12 changes, riskiest first.  All entries pass the
+    # Tier 0 — round 13 changes, riskiest first.  All entries pass the
     # in-repo driver-faithful oracle diff at sf0.01 before queueing.
-    "q270_decontamination_apply",  # NEW r12: GPT-3 any-13-gram
-                                   # removal rule — the decontamination
-                                   # family's apply member (q103's
-                                   # hash-only exchange discipline)
-    "q269_pq_adc_recall",          # NEW r12: product-quantization ADC
-                                   # recall@1/@10 eval — the
-                                   # compression member of the ANN
-                                   # family (integer-exact ADC sums,
-                                   # one Arrow corpus pass)
-    "q268_streaming_substring_dup_on_arrival",  # NEW r12: q261's
-                                   # semantics at ingest — gram-digest
-                                   # index + on-arrival cross-epoch
-                                   # dup audit (4th streaming-index
-                                   # family member)
-    "q267_streaming_gate_lsm_fold",  # NEW r12: the gate composed with
-                                   # the q259/q260 manifest LSM fold —
-                                   # admitted band segments fold into
-                                   # base generations (VERDICT r11
-                                   # directive 2); decisions pinned
-                                   # bit-identical to q265
-    "q264_exact_substring_dedup_apply",  # r12: fused single token pass
-                                   # (covered tokens from spans,
-                                   # covered chars via broadcast span
-                                   # lists + slice-aggregate HOF; the
-                                   # corpus token explode and doc-keyed
-                                   # sweep window are gone — 1.87x ->
-                                   # 0.55x at sf10)
-    "q261_exact_substring_dedup",  # r12: hot-gram skew guard (sampled
-                                   # gh diagnostic gating run-compressed
-                                   # detection; output pinned unchanged)
-    "q203_vocab_oov_rate",         # r12: ONE corpus tokenize pass —
-                                   # (lang, w) counts serve both the
-                                   # vocab rank and the OOV aggregate
-                                   # (4.9 -> 1.35 s at sf10, 0.17x)
+    "q271_ivfadc_search",          # NEW r13: IVF cells + PQ-ADC codes
+                                   # composed (the Jégou IVFADC
+                                   # deployment shape — q94's
+                                   # partition-pruned cell scan with
+                                   # q269's integer-exact ADC ranking)
+    "q269_pq_adc_recall",          # r13: kernel touched (dead
+                                   # adc.copy() removed in
+                                   # pq_adc_eval's partial stage;
+                                   # output unchanged by construction
+                                   # — re-certified out of caution)
 )
 
-# CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6; r11 directive
-# 1: spend the r12 window emptying the 43-entry r6 cohort, then bite
-# into r7).  PRIORITY-ORDERED oldest-cert-first; the tail defers to
-# the next round by design.
+# CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6; r12 directive
+# 2: q265 leads the r13 window — its r12 change rode q267's pin — then
+# the complete 34-entry r7 cohort, then the oldest r8 entries fill the
+# 50-slot window).  PRIORITY-ORDERED oldest-cert-first; the tail defers
+# to the next round by design.
 _STALE_CERT = (
-    # r6 cohort — the 43 oldest certs in the registry (complete list;
-    # recomputed from CORRECTNESS_r01–r11 latest-green)
-    "q111_curriculum_quartiles", "q115_distribution_drift_psi",
-    "q116_full_data_recipe", "q117_recursive_cte_month_series",
-    "q118_percent_rank_cume_dist", "q119_lateral_topn_per_key",
-    "q120_range_interval_frame", "q121_salted_skew_join",
-    "q123_csv_source_roundtrip", "q124_jsonl_source_roundtrip",
-    "q125_string_agg_sorted", "q126_map_aggregate_functions",
-    "q128_orc_source_roundtrip", "q131_nth_value_lead_default",
-    "q132_bitwise_bool_aggs", "q138_skew_diagnostics",
-    "q145_ratio_to_report", "q146_grouping_id_rollup",
-    "q147_try_cast_dirty_parse", "q148_union_by_name_missing_cols",
-    "q153_batch_sessionization", "q154_rolling_zscore_anomaly",
-    "q155_k_anonymity_audit", "q156_soft_quality_sampling",
-    "q157_stratified_interleave", "q158_rag_chunking",
-    "q159_touch_attribution", "q160_dataset_card",
-    "q161_nested_struct_ops", "q162_explode_outer_empty_arrays",
-    "q163_string_parsing_family", "q164_keyset_pagination",
-    "q167_ab_test_zstat", "q168_gini_concentration",
-    "q169_weighted_reservoir", "q170_period_over_period",
-    "q171_gap_latency_report", "q172_geometric_harmonic_means",
-    "q173_deterministic_mode", "q174_adoption_curve",
-    "q175_null_safe_join", "q176_multiset_set_ops",
-    "q177_topk_with_ties",
-    # q265's r12 change (O(1) has-index check — directive 8) is a
-    # BUILD-PATH-only edit: the declared output is pinned bit-identical
-    # to the r11-certified decisions by q267's test and re-proved by
-    # the in-repo oracle diff at HEAD, so its cert refresh yields to
-    # the r6 cohort (7 changed + 43 r6 = the exact 50-slot window) and
-    # lands first in r13
+    # q265's r12 change (O(1) has-index check) was build-path-only and
+    # its cert refresh yielded its r12 slot to the r6 cohort; it leads
+    # the r13 window per VERDICT r12 directive 2.
     "q265_streaming_dedup_gate",
-    # r7 cohort head (oldest-first by qid; the rest of r7 continues in
-    # the r13 rotation from where this window runs out)
+    # r7 cohort — the complete 34-entry set of the oldest remaining
+    # certs (latest green = CORRECTNESS_r07; recomputed from
+    # CORRECTNESS_r01–r12 latest-green at r13 start)
     "q72_minhash_lsh_candidates", "q73_simhash_clusters",
     "q74_jaccard_verify", "q91_contamination_check",
     "q98_word_repetition_filter", "q101_dedup_clusters",
     "q103_ngram_decontamination", "q129_approx_distinct_bounds",
     "q130_canonical_doc_per_cluster", "q143_approx_percentile_bounds",
     "q178_referential_integrity_audit", "q179_cms_heavy_hitters",
+    "q180_merge_upsert_apply", "q181_equiwidth_histogram",
+    "q182_ewma_smoothing", "q184_benford_first_digit_audit",
+    "q186_bpe_merge_step", "q187_consecutive_dedup_compress",
+    "q188_mad_robust_outliers", "q189_time_weighted_average",
+    "q191_equidepth_binning", "q192_chisq_contingency",
+    "q193_zorder_locality", "q196_quantile_normalization",
+    "q197_cluster_aware_split", "q198_token_budget_mixing",
+    "q199_zorder_roundtrip", "q200_partitioned_pruning_roundtrip",
+    "q201_source_upsampling", "q202_domain_doc_cap",
+    "q206_schema_evolution_roundtrip", "q207_padding_waste_report",
+    "q212_minhash_calibration", "q213_neardup_provenance_matrix",
+    # r8 cohort head (oldest-first by qid) — 13 entries complete the
+    # 50-slot window (2 changed + 1 q265 + 34 r7 + 13 r8); the rest of
+    # r8 continues in the r14 rotation
+    "q01_parquet_scan_count", "q02_full_scan_project_all",
+    "q03_projection_arithmetic", "q04_filter_and_or",
+    "q05_filter_between_in", "q06_filter_like",
+    "q07_null_handling", "q114_simhash_multiprobe_pairs",
+    "q122_ttr_quality_battery", "q183_trigram_langid_confusion",
+    "q190_array_function_bank", "q205_bucketed_join_roundtrip",
+    "q211_semantic_dedup_cells",
 )
 
 

@@ -1492,3 +1492,55 @@ def test_explain_over_the_wire(gateway):
         await c.quit()
 
     run_with_gateway(gateway, scenario)
+
+
+def test_ctas_insert_select_roundtrip(gateway):
+    """VERDICT r12 directive 7: DDL already flows through spark.sql
+    with OK acks, but nothing e2e-proved a client can CREATE a table
+    from a query over the wire and read it back.  Full life cycle:
+    CTAS from an aggregate → OK ack, SELECT back (rows match the
+    source aggregate), INSERT ... SELECT appends (count doubles),
+    INSERT ... VALUES appends a literal row, DROP TABLE cleans up and
+    a subsequent SELECT maps to ER_NO_SUCH_TABLE — the engine-as-terminus
+    analog of the reference relaying DDL verbatim to its backend
+    (gateway.go:128-130)."""
+
+    async def scenario(gw):
+        c = MiniClient("127.0.0.1", gw.bound_port)
+        await c.connect("sf001.alice")
+        tbl = "e2e_ctas_scratch"
+        await c.query(f"DROP TABLE IF EXISTS {tbl}")
+        res = await c.query(
+            f"CREATE TABLE {tbl} USING PARQUET AS "
+            "SELECT o_orderpriority AS pri, COUNT(*) AS n FROM orders "
+            "GROUP BY o_orderpriority")
+        assert isinstance(res[0], dict) and res[0].get("ok") is True, res
+        cols, rows = (await c.query(
+            f"SELECT pri, n FROM {tbl} ORDER BY pri"))[0]
+        assert cols == ["pri", "n"] and len(rows) == 5
+        base = {r[0]: int(r[1]) for r in rows}
+        # cross-check against the live source through the same wire
+        _, src = (await c.query(
+            "SELECT o_orderpriority, COUNT(*) FROM orders "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"))[0]
+        assert base == {r[0]: int(r[1]) for r in src}
+        res = await c.query(
+            f"INSERT INTO {tbl} SELECT o_orderpriority, COUNT(*) "
+            "FROM orders GROUP BY o_orderpriority")
+        assert isinstance(res[0], dict) and res[0].get("ok") is True, res
+        (_, rows), = await c.query(f"SELECT COUNT(*) AS n FROM {tbl}")
+        assert int(rows[0][0]) == 10
+        res = await c.query(
+            f"INSERT INTO {tbl} VALUES ('9-SYNTHETIC', 42)")
+        assert isinstance(res[0], dict) and res[0].get("ok") is True, res
+        (_, rows), = await c.query(
+            f"SELECT n FROM {tbl} WHERE pri = '9-SYNTHETIC'")
+        assert [r[0] for r in rows] == ["42"]
+        res = await c.query(f"DROP TABLE {tbl}")
+        assert isinstance(res[0], dict) and res[0].get("ok") is True, res
+        res = await c.query(f"SELECT * FROM {tbl}")
+        # missing table maps to MySQL ER_NO_SUCH_TABLE (1146)
+        assert isinstance(res[0], dict) and res[0].get("error") == 1146, res
+        await c.quit()
+
+    run_with_gateway(gateway, scenario)

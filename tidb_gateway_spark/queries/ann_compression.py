@@ -183,3 +183,142 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("recall10_bps"),
         F.sum("adc_d2").cast("bigint").alias("sum_adc_d2"),
     )
+
+
+# ---------------------------------------------------------------- Q271
+_Q271_CELLS = 8       # coarse cells (centroids = vec_id < 8, q94 rule)
+_Q271_NPROBE = 2
+_Q271_TOPK = 3
+_Q271_PROBES = (40, 50)
+
+
+def _q271_oracle() -> str:
+    n_cells, K, m_sub, d, scale = (_Q271_CELLS, _Q269_K, _Q269_M,
+                                   _Q269_DSUB, _Q269_SCALE)
+    lo, hi = _Q271_PROBES
+    nprobe, topk = _Q271_NPROBE, _Q271_TOPK
+
+    def d2(a: str, b: str) -> str:
+        return (f"(list_dot_product({a},{a}) "
+                f"- 2*list_dot_product({a},{b}) "
+                f"+ list_dot_product({b},{b}))")
+
+    return (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fe, "
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> floor(x*{scale})) AS e FROM embeddings), "
+        f"cent AS (SELECT vec_id AS cid, fe AS cfe, e AS ce FROM v "
+        f"WHERE vec_id < {n_cells}), "
+        # coarse assignment: argmax float IP, ties -> lower cid (q94)
+        "asg AS (SELECT vec_id, cid AS cell FROM ("
+        "SELECT v.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY "
+        "v.vec_id ORDER BY list_dot_product(v.fe, c.cfe) DESC, c.cid) "
+        "AS rn FROM v CROSS JOIN cent c) WHERE rn = 1), "
+        # integer residuals vs the assigned centroid
+        "res AS (SELECT v.vec_id, a.cell, list_transform(range(64), "
+        "i -> v.e[CAST(i AS INT)+1] - c.ce[CAST(i AS INT)+1]) AS r "
+        "FROM v JOIN asg a ON a.vec_id = v.vec_id "
+        "JOIN cent c ON c.cid = a.cell), "
+        f"ms AS (SELECT CAST(unnest(range({m_sub})) AS INT) AS m), "
+        "rsub AS (SELECT vec_id, cell, m, "
+        f"r[m*{d}+1 : m*{d}+{d}] AS sr FROM res CROSS JOIN ms), "
+        # residual codebook: integer residuals of the next 16 vectors
+        f"cb AS (SELECT m, CAST(vec_id - {n_cells} AS INT) AS k, sr AS w "
+        f"FROM rsub WHERE vec_id >= {n_cells} "
+        f"AND vec_id < {n_cells} + {K}), "
+        "cd AS (SELECT s.vec_id, s.m, c.k, "
+        + d2("s.sr", "c.w") + " AS d2 FROM rsub s JOIN cb c USING (m)), "
+        "codes AS (SELECT vec_id, m, k FROM ("
+        "SELECT vec_id, m, k, ROW_NUMBER() OVER (PARTITION BY vec_id, m "
+        "ORDER BY d2, k) AS rn FROM cd) WHERE rn = 1), "
+        f"p AS (SELECT vec_id AS qid, fe AS qfe, e AS qe FROM v "
+        f"WHERE vec_id >= {lo} AND vec_id < {hi}), "
+        # nprobe best cells per probe (same float-IP rule)
+        "pcell AS (SELECT qid, cid FROM ("
+        "SELECT p.qid, c.cid, ROW_NUMBER() OVER (PARTITION BY p.qid "
+        "ORDER BY list_dot_product(p.qfe, c.cfe) DESC, c.cid) AS rn "
+        f"FROM p CROSS JOIN cent c) WHERE rn <= {nprobe}), "
+        "qres AS (SELECT p.qid, pc.cid, list_transform(range(64), "
+        "i -> p.qe[CAST(i AS INT)+1] - c.ce[CAST(i AS INT)+1]) AS qr "
+        "FROM p JOIN pcell pc ON pc.qid = p.qid "
+        "JOIN cent c ON c.cid = pc.cid), "
+        "lt AS (SELECT q.qid, q.cid, c.m, c.k, "
+        + d2(f"q.qr[c.m*{d}+1 : c.m*{d}+{d}]", "c.w")
+        + " AS d2 FROM qres q CROSS JOIN cb c), "
+        "adc AS (SELECT lt.qid, r.vec_id, CAST(SUM(lt.d2) AS BIGINT) "
+        "AS adc_d2 FROM res r "
+        "JOIN codes ON codes.vec_id = r.vec_id "
+        "JOIN lt ON lt.cid = r.cell AND lt.m = codes.m "
+        "AND lt.k = codes.k "
+        "WHERE r.vec_id <> lt.qid GROUP BY 1, 2) "
+        "SELECT qid, CAST(rn AS INT) AS rn, vec_id AS nn, adc_d2 FROM ("
+        "SELECT qid, vec_id, adc_d2, ROW_NUMBER() OVER ("
+        "PARTITION BY qid ORDER BY adc_d2, vec_id) AS rn FROM adc) "
+        f"WHERE rn <= {topk} ORDER BY qid, rn"
+    )
+
+
+@register(
+    "q271_ivfadc_search",
+    _q271_oracle(),
+    doc="IVFADC search (Jégou et al. 2011's deployed composition — "
+        "IVF coarse cells + product-quantized RESIDUALS): q94's "
+        "cell-partitioned index carries 8-byte PQ codes of the integer "
+        "residual (floor(256·v) − floor(256·centroid)) instead of raw "
+        "vectors; each of 10 probes selects its top-2 cells "
+        "client-side (q94's argmax-IP rule), inlines its per-cell ADC "
+        "lookup tables (8×16 ints) as literal arrays, and ranks "
+        "candidates with ONE `aggregate` higher-order function over "
+        "the stored codes — the whole serve plan is JVM codegen on a "
+        "partition-pruned scan of codes (~64× fewer bytes than "
+        "vectors), TakeOrderedAndProject per probe, no shuffle wider "
+        "than top-k rows, no Python.  The index build is one fused "
+        "Arrow pass (operators/similarity.py:with_ivfadc_codes_arrow)."
+        "  Residual codebook = the integer residuals of vec_id 8..23 "
+        "w.r.t. their own cells (deterministic, oracle-reproducible); "
+        "all ADC arithmetic is integer-exact so the oracle matches "
+        "bit-for-bit.  Completes the ANN family: LSH (q76), IVF "
+        "(q94), int8 (q95), recall audit (q208), PQ-ADC eval (q269).",
+    tags=("similarity", "llm", "ann"),
+)
+def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from tidb_gateway_spark.operators.similarity import (
+        ivfadc_index,
+        ivfadc_meta,
+        ivfadc_query,
+    )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    idx = ivfadc_index(spark, path, n_cells=_Q271_CELLS,
+                       n_codes=_Q269_K, n_sub=_Q269_M,
+                       scale=_Q269_SCALE)
+    pk = ("q271", sf_dir, os.path.getmtime(path))
+    meta = _meta_cache.get(pk)
+    if meta is None:
+        for k in [k for k in _meta_cache if k[:2] == pk[:2]]:
+            del _meta_cache[k]
+        cents, W = ivfadc_meta(spark, path, _Q271_CELLS, _Q269_K,
+                               _Q269_SCALE)
+        lo, hi = _Q271_PROBES
+        rows = (load_table(spark, sf_dir, "embeddings")
+                .filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+                .select("vec_id", "embedding").collect())
+        probes = sorted((int(r["vec_id"]), list(r["embedding"]))
+                        for r in rows)
+        meta = (cents, W, probes)
+        _meta_cache[pk] = meta
+    cents, W, probes = meta
+
+    per = None
+    for qid, qvec in probes:
+        one = ivfadc_query(idx, cents, W, qid, qvec, k=_Q271_TOPK,
+                           nprobe=_Q271_NPROBE, n_sub=_Q269_M,
+                           scale=_Q269_SCALE)
+        per = one if per is None else per.unionAll(one)
+    # |probes| × topk rows from here down — driver-small window
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_d2"), F.asc("nn"))
+    return (per.withColumn("rn", F.row_number().over(w).cast("int"))
+            .select("qid", "rn", "nn", "adc_d2")
+            .orderBy("qid", "rn"))
