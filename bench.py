@@ -160,6 +160,7 @@ def main() -> None:
     per_query: dict[str, float] = {}
     warm_queries: dict[str, float] = {}
     sentinel: dict[str, float] = {}
+    resettled: list[str] = []
     long_cold: list[str] = []
     failed: dict[str, str] = {}
     contention_probe()  # first call pays the buffer allocation
@@ -179,6 +180,20 @@ def main() -> None:
                 n_runs += 1
                 if best > LONG_RUN_SEC:
                     break  # best-of-1 for long runs (see LONG_RUN_SEC)
+            # Post-run guard: the pre-probe only proves the window was
+            # clean when the runs STARTED — the r13 sf3 sweep recorded
+            # 10-35x phantoms on three consecutive queries because a
+            # contention window opened mid-stretch and closed before
+            # the next pre-probe.  If the probe is dirty immediately
+            # after the timed runs, the readings are suspect: settle,
+            # re-run once, keep the min, and flag the qid.
+            if settle and best <= LONG_RUN_SEC \
+                    and contention_probe() > settle_thresh:
+                settled_probe()
+                t0 = time.perf_counter()
+                spec.spark(spark, SF_DIR).toArrow()
+                best = min(best, time.perf_counter() - t0)
+                resettled.append(qid)
             if warm_col and opcache._tracked:
                 t0 = time.perf_counter()
                 spec.spark(spark, SF_DIR).toArrow()
@@ -207,6 +222,8 @@ def main() -> None:
         result["sentinel_queries"] = sentinel
         result["sentinel_median"] = vals[len(vals) // 2]
         result["sentinel_max"] = vals[-1]
+    if resettled:
+        result["resettled"] = sorted(resettled)
 
     # DuckDB twin is DEFAULT-ON so every BENCH_rN is self-normalizing:
     # cross-round comparisons of engine-only absolutes across host
