@@ -40,6 +40,13 @@ _CHANGED_FIRST = (
                                    # pq_adc_eval's partial stage;
                                    # output unchanged by construction
                                    # — re-certified out of caution)
+    "q240_weighted_median",        # r13: grouped_weighted_percentiles
+                                   # reworked — raw rows bucket
+                                   # map-side, the (group, value)
+                                   # aggregate moved inside the target
+                                   # bucket (corpus-wide exchange
+                                   # gone; 7.5x -> 3.6x at sf10)
+    "q245_grouped_weighted_percentiles",  # r13: rides the same rework
 )
 
 # CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6; r12 directive
@@ -72,16 +79,15 @@ _STALE_CERT = (
     "q201_source_upsampling", "q202_domain_doc_cap",
     "q206_schema_evolution_roundtrip", "q207_padding_waste_report",
     "q212_minhash_calibration", "q213_neardup_provenance_matrix",
-    # r8 cohort head (oldest-first by qid) — 13 entries complete the
-    # 50-slot window (2 changed + 1 q265 + 34 r7 + 13 r8); the rest of
+    # r8 cohort head (oldest-first by qid) — 11 entries complete the
+    # 50-slot window (4 changed + 1 q265 + 34 r7 + 11 r8); the rest of
     # r8 continues in the r14 rotation
     "q01_parquet_scan_count", "q02_full_scan_project_all",
     "q03_projection_arithmetic", "q04_filter_and_or",
     "q05_filter_between_in", "q06_filter_like",
     "q07_null_handling", "q114_simhash_multiprobe_pairs",
     "q122_ttr_quality_battery", "q183_trigram_langid_confusion",
-    "q190_array_function_bank", "q205_bucketed_join_roundtrip",
-    "q211_semantic_dedup_cells",
+    "q190_array_function_bank",
 )
 
 
