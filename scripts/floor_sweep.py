@@ -227,13 +227,51 @@ EXTRA_SKELETONS = {
 }
 
 
-def best_of(fn, runs: int) -> float:
+def _skeleton_q240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q240 minus the crossing machinery: the exact-algorithm data-pass
+    shape — TWO scans of the (rf, cents, quantity) projection, the
+    first aggregating to (group, coarse-bucket) weight sums, the second
+    re-aggregating a ~1/32 value slice to (group, value) sums — with
+    the boundary CASE, broadcast join, and cumulative window removed.
+    If the two bare scans alone approach the full query, the residual
+    is Spark scan+stage fixed cost, not crossing-plan overhead."""
+    from tidb_gateway_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("q"))
+    s1 = (w.groupBy("rf", F.pmod(F.col("cents"), F.lit(32)).alias("b"))
+          .agg(F.sum("q").alias("wn"))
+          .agg(F.count("*").alias("n"), F.sum("wn").alias("s")))
+    s2 = (w.filter(F.pmod(F.col("cents"), F.lit(32)) == 7)
+          .groupBy("rf", "cents").agg(F.sum("q").alias("wv"))
+          .agg(F.count("*").alias("n"), F.sum("wv").alias("s")))
+    return s1.unionAll(s2)
+
+
+SKELETONS["q240_weighted_median"] = _skeleton_q240
+
+
+def best_of(fn, runs: int, settled_probe=None, probe=None) -> float:
+    """Best-of-N wall time; with probes given, prefer the best among
+    runs whose host-contention probe was clean BOTH entering and
+    leaving the run (SCALE.md: contention windows inflate on-CPU work
+    100-500× invisibly; a best-of over poisoned runs still lies)."""
     best = float("inf")
+    best_clean = float("inf")
     for _ in range(runs):
+        t_in = settled_probe() if settled_probe else 0.0
         t0 = time.perf_counter()
         fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        dt = time.perf_counter() - t0
+        t_out = probe() if probe else 0.0
+        best = min(best, dt)
+        if t_in <= 0.15 and t_out <= 0.15:
+            best_clean = min(best_clean, dt)
+    return best_clean if best_clean != float("inf") else best
 
 
 def main() -> None:
@@ -261,20 +299,41 @@ def main() -> None:
     # warm-up: JVM codegen + parquet footers + one exchange
     REGISTRY["q22_tpch_q1_agg"].spark(spark, args.sf_dir).toArrow()
 
+    # Host-contention guard (the bench.py sentinel/settle machinery —
+    # SCALE.md documents the shared-host windows; isolated floor
+    # readings taken inside one are worthless).  Settle before every
+    # timed variant and record the sentinel in the row.
+    import bench as _bench
+
+    def settled_probe() -> float:
+        t = _bench.contention_probe()
+        for _ in range(6):
+            if t <= 0.15:
+                break
+            time.sleep(2.0)
+            t = _bench.contention_probe()
+        return t
+
     for qid in qids:
         spec = REGISTRY[qid]
         skel = SKELETONS.get(qid)
         row = {"qid": qid, "sf_dir": args.sf_dir, "runs": args.runs}
+        row["sentinel"] = round(settled_probe(), 4)
         if skel is not None:
             row["skeleton_sec"] = round(best_of(
-                lambda: skel(spark, args.sf_dir).toArrow(), args.runs), 3)
+                lambda: skel(spark, args.sf_dir).toArrow(), args.runs,
+                settled_probe, _bench.contention_probe), 3)
         for name, extra in EXTRA_SKELETONS.get(qid, {}).items():
             row[f"skeleton_{name}_sec"] = round(best_of(
-                lambda: extra(spark, args.sf_dir).toArrow(), args.runs), 3)
+                lambda: extra(spark, args.sf_dir).toArrow(), args.runs,
+                settled_probe, _bench.contention_probe), 3)
         row["query_sec"] = round(best_of(
-            lambda: spec.spark(spark, args.sf_dir).toArrow(), args.runs), 3)
+            lambda: spec.spark(spark, args.sf_dir).toArrow(), args.runs,
+            settled_probe, _bench.contention_probe), 3)
         row["duckdb_sec"] = round(best_of(
-            lambda: con.execute(spec.oracle).arrow(), args.runs), 3)
+            lambda: con.execute(spec.oracle).arrow(), args.runs,
+            settled_probe, _bench.contention_probe), 3)
+        row["sentinel_after"] = round(_bench.contention_probe(), 4)
         row["ratio"] = round(row["query_sec"] / row["duckdb_sec"], 2)
         if "skeleton_sec" in row:
             row["skeleton_share"] = round(

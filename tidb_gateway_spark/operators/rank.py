@@ -350,6 +350,14 @@ def grouped_exact_median(df: DataFrame, group_col: str, value_col: str,
     )
 
 
+# (group, bucket) weight rows the driver will fold into crossing
+# targets; past this the function keeps the fully-distributed form.
+# 256k small rows is driver-trivial; |groups|×|buckets| above it means
+# a high-cardinality group column, where the extra scan the
+# distributed form pays is amortized over real per-group work anyway.
+_GWP_DRIVER_FOLD_CAP = 262144
+
+
 def grouped_weighted_percentiles(df: DataFrame, group_col: str,
                                  value_col: str, weight_col: str,
                                  pcts: list[int],
@@ -359,38 +367,48 @@ def grouped_weighted_percentiles(df: DataFrame, group_col: str,
     sorts — :func:`grouped_exact_median` generalized to integer
     weights and multiple percentiles (the P99-SLA shape).
 
+    ``weight_col`` must be an integral type (the weights are row
+    multiplicities); a fractional weight column raises ``ValueError``
+    rather than silently truncating per row.
+
     The aggregate-then-window form (cumulative weights over the
     (group, value) frame, ``Window.partitionBy(group)``) is exact but
     sorts each group's distinct values in ONE task — for a near-unique
     value column that is the whole group single-task again.  This form
-    restores full parallelism:
+    restores full parallelism and touches the raw table exactly TWICE:
 
-    1. aggregate to (group, value) weight sums — ONE data exchange;
-    2. range-bucket the value with literal boundaries (stats-cached,
-       exactness never depends on them) and aggregate per-(group,
-       bucket) weight sums — a metadata-sized table whose windows give
-       each bucket's starting weight offset;
-    3. for each percentile p, exactly ONE bucket per group contains
-       the crossing point (100·off < p·W ≤ 100·(off+wn)); join rows
-       against the union of target buckets — every other row dies at
-       the broadcast join;
+    1. range-bucket the value map-side with literal boundaries
+       (stats-cached, exactness never depends on them) and aggregate
+       per-(group, bucket) weight sums — scan 1, exchanging only
+       map-side-combined partials (|groups|×|buckets| rows);
+    2. fold that metadata-sized table on the DRIVER (exact Python
+       integer math): per-group prefix sums give each bucket's weight
+       offset, and for each percentile p exactly ONE bucket per group
+       contains the crossing (100·off < p·W ≤ 100·(off+wn));
+    3. broadcast the folded target rows as LITERALS — the probe side
+       (scan 2) joins against ~|groups|·|pcts| literal rows, so no
+       lineage re-executes the stats pass (the r13 form re-ran the
+       whole scan+agg+window inside the broadcast build: three full
+       scans per execution, q240 4.1× DuckDB at sf3 isolated);
     4. the lower weighted percentile (min v with 100·cumw ≥ p·W, the
        q240/q245 contract) falls out of a bucket-local cumulative
-       window.  All predicates exact-integer.
+       window over the surviving ~1/|buckets| row fraction.
 
     Returns (group_col, w_total, p<pct>...) with the value column's
-    type preserved.
-
-    r13 rework: the (group, value) weight aggregate used to run FIRST,
-    which for a near-unique value column exchanged the whole corpus
-    (the q240 sf3 sweep read 7.5× DuckDB on exactly that shuffle).
-    Now raw rows are bucketed map-side and the per-(group, bucket)
-    weight sums exchange only map-side-combined partials (groups ×
-    buckets rows); the (group, value) aggregate runs AFTER the
-    broadcast target-bucket join, over the ~1/buckets fraction of rows
-    that can contain a crossing — the corpus-wide exchange is gone
-    (sf3: 3.5 → ~1 s, ≤1× DuckDB).
+    type preserved.  Builds run one eager metadata-sized job (the
+    (group, bucket) sums — bounded by ``_GWP_DRIVER_FOLD_CAP``; past
+    the cap, a high-cardinality group column, the fully-distributed
+    r13 form runs instead).  100 TB shape: both scans are map-side
+    column-pruned passes; nothing corpus-sized ever shuffles, the
+    driver only ever sees (group, bucket) partials.
     """
+    wtype = dict(df.dtypes)[weight_col]
+    if wtype not in ("boolean", "tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"grouped_weighted_percentiles: weight column {weight_col!r} "
+            f"has non-integral type {wtype}; weights are row "
+            "multiplicities — cast explicitly (and decide the rounding) "
+            "before calling")
     parts = num_partitions or session_parallelism(df.sparkSession)
     raw = df.select(
         group_col, value_col,
@@ -398,21 +416,94 @@ def grouped_weighted_percentiles(df: DataFrame, group_col: str,
     raw = raw.withColumn(
         "_bucket", _bucket_expr(raw, (value_col, False), parts))
     cnt = raw.groupBy(group_col, "_bucket").agg(F.sum("_w").alias("_wn"))
-    wg = Window.partitionBy(group_col).orderBy("_bucket")
-    wt = Window.partitionBy(group_col)
-    stats = (
-        cnt.withColumn("_off", F.sum("_wn").over(wg) - F.col("_wn"))
-        .withColumn("_tot", F.sum("_wn").over(wt))
-    )
-    cond = None
-    for p in pcts:
-        c = (
-            (100 * F.col("_off") < p * F.col("_tot"))
-            & (p * F.col("_tot") <= 100 * (F.col("_off") + F.col("_wn")))
+    # No LIMIT guard on the collect: CollectLimitExec's incremental
+    # partition strategy costs ~0.5 s of sequential stages against this
+    # 0.07 s aggregate (measured, sf3).  The plain Arrow collect is
+    # |groups|×|buckets| small rows; spark.driver.maxResultSize is the
+    # backstop for a pathological group column — trip it (or the row
+    # cap) and the fully-distributed form runs instead.
+    try:
+        tbl = cnt.toArrow()
+        fold_ok = tbl.num_rows <= _GWP_DRIVER_FOLD_CAP
+    except Exception:
+        fold_ok = False
+    if not fold_ok:
+        return _gwp_distributed(raw, group_col, value_col, pcts)
+
+    gvals = tbl.column(group_col).to_pylist()
+    bvals = tbl.column("_bucket").to_pylist()
+    wvals = tbl.column("_wn").to_pylist()
+    per_group: dict = {}
+    for g, b, wn in zip(gvals, bvals, wvals):
+        per_group.setdefault(g, []).append((b, wn or 0))
+    target_rows = []
+    for g, lst in per_group.items():
+        lst.sort()
+        tot = sum(wn for _, wn in lst)
+        off = 0
+        for b, wn in lst:
+            if any(100 * off < p * tot <= 100 * (off + wn)
+                   for p in pcts):
+                target_rows.append((g, b, off, tot))
+            off += wn
+
+    targets = _gwp_literal_targets(df, group_col, target_rows)
+    return _gwp_crossing(raw, targets, group_col, value_col, pcts)
+
+
+# Above this many folded target rows, build the broadcast side with
+# createDataFrame instead of a literal plan (a literal struct array
+# that large bloats codegen; the Python-worker cost createDataFrame
+# pays at execution is amortized by that much per-group work anyway).
+_GWP_LITERAL_TARGET_CAP = 1024
+
+
+def _gwp_literal_targets(df: DataFrame, group_col: str,
+                         target_rows: list) -> DataFrame:
+    """(group, bucket, off, tot) rows as an all-JVM literal plan.
+
+    ``spark.createDataFrame(rows)`` is RDD-backed
+    (``applySchemaToPythonRDD``): every EXECUTION of the consuming
+    plan round-trips a Python worker just to materialize the handful
+    of broadcast rows — measured ~1-2 s per run inside the q240
+    broadcast build, dwarfing the data pass.  ``explode`` of a literal
+    struct array stays a JVM-local relation: zero Python in the
+    executed plan."""
+    spark = df.sparkSession
+    gtype = df.schema[group_col].dataType
+    if target_rows and len(target_rows) <= _GWP_LITERAL_TARGET_CAP:
+        structs = [
+            F.struct(
+                F.lit(g).cast(gtype).alias(group_col),
+                F.lit(b).cast("int").alias("_bucket"),
+                F.lit(off).cast("bigint").alias("_off"),
+                F.lit(tot).cast("bigint").alias("_tot"),
+            )
+            for (g, b, off, tot) in target_rows
+        ]
+        return (
+            spark.range(1)
+            .select(F.explode(F.array(*structs)).alias("_t"))
+            .select("_t.*")
         )
-        cond = c if cond is None else (cond | c)
-    targets = stats.filter(cond).select(
-        group_col, "_bucket", "_off", "_tot")
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+    tschema = StructType([
+        StructField(group_col, gtype),
+        StructField("_bucket", IntegerType(), False),
+        StructField("_off", LongType(), False),
+        StructField("_tot", LongType(), False),
+    ])
+    return spark.createDataFrame(target_rows, schema=tschema)
+
+
+def _gwp_crossing(raw: DataFrame, targets: DataFrame, group_col: str,
+                  value_col: str, pcts: list[int]) -> DataFrame:
+    """Shared tail of both forms: broadcast-join the raw bucketed rows
+    against the (group, bucket, off, tot) target table, aggregate to
+    (group, value) weight sums inside the target buckets only, and
+    read each percentile off the bucket-local cumulative window."""
     wloc = (
         Window.partitionBy(group_col, "_bucket").orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -432,3 +523,29 @@ def grouped_weighted_percentiles(df: DataFrame, group_col: str,
             ).alias(f"p{p}")
         )
     return mid.groupBy(group_col).agg(*aggs)
+
+
+def _gwp_distributed(raw: DataFrame, group_col: str, value_col: str,
+                     pcts: list[int]) -> DataFrame:
+    """Fully-distributed crossing search (the r13 form) for
+    high-cardinality group columns where the (group, bucket) table
+    exceeds the driver fold cap.  Pays one extra scan of ``raw``
+    (the stats lineage re-executes inside the broadcast build) in
+    exchange for never collecting the per-group table."""
+    cnt = raw.groupBy(group_col, "_bucket").agg(F.sum("_w").alias("_wn"))
+    wg = Window.partitionBy(group_col).orderBy("_bucket")
+    wt = Window.partitionBy(group_col)
+    stats = (
+        cnt.withColumn("_off", F.sum("_wn").over(wg) - F.col("_wn"))
+        .withColumn("_tot", F.sum("_wn").over(wt))
+    )
+    cond = None
+    for p in pcts:
+        c = (
+            (100 * F.col("_off") < p * F.col("_tot"))
+            & (p * F.col("_tot") <= 100 * (F.col("_off") + F.col("_wn")))
+        )
+        cond = c if cond is None else (cond | c)
+    targets = stats.filter(cond).select(
+        group_col, "_bucket", "_off", "_tot")
+    return _gwp_crossing(raw, targets, group_col, value_col, pcts)
