@@ -28,66 +28,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # is PRIORITY-ORDERED (tuple position, not qid) and more than ~50
 # entries means the tail defers to the next round by design.
 _CHANGED_FIRST = (
-    # Tier 0 — round 13 changes, riskiest first.  All entries pass the
+    # Tier 0 — round 14 changes, riskiest first.  All entries pass the
     # in-repo driver-faithful oracle diff at sf0.01 before queueing.
-    "q271_ivfadc_search",          # NEW r13: IVF cells + PQ-ADC codes
-                                   # composed (the Jégou IVFADC
-                                   # deployment shape — q94's
-                                   # partition-pruned cell scan with
-                                   # q269's integer-exact ADC ranking)
-    "q269_pq_adc_recall",          # r13: kernel touched (dead
-                                   # adc.copy() removed in
-                                   # pq_adc_eval's partial stage;
-                                   # output unchanged by construction
-                                   # — re-certified out of caution)
-    "q240_weighted_median",        # r13: grouped_weighted_percentiles
-                                   # reworked — raw rows bucket
-                                   # map-side, the (group, value)
-                                   # aggregate moved inside the target
-                                   # bucket (corpus-wide exchange
-                                   # gone; 7.5x -> 3.6x at sf10)
-    "q245_grouped_weighted_percentiles",  # r13: rides the same rework
+    "q272_hybrid_rrf_fusion",      # NEW r14: lexical BM25 (q214) ×
+                                   # dense cosine fused by reciprocal
+                                   # rank (RRF k=60), integer-exact
+                                   # fused score — completes the
+                                   # retrieval family
+    "q240_weighted_median",        # r14: grouped_weighted_percentiles
+                                   # reworked again — the (group,
+                                   # bucket) weight table now folds on
+                                   # the DRIVER (exact integer math)
+                                   # and the crossing targets enter
+                                   # the plan as JVM literals; 3 full
+                                   # scans + a Python-worker broadcast
+                                   # build -> 2 scans, all-JVM
+                                   # (operators/rank.py; plan
+                                   # asserted in test_operators.py::
+                                   # test_gwp_plan_all_jvm_two_scans).
+                                   # NOTE q245's registered impl does
+                                   # NOT call this operator (own
+                                   # inlined form, unchanged) — it is
+                                   # equivalence-property-tested
+                                   # against it, not re-certified.
 )
 
-# CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6; r12 directive
-# 2: q265 leads the r13 window — its r12 change rode q267's pin — then
-# the complete 34-entry r7 cohort, then the oldest r8 entries fill the
-# 50-slot window).  PRIORITY-ORDERED oldest-cert-first; the tail defers
-# to the next round by design.
+# CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6; r13
+# directive 2: the 30 remaining r8-era entries lead the r14 window —
+# recomputed from CORRECTNESS_r01–r13 latest-green at r14 start, which
+# found 30, not the 28 the r13 TODO arithmetic claimed — then the
+# oldest r9 entries (numeric-qid order) fill the 50-slot window:
+# 2 changed + 30 r8 + 18 r9.  PRIORITY-ORDERED oldest-cert-first; the
+# tail defers to the next round by design.
 _STALE_CERT = (
-    # q265's r12 change (O(1) has-index check) was build-path-only and
-    # its cert refresh yielded its r12 slot to the r6 cohort; it leads
-    # the r13 window per VERDICT r12 directive 2.
-    "q265_streaming_dedup_gate",
-    # r7 cohort — the complete 34-entry set of the oldest remaining
-    # certs (latest green = CORRECTNESS_r07; recomputed from
-    # CORRECTNESS_r01–r12 latest-green at r13 start)
-    "q72_minhash_lsh_candidates", "q73_simhash_clusters",
-    "q74_jaccard_verify", "q91_contamination_check",
-    "q98_word_repetition_filter", "q101_dedup_clusters",
-    "q103_ngram_decontamination", "q129_approx_distinct_bounds",
-    "q130_canonical_doc_per_cluster", "q143_approx_percentile_bounds",
-    "q178_referential_integrity_audit", "q179_cms_heavy_hitters",
-    "q180_merge_upsert_apply", "q181_equiwidth_histogram",
-    "q182_ewma_smoothing", "q184_benford_first_digit_audit",
-    "q186_bpe_merge_step", "q187_consecutive_dedup_compress",
-    "q188_mad_robust_outliers", "q189_time_weighted_average",
-    "q191_equidepth_binning", "q192_chisq_contingency",
-    "q193_zorder_locality", "q196_quantile_normalization",
-    "q197_cluster_aware_split", "q198_token_budget_mixing",
-    "q199_zorder_roundtrip", "q200_partitioned_pruning_roundtrip",
-    "q201_source_upsampling", "q202_domain_doc_cap",
-    "q206_schema_evolution_roundtrip", "q207_padding_waste_report",
-    "q212_minhash_calibration", "q213_neardup_provenance_matrix",
-    # r8 cohort head (oldest-first by qid) — 11 entries complete the
-    # 50-slot window (4 changed + 1 q265 + 34 r7 + 11 r8); the rest of
-    # r8 continues in the r14 rotation
-    "q01_parquet_scan_count", "q02_full_scan_project_all",
-    "q03_projection_arithmetic", "q04_filter_and_or",
-    "q05_filter_between_in", "q06_filter_like",
-    "q07_null_handling", "q114_simhash_multiprobe_pairs",
-    "q122_ttr_quality_battery", "q183_trigram_langid_confusion",
-    "q190_array_function_bank",
+    # r8 cohort — the complete 30-entry set of the oldest remaining
+    # certs (latest green = CORRECTNESS_r08)
+    "q75_cosine_nearest_neighbor", "q76_ann_lsh_bucket",
+    "q94_ivf_ann", "q95_int8_quantized_topk",
+    "q205_bucketed_join_roundtrip", "q211_semantic_dedup_cells",
+    "q216_heaps_vocab_growth", "q217_neardup_triangle_census",
+    "q218_gdpr_cascade_audit", "q219_exact_group_median",
+    "q221_name_similarity_join", "q222_seeded_epoch_shuffle",
+    "q223_interval_bucket_join", "q224_incremental_cluster_merge_audit",
+    "q225_compaction_roundtrip", "q226_zipf_slope",
+    "q227_basket_pair_affinity", "q228_replica_divergence_audit",
+    "q229_containment_neardup", "q230_grouped_ols_trend",
+    "q231_markov_transition_matrix", "q233_mixture_waterfill",
+    "q235_dedup_waterfall", "q236_ks_two_sample",
+    "q237_auc_mann_whitney", "q238_decile_lift_table",
+    "q239_quality_rule_waterfall", "q241_centroid_affinity_matrix",
+    "q242_top_p_mass_cap", "q243_trimmed_winsorized_means",
+    # r9 cohort head (oldest-first by numeric qid) — 18 entries
+    # complete the 50-slot window; the remaining 29 r9 entries lead
+    # the r15 rotation
+    "q08_case_when", "q09_cast_groupby", "q10_inner_equijoin",
+    "q11_multiway_join", "q12_left_outer_join", "q13_right_outer_join",
+    "q14_full_outer_join", "q15_left_semi_join", "q17_cross_join",
+    "q18_theta_join", "q22_tpch_q1_agg", "q23_global_agg",
+    "q24_count_distinct", "q25_having", "q27_rollup", "q28_cube",
+    "q30_statistical_aggs", "q38_multikey_sort",
 )
 
 
@@ -111,8 +110,8 @@ def _ordered_qids() -> list[str]:
             # entries (see the tier comments above).
             return (0, changed_rank[qid], qid)
         if qid in stale_rank:
-            # oldest-cert-first: the r11 rotation drains the r5 cohort
-            # and bites into r6 (VERDICT r10 directive 1)
+            # oldest-cert-first: the r14 rotation drains the r8 cohort
+            # and bites into r9 (VERDICT r13 directive 2)
             return (1, stale_rank[qid], qid)
         return (2, 0, qid)
 

@@ -196,6 +196,10 @@ def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
         text = inspect.explain_formatted(j)
         assert "SortMergeJoin" in text, text
         assert "Exchange" not in text, text
+        # r14: single-file buckets + trusted SORTED BY order — the
+        # storage layout satisfies the join's sort requirement too, so
+        # no per-query re-sort of either side (the q205 sf3 finding)
+        assert "Sort [" not in text, text
         # sanity: the join actually runs and matches the shuffled plan
         n = j.count()
         expect = o.join(li, F.col("o_orderkey") == F.col("l_orderkey")).count()

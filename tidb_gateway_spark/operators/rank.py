@@ -163,14 +163,22 @@ def _bucket_expr(df: DataFrame, leading: tuple[str, bool],
     if not bounds:
         return F.lit(0)
     col = F.col(name)
+    # Bucket id = #boundaries strictly before the key in sort order,
+    # as size(filter(<literal array>, b -> key beyond b)).  Identical
+    # assignment to the r13 CASE-WHEN sum, but the generated code is a
+    # short loop instead of a 31-branch expression chain: Janino spent
+    # ~2 s compiling that chain on EVERY fresh plan (exprIds in the
+    # generated source defeat the compile cache), which dominated every
+    # rank-family query benched plan-per-run — q240's "crossing
+    # machinery" cost was mostly this compile.  Warm per-row throughput
+    # measured identical (0.05 s vs 0.07 s for the sf3 scan+agg).
+    barr = F.array(*[F.lit(b) for b in bounds])
     if desc:
-        hits = [F.when(skey < F.lit(b), 1).otherwise(0) for b in bounds]
-        expr = sum(hits[1:], hits[0])
+        expr = F.size(F.filter(barr, lambda b: skey < b))
         # desc ordering puts NULLs last in Spark
         return F.when(col.isNull(), F.lit(len(bounds))).otherwise(expr)
-    hits = [F.when(skey > F.lit(b), 1).otherwise(0) for b in bounds]
-    expr = sum(hits[1:], hits[0])
-    # asc ordering puts NULLs first; null comparisons fall to otherwise(0)
+    expr = F.size(F.filter(barr, lambda b: skey > b))
+    # asc ordering puts NULLs first; null predicates drop at the filter
     return F.when(col.isNull(), F.lit(0)).otherwise(expr)
 
 

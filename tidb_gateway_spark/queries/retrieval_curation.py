@@ -1133,3 +1133,120 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return f.select("n", stable_round(F.col("slope"), 6).alias("zipf_slope"))
+
+
+# ---------------------------------------------------------------- Q272
+# Hybrid retrieval fusion (VERDICT r13 directive 7: the one family-
+# completing addition — lexical BM25 × dense-vector ranking fused by
+# reciprocal rank).
+_Q272_RRF_K = 60       # the standard RRF damping constant
+_Q272_LEG_K = 10       # depth of each leg's ranked list
+
+# metadata-sized probe vectors, keyed on (qid, corpus file, mtime) —
+# the llm_extended._probe_cache pattern (data-derived key, no session)
+_probe_cache: dict = {}
+
+_Q272_ORACLE = (
+    # lexical leg = q214's certified BM25 top-10, re-ranked 1..10 on
+    # its ROUNDED score (determinism borrows q214's certified rounding)
+    f"WITH lex AS ({_Q214_ORACLE}), "
+    "lexr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER "
+    "(ORDER BY score DESC, doc_id) AS INT) AS lr FROM lex), "
+    # dense leg = exact cosine vs the vec_id=0 probe, rounded 1e-4
+    # (the q75-certified comparison), top-10
+    "dv AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+    "WHERE vec_id = 0), "
+    "dc AS (SELECT vec_id, FLOOR(("
+    "list_dot_product(CAST(b.embedding AS DOUBLE[]), dv.e) / "
+    "(sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(dv.e, dv.e)))) * 10000 + 0.5) / 10000 "
+    "AS cs FROM embeddings b CROSS JOIN dv WHERE b.vec_id <> 0), "
+    "dtop AS (SELECT vec_id, CAST(rnk AS INT) AS dr FROM "
+    "(SELECT vec_id, cs, ROW_NUMBER() OVER "
+    "(ORDER BY cs DESC, vec_id) AS rnk FROM dc "
+    f"ORDER BY cs DESC, vec_id LIMIT {_Q272_LEG_K})), "
+    # reciprocal-rank fusion over the union of both lists; absent leg
+    # contributes nothing; ×1e6 floor makes the hash integer-exact
+    "f AS (SELECT COALESCE(l.doc_id, d.vec_id) AS doc_id, "
+    "COALESCE(l.lr, 0) AS lex_rank, COALESCE(d.dr, 0) AS dense_rank, "
+    f"COALESCE(1.0 / ({_Q272_RRF_K} + l.lr), 0) + "
+    f"COALESCE(1.0 / ({_Q272_RRF_K} + d.dr), 0) AS rrf "
+    "FROM lexr l FULL JOIN dtop d ON l.doc_id = d.vec_id) "
+    "SELECT doc_id, lex_rank, dense_rank, "
+    "CAST(FLOOR(rrf * 1000000 + 0.5) AS BIGINT) AS rrf_x1e6 "
+    "FROM f ORDER BY rrf_x1e6 DESC, doc_id "
+    f"LIMIT {_Q272_LEG_K}"
+)
+
+
+@register(
+    "q272_hybrid_rrf_fusion",
+    _Q272_ORACLE,
+    doc="Hybrid retrieval: q214's lexical BM25 top-10 fused with a "
+        "dense cosine top-10 (probe = doc 0's embedding; doc_id ≡ "
+        "vec_id in the fixture corpus) by reciprocal-rank fusion "
+        "score Σ 1/(60+rank) — the standard lexical×dense ensembling "
+        "(Cormack et al.'s RRF), completing the retrieval family "
+        "(BM25 q214, inverted index q220, ANN q75/q94/q269/q271).  "
+        "Determinism: each leg ranks on its already-certified ROUNDED "
+        "score (q214's 1e-4 BM25, q75's 1e-4 cosine), and the fused "
+        "score ships as an exact integer (×1e6 floor of a ≤2-term "
+        "IEEE sum).  Scale shape: the legs are top-k aggregates "
+        "(TakeOrdered, partial map-side), the fusion itself touches "
+        "2k rows — at 100 TB swap the dense leg for q271's "
+        "partition-pruned IVFADC serve and the lexical leg for the "
+        "q220 materialized index; the fusion algebra is unchanged.",
+    tags=("llm", "retrieval", "similarity"),
+)
+def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    lex = q214(spark, sf_dir)
+    wl = Window.orderBy(F.desc("score"), "doc_id")
+    lexr = lex.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pk = ("q272", sf_dir,
+          _os.path.getmtime(_os.path.join(sf_dir, "embeddings.parquet")))
+    probe = _probe_cache.get(pk)
+    if probe is None:
+        probe = [float(x) for x in
+                 e.filter(F.col("vec_id") == 0)
+                 .select("embedding").first()["embedding"]]
+        _probe_cache[pk] = probe
+    pv = F.array(*[F.lit(x) for x in probe])
+    ce = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(ce, pv, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nrm = F.sqrt(F.aggregate(
+        F.zip_with(ce, ce, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x))
+    pn = float(sum(x * x for x in probe)) ** 0.5
+    cs = stable_round(dot / (nrm * F.lit(pn)), 4)
+    dtop = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", cs.alias("cs"))
+        .orderBy(F.desc("cs"), "vec_id")
+        .limit(_Q272_LEG_K)
+    )
+    wd = Window.orderBy(F.desc("cs"), "vec_id")
+    dr = dtop.select("vec_id", F.row_number().over(wd).alias("dense_rank"))
+
+    f = lexr.join(dr, lexr.doc_id == dr.vec_id, "full_outer")
+    rrf = (
+        F.coalesce(1.0 / (_Q272_RRF_K + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (_Q272_RRF_K + F.col("dense_rank")), F.lit(0.0))
+    )
+    return (
+        f.select(
+            F.coalesce("doc_id", "vec_id").alias("doc_id"),
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"),
+            F.floor(rrf * 1000000 + F.lit(0.5)).cast("bigint")
+            .alias("rrf_x1e6"),
+        )
+        .orderBy(F.desc("rrf_x1e6"), "doc_id")
+        .limit(_Q272_LEG_K)
+    )

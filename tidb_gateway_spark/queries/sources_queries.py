@@ -241,7 +241,11 @@ def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- Q205
-_Q205_BUCKETS = 8
+# 32 buckets: a bucketed scan parallelizes one-task-per-bucket (bucket
+# files never split), so bucket count IS the join's parallelism — 8
+# capped the sf3 join at a quarter of the cores.  On a cluster, size
+# to (cores × small multiple) at ingest.
+_Q205_BUCKETS = 32
 
 _Q205_ORACLE = (
     "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines, "
@@ -320,7 +324,13 @@ def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "l_discount"])
     o = spark.table(bo)
     li = spark.table(bl)
-    j = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    # merge hint: at sf3 the 2-column orders side slips under the 64 MB
+    # broadcast threshold and Catalyst built + broadcast a 4.5M-row
+    # hash relation PER QUERY (~3 s, the r13 "unexplained 2.95 s") —
+    # while the zero-exchange zero-sort bucketed path this query
+    # exists to certify sat unused.  Fact⋈fact never broadcasts at
+    # 100 TB; pin the join to the layout-aligned sort-merge path.
+    j = o.hint("merge").join(li, F.col("o_orderkey") == F.col("l_orderkey"))
     return (
         j.groupBy("o_orderpriority")
         .agg(

@@ -57,6 +57,16 @@ RUNTIME_CONFS: dict[str, str] = {
     # timeout turns contention into a spurious query failure.  20 min
     # matches the driver-side patience of the rest of the stack.
     "spark.sql.broadcastTimeout": "1200",
+    # Trust per-bucket SORTED BY order on scan: despite the "legacy"
+    # name this is the only switch that lets a sorted bucketed table
+    # serve a sort-merge join with NO per-query Sort, and it is safe —
+    # FileSourceScanExec still verifies every bucket is a single file
+    # before reporting the ordering (multi-file buckets silently skip
+    # the optimization, never corrupt).  write_bucketed_table
+    # repartitions onto the bucket hash so its buckets ARE single
+    # files; without this conf q205's join re-sorted 18M lineitem rows
+    # per query at sf3 (~3× its floor).
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 

@@ -81,9 +81,22 @@ def write_bucketed_table(df: DataFrame, table: str, bucket_cols: list[str],
     shuffle paid once at write time replaces a shuffle per query.
     Bucketing requires a catalog table (bucket metadata lives in the
     metastore); ``path`` makes it external.  Returns the table name.
+
+    The frame is repartitioned onto the bucket hash BEFORE the write so
+    each bucket lands in exactly ONE file: repartition and bucketBy use
+    the same Murmur3-pmod assignment, so writer task *i* holds exactly
+    bucket *i*'s rows.  This matters on the READ side — Spark only
+    trusts (and reports) the per-bucket sort order when a bucket is a
+    single file; with one file per task per bucket (the default
+    multi-task write), every downstream sort-merge join silently
+    re-sorts both sides per query, which at sf3 cost q205 ~3× its
+    floor.  Write parallelism becomes ``num_buckets`` tasks — size
+    num_buckets to the cluster (hundreds+ at 100 TB), not to the
+    fixture.
     """
-    writer = df.write.mode(mode).format("parquet").bucketBy(
-        num_buckets, *bucket_cols)
+    writer = (df.repartition(num_buckets, *bucket_cols)
+              .write.mode(mode).format("parquet").bucketBy(
+                  num_buckets, *bucket_cols))
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     if path:
