@@ -104,3 +104,65 @@ def test_q265_q266_bounded_cert_checks(spark, sf_dir):
             .collect()]
     assert {int(r[0]): int(r[3]) for r in flat} == \
         {int(r[0]): int(r[1]) for r in prec}
+
+
+def test_no_module_function_refs_in_worker_closures():
+    """Worker-shipped closures (the function arguments of mapInPandas /
+    applyInPandas / mapInArrow) must not reference module-level
+    FUNCTIONS: cloudpickle serializes those by module reference, so the
+    executor's Python worker must be able to ``import
+    tidb_gateway_spark`` — true when the driver runs from the repo root
+    (cwd on sys.path propagates to local workers), false for a
+    foreign-cwd caller (scripts/driver_sim.py from /tmp caught q271's
+    index build failing exactly this way).  Data constants and arrays
+    closed over pickle by value and are fine; driver-side callbacks
+    (foreachBatch) may reference anything."""
+    import ast
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..",
+                        "tidb_gateway_spark")
+    ship_calls = {"mapInPandas", "applyInPandas", "mapInArrow"}
+    offenders = []
+    for fn in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        src = open(fn).read()
+        if not any(c in src for c in ship_calls):
+            continue
+        tree = ast.parse(src)
+        modfuncs = {n.name for n in tree.body
+                    if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))}
+
+        class V(ast.NodeVisitor):
+            def __init__(self):
+                self.stack = []
+
+            def visit_FunctionDef(self, node):
+                self.stack.append(node)
+                self.generic_visit(node)
+                self.stack.pop()
+                if not self.stack:
+                    return
+                parent = self.stack[-1]
+                shipped = {
+                    call.args[0].id
+                    for call in ast.walk(parent)
+                    if isinstance(call, ast.Call)
+                    and isinstance(call.func, ast.Attribute)
+                    and call.func.attr in ship_calls
+                    and call.args
+                    and isinstance(call.args[0], ast.Name)
+                }
+                if node.name not in shipped:
+                    return
+                refs = {n.id for n in ast.walk(node)
+                        if isinstance(n, ast.Name)
+                        and isinstance(n.ctx, ast.Load)}
+                for hit in sorted(refs & modfuncs):
+                    offenders.append(
+                        f"{os.path.relpath(fn, root)}:{node.lineno} "
+                        f"closure {node.name} references module function "
+                        f"{hit}")
+
+        V().visit(tree)
+    assert not offenders, offenders

@@ -1108,7 +1108,15 @@ def with_ivfadc_codes_arrow(df: DataFrame, centroids: list[list[float]],
                 continue
             M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             cells = (M @ C.T).argmax(axis=1)
-            RES = _quant_int(M, scale) - QC[cells]
+            # _quant_int inlined: a worker-shipped closure must not
+            # reference module-level FUNCTIONS — cloudpickle serializes
+            # them by module reference, and the executor's Python
+            # worker only has the driver's sys.path additions when the
+            # driver happens to run from the repo root (the real
+            # correctness driver does; a foreign-cwd caller does not —
+            # caught by scripts/driver_sim.py run from /tmp).  Data
+            # closed over (C, QC, W) pickles by value and is safe.
+            RES = np.floor(M * scale).astype(np.int64) - QC[cells]
             B = len(RES)
             codes = np.empty((B, n_sub), dtype=np.int32)
             for m in range(n_sub):
