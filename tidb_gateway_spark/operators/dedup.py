@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tidb_gateway_spark.operators.localrel import local_rows_df
 from tidb_gateway_spark.operators.partitioning import ensure_min_partitions
 
 HEX_HIGH = tuple("89abcdef")  # hex digits with the top bit set
@@ -370,10 +371,6 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     round is two key-partitioned shuffles of that table.  Both paths
     produce identical output (min reachable id is order-free).
     """
-    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    labels = edges.select("u").distinct().withColumn("lab", F.col("u"))
-
     def _pin(df: DataFrame) -> DataFrame:
         try:
             return df.localCheckpoint(eager=True)
@@ -382,8 +379,21 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
             df.count()
             return df
 
-    edges = _pin(edges)
-    if edges.count() <= 2 * driver_max_pairs:  # edges are directed both ways
+    # Pin the PAIRS before anything else: the symmetrizing
+    # union(e, e.swap) executes the caller's lineage once per branch,
+    # so pinning after the union ran the whole candidate→verify
+    # pipeline TWICE inside one job (the q209 unionAll lesson,
+    # measured ~1 s of re-run pipeline per CC call at sf0.1 — guide
+    # §2.4, duplicated subtrees).  Pinned first, every downstream
+    # consumer — the gate count, the driver collect, both union
+    # branches — reads checkpointed 16-byte rows.
+    e = _pin(pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")))
+    if e.count() <= driver_max_pairs:
+        # Union-find is symmetric in its inputs, so the driver path
+        # consumes the pinned DIRECTED pairs as-is — the symmetrize +
+        # distinct + second checkpoint the distributed path needs
+        # (three more jobs) never run here.  Duplicate pairs are
+        # harmless no-op unions.
         spark = pairs.sparkSession
         parent: dict[int, int] = {}
 
@@ -395,7 +405,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
                 parent[x], x = root, parent[x]
             return root
 
-        edge_rows = edges.collect()
+        edge_rows = e.collect()
         for row in edge_rows:
             ru, rv = find(row.u), find(row.v)
             if ru != rv:
@@ -404,10 +414,13 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
                 parent[max(ru, rv)] = min(ru, rv)
         out = [(u, find(u))
                for u in {x for row in edge_rows for x in (row.u, row.v)}]
-        return spark.createDataFrame(
-            sorted(out), "doc_id bigint, cluster_id bigint")
+        return local_rows_df(
+            spark, sorted(out), "doc_id bigint, cluster_id bigint")
 
-    labels = _pin(labels)
+    edges = _pin(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct())
+    labels = _pin(edges.select("u").distinct().withColumn("lab", F.col("u")))
     for _ in range(max_iter):
         nbr = (
             edges.join(

@@ -124,19 +124,20 @@ def _app_token(spark) -> str:
             return f"session-{id(spark)}"
 
 
-def _bucket_expr(df: DataFrame, leading: tuple[str, bool],
-                 parts: int) -> Column:
-    """Deterministic range-bucket id (0-based, ordered like the sort).
-
-    Boundaries are approx-percentiles of the leading key (via its
-    order-preserving numeric surrogate), computed once and baked in as
-    literals, so every execution assigns identical buckets.
+def _bucket_bounds(df: DataFrame, leading: tuple[str, bool],
+                   parts: int) -> list | None:
+    """Literal range-bucket boundaries for the leading sort key:
+    approx-percentiles of its order-preserving numeric surrogate,
+    computed once per (app, plan) and memoized (stale-stats semantics —
+    boundaries set bucket BALANCE only).  ``None`` → single bucket
+    (no surrogate, or parts ≤ 1).  The returned list is sorted in the
+    key's sort direction, duplicates removed.
     """
     name, desc = leading
     dtype = dict(df.dtypes)[name]
     skey = _order_surrogate(name, dtype)
     if parts <= 1 or skey is None:
-        return F.lit(0)
+        return None
     try:
         ck = (_app_token(df.sparkSession),
               df.semanticHash(), name, desc, parts)
@@ -160,26 +161,51 @@ def _bucket_expr(df: DataFrame, leading: tuple[str, bool],
                 _boundary_cache.pop(next(iter(_boundary_cache)))
             _boundary_cache[ck] = qs
     bounds = sorted(set(qs), reverse=desc)
+    return bounds or None
+
+
+def _bucket_assign(df: DataFrame, leading: tuple[str, bool],
+                   bounds: list | None) -> Column:
+    """Bucket id = #boundaries strictly before the key in sort order,
+    as a codegen'd sum of comparison casts.
+
+    The r14.0 higher-order form (``size(filter(<array>, b -> key > b))``)
+    avoided a feared per-plan Janino compile, but HOF lambdas execute
+    INTERPRETED per element — measured 1.51 s vs 0.74 s for this
+    sum-of-casts form on the sf3 scan+agg (18M rows × 31 bounds), a
+    per-row cost that grows with data while a compile is a constant;
+    re-measured clean, the 31-term comparison chain compiles in well
+    under 200 ms (the r14.0 "2 s Janino" reading was taken inside a
+    host contention window).  Comparison casts are branch-free adds in
+    the generated code, and whole-stage codegen's subexpression
+    elimination evaluates a non-trivial surrogate (string keys) once
+    per row.
+    """
+    name, desc = leading
     if not bounds:
         return F.lit(0)
+    dtype = dict(df.dtypes)[name]
+    skey = _order_surrogate(name, dtype)
     col = F.col(name)
-    # Bucket id = #boundaries strictly before the key in sort order,
-    # as size(filter(<literal array>, b -> key beyond b)).  Identical
-    # assignment to the r13 CASE-WHEN sum, but the generated code is a
-    # short loop instead of a 31-branch expression chain: Janino spent
-    # ~2 s compiling that chain on EVERY fresh plan (exprIds in the
-    # generated source defeat the compile cache), which dominated every
-    # rank-family query benched plan-per-run — q240's "crossing
-    # machinery" cost was mostly this compile.  Warm per-row throughput
-    # measured identical (0.05 s vs 0.07 s for the sf3 scan+agg).
-    barr = F.array(*[F.lit(b) for b in bounds])
     if desc:
-        expr = F.size(F.filter(barr, lambda b: skey < b))
+        expr = sum(((skey < F.lit(b)).cast("int") for b in bounds),
+                   F.lit(0))
         # desc ordering puts NULLs last in Spark
         return F.when(col.isNull(), F.lit(len(bounds))).otherwise(expr)
-    expr = F.size(F.filter(barr, lambda b: skey > b))
-    # asc ordering puts NULLs first; null predicates drop at the filter
+    expr = sum(((skey > F.lit(b)).cast("int") for b in bounds), F.lit(0))
+    # asc ordering puts NULLs first
     return F.when(col.isNull(), F.lit(0)).otherwise(expr)
+
+
+def _bucket_expr(df: DataFrame, leading: tuple[str, bool],
+                 parts: int) -> Column:
+    """Deterministic range-bucket id (0-based, ordered like the sort).
+
+    Boundaries are approx-percentiles of the leading key (via its
+    order-preserving numeric surrogate), computed once and baked in as
+    literals, so every execution assigns identical buckets.
+    """
+    return _bucket_assign(df, leading, _bucket_bounds(df, leading, parts))
 
 
 def _ranked(df: DataFrame, order_cols: list, out_col: str,
@@ -418,11 +444,12 @@ def grouped_weighted_percentiles(df: DataFrame, group_col: str,
             "multiplicities — cast explicitly (and decide the rounding) "
             "before calling")
     parts = num_partitions or session_parallelism(df.sparkSession)
-    raw = df.select(
+    raw0 = df.select(
         group_col, value_col,
         F.col(weight_col).cast("bigint").alias("_w"))
-    raw = raw.withColumn(
-        "_bucket", _bucket_expr(raw, (value_col, False), parts))
+    bounds = _bucket_bounds(raw0, (value_col, False), parts)
+    raw = raw0.withColumn(
+        "_bucket", _bucket_assign(raw0, (value_col, False), bounds))
     cnt = raw.groupBy(group_col, "_bucket").agg(F.sum("_w").alias("_wn"))
     # No LIMIT guard on the collect: CollectLimitExec's incremental
     # partition strategy costs ~0.5 s of sequential stages against this
@@ -455,6 +482,9 @@ def grouped_weighted_percentiles(df: DataFrame, group_col: str,
                 target_rows.append((g, b, off, tot))
             off += wn
 
+    if target_rows and len(target_rows) <= _GWP_RANGE_TARGET_CAP:
+        return _gwp_crossing_ranges(
+            raw0, group_col, value_col, pcts, target_rows, bounds)
     targets = _gwp_literal_targets(df, group_col, target_rows)
     return _gwp_crossing(raw, targets, group_col, value_col, pcts)
 
@@ -506,18 +536,32 @@ def _gwp_literal_targets(df: DataFrame, group_col: str,
     return spark.createDataFrame(target_rows, schema=tschema)
 
 
-def _gwp_crossing(raw: DataFrame, targets: DataFrame, group_col: str,
-                  value_col: str, pcts: list[int]) -> DataFrame:
-    """Shared tail of both forms: broadcast-join the raw bucketed rows
-    against the (group, bucket, off, tot) target table, aggregate to
-    (group, value) weight sums inside the target buckets only, and
-    read each percentile off the bucket-local cumulative window."""
+def _gwp_tail(flt: DataFrame, group_col: str, value_col: str,
+              pcts: list[int]) -> DataFrame:
+    """Shared tail of all crossing forms: ``flt`` carries the surviving
+    target-bucket rows with ``_bucket``/``_off``/``_tot`` attached.
+    Aggregate to (group, value) weight sums, read each percentile off
+    the bucket-local cumulative window.
+
+    ONE exchange serves both the (…, value) aggregate and the
+    cumulative window: hash-partitioning on (group, _bucket) is a
+    subset of the aggregate's grouping keys (ClusteredDistribution
+    satisfied — no agg exchange) and exactly the window's
+    partitioning (Sort only, no second exchange).  The aggregated
+    form shuffled the same surviving rows anyway — a near-unique
+    value column means map-side partials barely combine — then paid
+    a SECOND full exchange to regroup for the window (guide §2.4:
+    two operations keyed the same way share one exchange).  Per-task
+    bound is unchanged: one (group, bucket) slice ≈ 1/parts of the
+    group either way.
+    """
     wloc = (
         Window.partitionBy(group_col, "_bucket").orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     mid = (
-        raw.join(F.broadcast(targets), [group_col, "_bucket"])
+        flt.repartition(
+            session_parallelism(flt.sparkSession), group_col, "_bucket")
         .groupBy(group_col, "_bucket", "_off", "_tot", value_col)
         .agg(F.sum("_w").alias("_wv"))
         .withColumn("_cumw", F.sum("_wv").over(wloc) + F.col("_off"))
@@ -531,6 +575,76 @@ def _gwp_crossing(raw: DataFrame, targets: DataFrame, group_col: str,
             ).alias(f"p{p}")
         )
     return mid.groupBy(group_col).agg(*aggs)
+
+
+def _gwp_crossing(raw: DataFrame, targets: DataFrame, group_col: str,
+                  value_col: str, pcts: list[int]) -> DataFrame:
+    """Crossing pass, broadcast-join form (the distributed fallback and
+    large-target-set path): join the bucketed raw rows against the
+    (group, bucket, off, tot) target table."""
+    return _gwp_tail(
+        raw.join(F.broadcast(targets), [group_col, "_bucket"]),
+        group_col, value_col, pcts)
+
+
+# Above this many folded targets the literal when-chains of the range
+# form bloat codegen; the broadcast-join form takes over.
+_GWP_RANGE_TARGET_CAP = 64
+
+
+def _gwp_crossing_ranges(raw0: DataFrame, group_col: str, value_col: str,
+                         pcts: list[int], target_rows: list,
+                         bounds: list | None) -> DataFrame:
+    """Crossing pass, literal-range form (the driver-fold fast path).
+
+    Instead of re-deriving every probe row's bucket (a |bounds|-term
+    comparison chain over the whole second scan) and broadcast-joining
+    the target table, the folded targets become a filter of
+    (group, value-range) disjuncts — two comparisons per target — and
+    ``_bucket``/``_off``/``_tot`` attach as literal when-chains over
+    the same predicates.  bucket(v) == b is exactly
+    ``bounds[b-1] < skey(v) <= bounds[b]`` (asc; NULLs land in bucket
+    0), so the kept row set and attached offsets are identical to the
+    join form's.  On a numeric value column the range bounds are plain
+    comparisons on the scanned column — pushable to parquet row-group
+    stats on clustered layouts (guide §6) — measured 0.24 s vs 1.5 s
+    for the sf3 probe scan.
+    """
+    dtype = dict(raw0.dtypes)[value_col]
+    skey = _order_surrogate(value_col, dtype)
+    gtype = raw0.schema[group_col].dataType
+    col = F.col(value_col)
+    n = len(bounds) if bounds else 0
+
+    def in_bucket(b: int) -> Column:
+        if n == 0:
+            return F.lit(True)
+        if b <= 0:
+            return col.isNull() | (skey <= F.lit(bounds[0]))
+        if b >= n:
+            return skey > F.lit(bounds[n - 1])
+        return (skey > F.lit(bounds[b - 1])) & (skey <= F.lit(bounds[b]))
+
+    gc = F.col(group_col)
+    preds = [
+        (gc.eqNullSafe(F.lit(g).cast(gtype)) & in_bucket(b), b, off, tot)
+        for (g, b, off, tot) in target_rows
+    ]
+    keep = preds[0][0]
+    for p, _, _, _ in preds[1:]:
+        keep = keep | p
+    bexpr = oexpr = texpr = None
+    for p, b, off, tot in preds:
+        bexpr = F.when(p, F.lit(b)) if bexpr is None else bexpr.when(p, F.lit(b))
+        oexpr = F.when(p, F.lit(off)) if oexpr is None else oexpr.when(p, F.lit(off))
+        texpr = F.when(p, F.lit(tot)) if texpr is None else texpr.when(p, F.lit(tot))
+    flt = (
+        raw0.filter(keep)
+        .withColumn("_bucket", bexpr.cast("int"))
+        .withColumn("_off", oexpr.cast("bigint"))
+        .withColumn("_tot", texpr.cast("bigint"))
+    )
+    return _gwp_tail(flt, group_col, value_col, pcts)
 
 
 def _gwp_distributed(raw: DataFrame, group_col: str, value_col: str,

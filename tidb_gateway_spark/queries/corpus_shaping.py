@@ -38,6 +38,7 @@ from pyspark.sql.window import Window
 
 from tidb_gateway_spark.catalog import load_table
 from tidb_gateway_spark.operators import dedup
+from tidb_gateway_spark.operators.localrel import local_rows_df
 from tidb_gateway_spark.queries.llm_extended import _ddb_hex_to_int
 from tidb_gateway_spark.queries.registry import register
 
@@ -722,11 +723,12 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
                               salt="mixT"))
         .groupBy("lang").agg(F.count("*").alias("kept"))
     )
-    totals = spark.createDataFrame(
+    totals = local_rows_df(
+        spark,
         [(lang, counts[lang], rates[lang]) for lang in sorted(counts)],
         "lang string, total long, bps long")
     return (
-        totals.join(kept, "lang", "left")
+        totals.join(F.broadcast(kept), "lang", "left")
         .select("lang", "total", "bps",
                 F.coalesce("kept", F.lit(0)).alias("kept"))
         .orderBy("lang")

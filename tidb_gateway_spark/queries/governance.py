@@ -47,6 +47,7 @@ from pyspark.sql.window import Window
 
 from tidb_gateway_spark.catalog import load_table
 from tidb_gateway_spark.functions import stable_round
+from tidb_gateway_spark.operators.localrel import local_rows_df
 from tidb_gateway_spark.operators.partitioning import ensure_min_partitions
 from tidb_gateway_spark.queries.registry import register
 
@@ -627,12 +628,13 @@ def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = o.select(digit.alias("digit")).groupBy("digit").agg(
         F.count("*").alias("n"))
     total = o.agg(F.count("*").cast("double").alias("total"))
-    expected = spark.createDataFrame(
+    expected = local_rows_df(
+        spark,
         [(d, _BENFORD[d]) for d in range(1, 10)], "digit INT, exp_pct DOUBLE")
     obs_pct = stable_round(
         F.coalesce(F.col("n"), F.lit(0)) / F.col("total"), 6)
     return (
-        expected.join(counts, "digit", "left")
+        expected.join(F.broadcast(counts), "digit", "left")
         .crossJoin(F.broadcast(total))
         .select(
             "digit",

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from tidb_gateway_spark.catalog import load_table
 from tidb_gateway_spark.functions import stable_round
 from tidb_gateway_spark.operators import dedup, text as text_ops
+from tidb_gateway_spark.operators.localrel import local_rows_df
 from tidb_gateway_spark.operators.partitioning import ensure_min_partitions
 from tidb_gateway_spark.operators.similarity import cosine_nn_arrow, hyperplanes
 from tidb_gateway_spark.queries.registry import register
@@ -1551,7 +1552,7 @@ def _q209_rank_driver(spark: SparkSession, edge_pairs) -> DataFrame:
         np.add.at(out, dst, pr[src] / deg[src])
         pr = (1 - _Q209_D) / n + _Q209_D * out
     rows = [(int(nodes[i]), float(pr[i])) for i in range(n)]
-    return spark.createDataFrame(rows, "doc_id bigint, pr double")
+    return local_rows_df(spark, rows, "doc_id bigint, pr double")
 
 
 @register(
