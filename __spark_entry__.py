@@ -36,21 +36,47 @@ _CHANGED_FIRST = (
                                    # fused score — completes the
                                    # retrieval family
     "q240_weighted_median",        # r14: grouped_weighted_percentiles
-                                   # reworked again — the (group,
-                                   # bucket) weight table now folds on
-                                   # the DRIVER (exact integer math)
-                                   # and the crossing targets enter
-                                   # the plan as JVM literals; 3 full
-                                   # scans + a Python-worker broadcast
-                                   # build -> 2 scans, all-JVM
-                                   # (operators/rank.py; plan
-                                   # asserted in test_operators.py::
-                                   # test_gwp_plan_all_jvm_two_scans).
+                                   # reworked twice — driver fold +
+                                   # JVM-literal targets (r14.0), then
+                                   # the optimization pass: bucket
+                                   # assignment back to codegen'd
+                                   # comparison casts and the crossing
+                                   # as literal range predicates with
+                                   # a single-exchange agg+window tail
+                                   # (operators/rank.py; equivalence
+                                   # hypothesis-tested both paths).
                                    # NOTE q245's registered impl does
                                    # NOT call this operator (own
-                                   # inlined form, unchanged) — it is
-                                   # equivalence-property-tested
-                                   # against it, not re-certified.
+                                   # inlined form, unchanged).
+    # r14 optimization pass — internals changed, outputs pinned by the
+    # in-repo oracle diff; queued for driver re-certification:
+    "q101_dedup_clusters",         # connected_components: pairs pinned
+                                   # before symmetrize; driver path
+                                   # returns a JVM local relation
+                                   # (operators/localrel.py) instead of
+                                   # an ExistingRDD
+    "q235_dedup_waterfall",        # same connected_components rework
+    "q224_incremental_cluster_merge_audit",  # same (two CC calls)
+    "q130_canonical_doc_per_cluster",        # same
+    "q209_neardup_pagerank",       # driver PageRank vector via
+                                   # localrel (ExistingRDD removed)
+    "q212_minhash_calibration",    # sigs/arrs tracked-persisted (the
+                                   # diamond-reuse lesson)
+    "q152_bigram_lm_score",        # uni aggregate tracked-persisted
+    "q151_temperature_mixture",    # rate table via localrel +
+                                   # broadcast kept-side join
+    "q184_benford_first_digit_audit",  # expectation table via localrel
+                                       # + broadcast counts join
+    "q219_exact_group_median",     # bucket assignment back to
+                                   # codegen'd casts (rank.py)
+    "q31_row_number",              # same bucket-assignment change
+    "q32_rank_dense_rank",         # same
+    "q37_ntile",                   # same
+    "q232_table_profile",          # 6 scan+agg union branches -> ONE
+                                   # Expand-based aggregate + literal
+                                   # unpivot
+    "q221_name_similarity_join",   # tg/lst diamond lineages
+                                   # tracked-persisted
 )
 
 # CERTIFICATION-REFRESH ROTATION (VERDICT r8 directive 6; r13

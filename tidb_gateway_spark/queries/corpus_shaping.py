@@ -769,11 +769,16 @@ _Q152_ORACLE = (
     tags=("text", "llm", "quality"),
 )
 def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.cache import tracked_persist
+
     d = load_table(spark, sf_dir, "documents")
     bigrams = dedup.doc_shingles(d, n=2, distinct=False)
     words = dedup.doc_shingles(d, n=1, distinct=False)
-    uni = words.groupBy(F.col("w").alias("w1")).agg(
-        F.count("*").alias("c1"))
+    # uni feeds two consumers (the vocab scalar and the broadcast
+    # lookup); unpersisted, each re-ran the words explode+aggregate
+    # over the corpus (the q100 diamond lesson).  |vocab|-sized.
+    uni = tracked_persist(words.groupBy(F.col("w").alias("w1")).agg(
+        F.count("*").alias("c1")))
     vocab = uni.agg(F.count("*").alias("v"))
     bgc = bigrams.groupBy("w").agg(F.count("*").alias("c12"))
     scored = (

@@ -186,6 +186,14 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     cond = (F.col("s1.s_nationkey") == F.col("s2.s_nationkey")) & (
         F.col("s1.s_acctbal") < F.col("s2.s_acctbal")
     )
+    # NOTE (r14 examined, left alone): the global orderBy's range
+    # exchange SAMPLES its child, so the quadratic-output pair
+    # generation executes twice per run — but materializing the 18M
+    # sf3 pairs to dodge the second pass costs MORE than recomputing
+    # them (measured: plain 9.4 s, persist 13.9 s, localCheckpoint
+    # 13.9 s; the join itself is 1.9 s).  The residual vs DuckDB
+    # (2.8× at sf3) is the ordered 18M-row materialization both
+    # engines pay, in-process vs over the driver.
     return (
         s1.join(s2, cond)
         .select(F.col("s1.s_suppkey").alias("a"), F.col("s2.s_suppkey").alias("b"))

@@ -280,9 +280,16 @@ _Q212_ORACLE = (
     tags=("llm", "dedup", "minhash", "governance"),
 )
 def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidb_gateway_spark.operators.cache import tracked_persist
+
     d = load_table(spark, sf_dir, "documents")
     shingles = dedup.doc_shingles(d)
-    sigs = dedup.minhash_signatures(shingles, k=_K)
+    # sigs feeds FOUR consumers (both band self-join branches, sa, sb)
+    # and arrs two (aa, ab): column pruning specializes each subtree
+    # copy, so unpersisted they each re-ran the shingle→minhash
+    # pipeline (the q100/q214 diamond lesson).  Both are |docs|-sized
+    # (k ints / shingle-digest arrays), never corpus-sized.
+    sigs = tracked_persist(dedup.minhash_signatures(shingles, k=_K))
     bl = dedup.lsh_bands(sigs, _BANDS, _K // _BANDS)
     x, y = bl.alias("x"), bl.alias("y")
     cand = (
@@ -305,7 +312,7 @@ def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
         for j in range(_K)
     )
-    arrs = dedup.doc_shingle_arrays(d)
+    arrs = tracked_persist(dedup.doc_shingle_arrays(d))
     aa = arrs.select(F.col("doc_id").alias("a"), F.col("sharr").alias("sa"))
     ab = arrs.select(F.col("doc_id").alias("b"), F.col("sharr").alias("sb"))
     i = F.size(F.array_intersect("sa", "sb")).cast("bigint")

@@ -92,21 +92,39 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate": F.date_format("o_orderdate", "yyyy-MM-dd"),
         "o_orderpriority": F.col("o_orderpriority"),
     }
-    prof = None
+    # ONE scan for the whole profile: the per-column union form ran six
+    # independent scan+agg subtrees (six scans, six exchanges — 1.5 s
+    # at sf0.1 for a 6-row result).  Multiple COUNT(DISTINCT col_i) in
+    # one aggregate plan through a single Expand (rows ×6, one pass,
+    # one exchange), and the 1-row wide result unpivots to the 6-row
+    # profile through a literal struct array — the 100 TB shape: table
+    # profiling must not scan per column.
+    aggs = []
     for name, _, _ in _Q232_COLS:
         c = F.col(name)
-        part = o.select(name).agg(
+        aggs += [
             F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint")
-            .alias("n_nulls"),
-            F.countDistinct(c).cast("bigint").alias("n_distinct"),
-            F.min(canon[name]).alias("min_s"),
-            F.max(canon[name]).alias("max_s"),
-        ).select(
+            .alias(f"__nn_{name}"),
+            F.countDistinct(c).cast("bigint").alias(f"__nd_{name}"),
+            F.min(canon[name]).alias(f"__mn_{name}"),
+            F.max(canon[name]).alias(f"__mx_{name}"),
+        ]
+    row = o.agg(*aggs)
+    structs = [
+        F.struct(
             F.lit(name).alias("column_name"),
-            "n_nulls", "n_distinct", "min_s", "max_s",
+            F.col(f"__nn_{name}").alias("n_nulls"),
+            F.col(f"__nd_{name}").alias("n_distinct"),
+            F.col(f"__mn_{name}").alias("min_s"),
+            F.col(f"__mx_{name}").alias("max_s"),
         )
-        prof = part if prof is None else prof.unionByName(part)
-    return prof.orderBy("column_name")
+        for name, _, _ in _Q232_COLS
+    ]
+    return (
+        row.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .orderBy("column_name")
+    )
 
 
 # ---------------------------------------------------------------- Q233

@@ -585,17 +585,24 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     names = p.select(F.col("p_name").alias("nm")).distinct().filter(
         F.length("nm") >= 3)
-    tg = names.select(
+    from tidb_gateway_spark.operators.cache import tracked_persist
+
+    # tg feeds the rarity rank AND the per-name list; lst feeds FOUR
+    # consumers (the prefix explode's two self-join branches, a, b).
+    # Unpersisted, each subtree copy re-ran the trigram explode /
+    # collect+sort pipeline (the q100/q214 diamond lesson).  Both are
+    # |names|-proportional, never corpus-sized.
+    tg = tracked_persist(names.select(
         "nm",
         F.explode(F.expr(
             "transform(sequence(1, length(nm) - 2), "
             "i -> substring(nm, i, 3))")).alias("t"),
-    ).distinct()
+    ).distinct())
     rk = (
         tg.groupBy("t").agg(F.count("*").alias("c"))
         .select("t", F.row_number().over(Window.orderBy("c", "t")).alias("r"))
     )
-    lst = (
+    lst = tracked_persist(
         tg.join(rk, "t")
         .groupBy("nm")
         .agg(
