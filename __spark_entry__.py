@@ -87,20 +87,21 @@ _CHANGED_FIRST = (
 # 2 changed + 30 r8 + 18 r9.  PRIORITY-ORDERED oldest-cert-first; the
 # tail defers to the next round by design.
 _STALE_CERT = (
-    # r8 cohort — the complete 30-entry set of the oldest remaining
-    # certs (latest green = CORRECTNESS_r08)
+    # r8 cohort — oldest remaining certs (latest green =
+    # CORRECTNESS_r08).  Entries also present in _CHANGED_FIRST
+    # (q219/q221/q224/q235) are listed ONLY there: the two tuples must
+    # stay disjoint (tests/test_cert_window.py enforces it).
     "q75_cosine_nearest_neighbor", "q76_ann_lsh_bucket",
     "q94_ivf_ann", "q95_int8_quantized_topk",
     "q205_bucketed_join_roundtrip", "q211_semantic_dedup_cells",
     "q216_heaps_vocab_growth", "q217_neardup_triangle_census",
-    "q218_gdpr_cascade_audit", "q219_exact_group_median",
-    "q221_name_similarity_join", "q222_seeded_epoch_shuffle",
-    "q223_interval_bucket_join", "q224_incremental_cluster_merge_audit",
+    "q218_gdpr_cascade_audit", "q222_seeded_epoch_shuffle",
+    "q223_interval_bucket_join",
     "q225_compaction_roundtrip", "q226_zipf_slope",
     "q227_basket_pair_affinity", "q228_replica_divergence_audit",
     "q229_containment_neardup", "q230_grouped_ols_trend",
     "q231_markov_transition_matrix", "q233_mixture_waterfill",
-    "q235_dedup_waterfall", "q236_ks_two_sample",
+    "q236_ks_two_sample",
     "q237_auc_mann_whitney", "q238_decile_lift_table",
     "q239_quality_rule_waterfall", "q241_centroid_affinity_matrix",
     "q242_top_p_mass_cap", "q243_trimmed_winsorized_means",

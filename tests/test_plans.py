@@ -768,19 +768,18 @@ def test_q231_transition_one_lag_shuffle_broadcast_normalizer(spark, sf_dir):
     assert len(lag_exchanges) == 1, text
 
 
-def test_q232_profile_branches_prune_to_one_column(spark, sf_dir):
-    """The profiler is one COLUMN-PRUNED aggregate branch per column:
-    every parquet scan reads exactly one column (columnar scans are
-    cheap; the single-aggregate multi-distinct alternative Expands
-    every row ×(columns+1) with ALL columns materialized — 7× the
-    table through the shuffle at 100 TB, measured 4.5 s vs 1.5 s at
-    sf1) and no Expand appears anywhere."""
+def test_q232_profile_single_scan_expand_aggregate(spark, sf_dir):
+    """The r14 profiler is ONE parquet scan feeding ONE Expand-based
+    multi-distinct aggregate (plus a literal-struct unpivot): the
+    earlier per-column union form ran six independent scan+agg
+    subtrees (six scans, 36 plan-node exchanges for a 6-row result).
+    Table profiling must not scan per column at 100 TB."""
     df = REGISTRY["q232_table_profile"].spark(spark, sf_dir)
     text = inspect.explain_formatted(df)
     tree = _plan_tree(text)
-    assert "Expand" not in tree, tree
-    schemas = inspect.read_schema_columns(df)
-    assert schemas and all(len(cols) == 1 for cols in schemas), schemas
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Expand" in tree, tree
+    assert tree.count("Exchange") <= 3, tree
 
 
 def test_q233_waterfill_one_corpus_exchange(spark, sf_dir):

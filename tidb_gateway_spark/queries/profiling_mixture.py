@@ -71,14 +71,13 @@ _Q232_ORACLE = (
         "declared query): per column, null count, EXACT distinct "
         "count, and canonical min/max — doubles canonicalized to "
         "cents and timestamps to ISO strings so the renderings are "
-        "engine-stable.  Shape: one COLUMN-PRUNED aggregate branch per "
-        "column, unioned — each branch's parquet scan reads exactly "
-        "one column and its distinct shuffle carries that column's "
-        "per-partition distinct partials.  The single-aggregate "
-        "multi-distinct alternative Expands every row ×(columns+1) "
-        "with ALL columns materialized — measured 4.5 s vs 1.3 s at "
-        "sf1; at 100 TB the Expand form shuffles 7× the table while "
-        "this form shuffles Σ|distinct values| per column.",
+        "engine-stable.  Shape (r14): ONE parquet scan + ONE "
+        "Expand-based multi-distinct aggregate (rows ×(columns+1), "
+        "one exchange) and a literal-struct unpivot, replacing the "
+        "earlier six independent scan+agg union branches (six scans, "
+        "six exchanges — 1.5 s at sf0.1 for a 6-row result; plan "
+        "Exchange 36→6).  Table profiling must not scan per column at "
+        "100 TB.",
     tags=("governance", "statistics"),
 )
 def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
