@@ -35,10 +35,14 @@ def main() -> None:
     from tidb_gateway_spark.queries import REGISTRY
     from tidb_gateway_spark.session import get_spark
 
-    spark = get_spark("split-time")
     prefixes = sys.argv[1:]
     qids = [q for q in sorted(REGISTRY)
             if any(q.startswith(p) for p in prefixes)]
+    if not qids:
+        print(f"no registry entries match prefixes {prefixes!r} "
+              "(usage: split_time.py <qid-prefix> ...)", file=sys.stderr)
+        sys.exit(1)
+    spark = get_spark("split-time")
     # warm JVM/Arrow once
     REGISTRY[qids[0]].spark(spark, SF_DIR).toArrow()
     for qid in qids:

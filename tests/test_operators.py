@@ -1059,7 +1059,7 @@ def _gwp_check(spark, rows, pcts, fold_cap=None):
           suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
-        st.tuples(st.sampled_from(["a", "b", "c"]),
+        st.tuples(st.sampled_from(["a", "b", "c", None]),
                   st.integers(min_value=-50, max_value=50),
                   st.integers(min_value=0, max_value=5)),
         min_size=1, max_size=40),
@@ -1068,8 +1068,10 @@ def _gwp_check(spark, rows, pcts, fold_cap=None):
 )
 def test_gwp_hypothesis_matches_naive(spark, rows, pcts):
     """Driver-fold path vs the naive definition: ties, zero weights,
-    single-row groups, all-in-one-bucket corners — whatever hypothesis
-    finds.  (Zero-total groups are absent from both sides.)"""
+    single-row groups, all-in-one-bucket corners, NULL group values
+    (GROUP BY keeps them — every dispatch path must agree; r14
+    ADVICE) — whatever hypothesis finds.  (Zero-total groups are
+    absent from both sides.)"""
     _gwp_check(spark, rows, pcts)
 
 
@@ -1077,15 +1079,39 @@ def test_gwp_hypothesis_matches_naive(spark, rows, pcts):
           suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
-        st.tuples(st.sampled_from(["a", "b"]),
+        st.tuples(st.sampled_from(["a", "b", None]),
                   st.integers(min_value=0, max_value=30),
                   st.integers(min_value=0, max_value=4)),
         min_size=1, max_size=25),
 )
 def test_gwp_distributed_path_matches_naive(spark, rows):
     """Force the fully-distributed crossing search (fold cap 0) — the
-    high-cardinality-group fallback must obey the same contract."""
+    high-cardinality-group fallback must obey the same contract,
+    including NULL group keys (the broadcast-join form joins
+    null-safe)."""
     _gwp_check(spark, rows, [25, 50, 75], fold_cap=0)
+
+
+def test_gwp_join_form_keeps_null_groups(spark):
+    """Pin the r14 ADVICE fix directly: force the broadcast-JOIN
+    crossing form (range-target cap 0, so the driver fold routes to
+    _gwp_crossing) and check a NULL group survives with the same
+    percentiles the naive definition gives."""
+    from tidb_gateway_spark.operators import rank
+
+    rows = [(None, 1, 2), (None, 5, 2), ("a", 3, 1)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    saved = rank._GWP_RANGE_TARGET_CAP
+    rank._GWP_RANGE_TARGET_CAP = 0
+    try:
+        got = {
+            r["g"]: (r["w_total"], r["p50"])
+            for r in rank.grouped_weighted_percentiles(
+                df, "g", "v", "w", [50]).collect()
+        }
+    finally:
+        rank._GWP_RANGE_TARGET_CAP = saved
+    assert got == _naive_weighted_pcts(rows, [50])
 
 
 def test_gwp_rejects_fractional_weights(spark):
@@ -1098,12 +1124,21 @@ def test_gwp_rejects_fractional_weights(spark):
         grouped_weighted_percentiles(df, "g", "v", "w", [50])
 
 
-def test_gwp_plan_all_jvm_two_scans(spark, sf_dir):
+def test_gwp_plan_all_jvm_one_scan(spark, sf_dir):
     """The r14 rework's machine-assertable properties: the executed
     q240 plan carries NO Python-backed relation (the r13 form's
     createDataFrame broadcast side round-tripped a Python worker per
-    execution) and scans parquet exactly TWICE (the r13 form's
-    broadcast lineage re-ran the stats scan: three full scans)."""
+    execution) and holds exactly ONE parquet scan NODE — the
+    literal-range crossing form filters the probe scan with pushable
+    range predicates instead of re-scanning for the stats pass (the
+    r13 form's broadcast lineage re-ran the stats scan: three scan
+    nodes per execution; the stats pass itself runs once, eagerly, at
+    construction).  Scan nodes are counted via their '(N) Scan
+    parquet' detail headers — each physical node appears twice in
+    formatted explain (tree line + detail header), so a raw substring
+    count would read 2 for one node (r14 ADVICE)."""
+    import re
+
     from tidb_gateway_spark.plans import inspect
     from tidb_gateway_spark.queries import REGISTRY
 
@@ -1111,4 +1146,5 @@ def test_gwp_plan_all_jvm_two_scans(spark, sf_dir):
     text = inspect.explain_formatted(df)
     assert "ExistingRDD" not in text, text
     assert "BatchEvalPython" not in text, text
-    assert text.count("Scan parquet") == 2, text
+    scan_nodes = re.findall(r"^\(\d+\) Scan parquet", text, re.M)
+    assert len(scan_nodes) == 1, text

@@ -387,6 +387,16 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     # §2.4, duplicated subtrees).  Pinned first, every downstream
     # consumer — the gate count, the driver collect, both union
     # branches — reads checkpointed 16-byte rows.
+    # The gate counts RAW directed pairs (one count on the pinned
+    # frame, no distinct job): callers are expected to pass
+    # deduplicated pair lists (every in-repo caller emits
+    # candidate-distinct verified pairs).  A heavily duplicated
+    # stream — e.g. many LSH bands re-emitting the same pair without
+    # a distinct — can exceed the gate despite a tiny distinct edge
+    # set and fall onto the slower distributed path; correctness is
+    # unaffected either way (duplicate unions are no-ops).  Gating on
+    # e.distinct().count() would cost an extra shuffle job on every
+    # call to protect a caller pattern that does not exist here.
     e = _pin(pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")))
     if e.count() <= driver_max_pairs:
         # Union-find is symmetric in its inputs, so the driver path

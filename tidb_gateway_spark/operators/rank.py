@@ -581,10 +581,23 @@ def _gwp_crossing(raw: DataFrame, targets: DataFrame, group_col: str,
                   value_col: str, pcts: list[int]) -> DataFrame:
     """Crossing pass, broadcast-join form (the distributed fallback and
     large-target-set path): join the bucketed raw rows against the
-    (group, bucket, off, tot) target table."""
-    return _gwp_tail(
-        raw.join(F.broadcast(targets), [group_col, "_bucket"]),
-        group_col, value_col, pcts)
+    (group, bucket, off, tot) target table.
+
+    The group condition is null-SAFE (``<=>``): a plain equi-join
+    silently drops NULL group keys, while the literal-range form
+    (eqNullSafe predicates) and GROUP BY semantics keep them — all
+    dispatch paths must agree on NULL groups (r14 ADVICE).  eqNullSafe
+    stays a hash-joinable equi-condition, so the broadcast hash join
+    is unaffected."""
+    t = targets.select(
+        F.col(group_col).alias("_tg"), F.col("_bucket").alias("_tb"),
+        "_off", "_tot")
+    joined = raw.join(
+        F.broadcast(t),
+        F.col(group_col).eqNullSafe(F.col("_tg"))
+        & (F.col("_bucket") == F.col("_tb")),
+    ).drop("_tg", "_tb")
+    return _gwp_tail(joined, group_col, value_col, pcts)
 
 
 # Above this many folded targets the literal when-chains of the range
