@@ -768,18 +768,27 @@ def test_q231_transition_one_lag_shuffle_broadcast_normalizer(spark, sf_dir):
     assert len(lag_exchanges) == 1, text
 
 
-def test_q232_profile_single_scan_expand_aggregate(spark, sf_dir):
-    """The r14 profiler is ONE parquet scan feeding ONE Expand-based
-    multi-distinct aggregate (plus a literal-struct unpivot): the
-    earlier per-column union form ran six independent scan+agg
-    subtrees (six scans, 36 plan-node exchanges for a 6-row result).
-    Table profiling must not scan per column at 100 TB."""
+def test_q232_profile_two_pass_no_expanded_sort(spark, sf_dir):
+    """The r15 profiler is TWO cheap passes: the multi-distinct Expand
+    aggregate with all-bigint buffers (HASH-aggregates map-side) and a
+    grouping-key-free string min/max aggregate (never sorts), cross-
+    joined and unpivoted.  Pinned against both regressions: the r13
+    per-column union (six scans) and the r14 single fat aggregate
+    whose string min/max buffers forced the 7x-expanded stream through
+    two SortAggregate sorts (3.46 vs 2.00 s at sf1).  At most one Sort
+    may appear (the final 6-row orderBy).  When ensure_min_partitions
+    inserts a repartition, the min/max branch rides a ReusedExchange
+    of it (one scan total); when it is a no-op the branch scans
+    parquet itself (two scans) — both are the cheap shape."""
     df = REGISTRY["q232_table_profile"].spark(spark, sf_dir)
     text = inspect.explain_formatted(df)
     tree = _plan_tree(text)
-    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Scan parquet") in (1, 2), tree
+    if tree.count("Scan parquet") == 1:
+        assert "ReusedExchange" in tree, tree
     assert "Expand" in tree, tree
-    assert tree.count("Exchange") <= 3, tree
+    assert "HashAggregate" in tree, tree
+    assert tree.count("Sort (") <= 1, tree
 
 
 def test_q233_waterfill_one_corpus_exchange(spark, sf_dir):
